@@ -1,0 +1,615 @@
+"""SequenceFile (BLOCK + Snappy) format core — pure Python/numpy, no Spark.
+
+Re-implements, Spark-side, the decode semantics of the reference
+library jacobstanley/hadoop-formats (read-only at /root/reference):
+
+* header parse: ``src/Data/Hadoop/SequenceFile/Parser.hs:43-70``
+* record-block parse: ``Parser.hs:83-115``
+* Hadoop BlockCompressorStream framing: ``cbits/decode.c:76-118``
+* the 8 Writable type decoders: ``src/Data/Hadoop/Writable.hs:73-106``
+* fixed-width zero-copy cast + byteswap: ``Writable.hs:110-113``,
+  ``cbits/decode.c:185-209`` → here ``np.frombuffer`` with big-endian
+  dtypes
+* variable-width offset slicing: ``Writable.hs:115-134``
+
+Differences, deliberate (SURVEY.md §1.3, §2.1):
+
+* metadata count is read **big-endian** (Hadoop-correct; the reference's
+  little-endian read at ``Parser.hs:74`` is a quirk invisible on files
+  with zero metadata entries);
+* a write path exists (the reference has none — ``README.md:5``);
+* blocks can be decoded selectively (keys only / values only / count
+  only) — the 4 sections are independently compressed
+  (``Parser.hs:104-107``), the reference always decodes both.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from . import snappy
+from .varint import (
+    decode_vint,
+    decode_vint_array,
+    encode_vint,
+    encode_vint_array,
+    vint_sizes,
+)
+
+MAGIC = b"SEQ"
+VERSION = 6
+SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
+SYNC_ESCAPE = b"\xff\xff\xff\xff"
+
+# Java class name ↔ decoder metadata (SURVEY §1.2 table; Writable.hs:73-106)
+# entry: (arrow type, numpy big-endian dtype or None for variable width)
+WRITABLES: dict[str, tuple[pa.DataType, str | None]] = {
+    "org.apache.hadoop.io.NullWritable": (pa.null(), "null"),
+    "org.apache.hadoop.io.ShortWritable": (pa.int16(), ">i2"),
+    "org.apache.hadoop.io.IntWritable": (pa.int32(), ">i4"),
+    "org.apache.hadoop.io.LongWritable": (pa.int64(), ">i8"),
+    "org.apache.hadoop.io.FloatWritable": (pa.float32(), ">f4"),
+    "org.apache.hadoop.io.DoubleWritable": (pa.float64(), ">f8"),
+    "org.apache.hadoop.io.BytesWritable": (pa.binary(), None),
+    "org.apache.hadoop.io.Text": (pa.string(), None),
+}
+
+ARROW_TO_CLASS = {
+    "null": "org.apache.hadoop.io.NullWritable",
+    "int16": "org.apache.hadoop.io.ShortWritable",
+    "int32": "org.apache.hadoop.io.IntWritable",
+    "int64": "org.apache.hadoop.io.LongWritable",
+    "float": "org.apache.hadoop.io.FloatWritable",
+    "double": "org.apache.hadoop.io.DoubleWritable",
+    "binary": "org.apache.hadoop.io.BytesWritable",
+    "string": "org.apache.hadoop.io.Text",
+    "large_string": "org.apache.hadoop.io.Text",
+    "large_binary": "org.apache.hadoop.io.BytesWritable",
+}
+
+
+class SeqFileError(ValueError):
+    """Decode failure — mirrors the reference's fail-stop Stream.Error
+    (``SequenceFile.hs:64, 91-95``)."""
+
+
+@dataclass
+class Header:
+    """File header (``Types.hs:18-25``)."""
+
+    key_class: str
+    value_class: str
+    codec_class: str
+    metadata: list[tuple[str, str]]
+    sync: bytes
+    header_len: int = 0  # byte offset of first record block
+
+    def arrow_schema(self) -> pa.Schema:
+        for cls, role in ((self.key_class, "key"), (self.value_class, "value")):
+            if cls not in WRITABLES:
+                raise SeqFileError(f"unsupported {role} class: {cls}")
+        return pa.schema(
+            [
+                pa.field("key", WRITABLES[self.key_class][0]),
+                pa.field("value", WRITABLES[self.value_class][0]),
+            ]
+        )
+
+
+@dataclass
+class RecordBlock:
+    """Columnar batch of parallel key/value arrays (``Types.hs:34-38``)."""
+
+    count: int
+    keys: pa.Array | None
+    values: pa.Array | None
+    offset: int = 0  # file offset of the block's sync escape
+
+
+def _read_text(buf: bytes, pos: int) -> tuple[str, int]:
+    """Varint-length-prefixed UTF-8 ("textWritable", Parser.hs:119-121)."""
+    n, pos = decode_vint(buf, pos)
+    if n < 0 or pos + n > len(buf):
+        raise SeqFileError("truncated text field in header")
+    return buf[pos : pos + n].decode("utf-8"), pos + n
+
+
+def parse_header(buf: bytes) -> Header:
+    """Parse a file header (``Parser.hs:43-70``). ``buf`` must contain at
+    least the full header (a 1 KiB prefix is plenty in practice)."""
+    if buf[:3] != MAGIC:
+        raise SeqFileError("not a sequence file (bad magic)")
+    if len(buf) < 4 or buf[3] != VERSION:
+        raise SeqFileError(f"unsupported version: {buf[3] if len(buf) > 3 else '?'}")
+    pos = 4
+    key_class, pos = _read_text(buf, pos)
+    value_class, pos = _read_text(buf, pos)
+    if pos + 2 > len(buf):
+        raise SeqFileError("truncated header")
+    compression, block_compression = buf[pos], buf[pos + 1]
+    pos += 2
+    if not (compression == 1 and block_compression == 1):
+        raise SeqFileError(
+            "only block-compressed sequence files are supported"
+        )  # Parser.hs:56-60
+    codec_class, pos = _read_text(buf, pos)
+    if codec_class != SNAPPY_CODEC:
+        raise SeqFileError(f"unsupported codec: {codec_class}")  # Parser.hs:62-65
+    (meta_count,) = struct.unpack(">I", buf[pos : pos + 4])  # BE, Hadoop-correct
+    pos += 4
+    metadata = []
+    for _ in range(meta_count):
+        k, pos = _read_text(buf, pos)
+        v, pos = _read_text(buf, pos)
+        metadata.append((k, v))
+    sync = bytes(buf[pos : pos + 16])
+    if len(sync) != 16:
+        raise SeqFileError("truncated sync marker")
+    pos += 16
+    return Header(key_class, value_class, codec_class, metadata, sync, pos)
+
+
+def _decompress_block_stream(buf: bytes) -> bytes:
+    """Hadoop BlockCompressorStream → flat buffer (``decode.c:76-118``):
+    4-byte BE total uncompressed size, then repeated
+    [4-byte BE compressed-chunk size + raw snappy chunk]; zero-size
+    chunks skipped."""
+    if len(buf) < 4:
+        raise SeqFileError("truncated compressed section")
+    (total,) = struct.unpack(">I", buf[:4])
+    pos = 4
+    parts = []
+    got = 0
+    while got < total:
+        if pos + 4 > len(buf):
+            raise SeqFileError("truncated compressed chunk header")
+        (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+        pos += 4
+        if clen == 0:
+            continue
+        if pos + clen > len(buf):
+            raise SeqFileError("truncated compressed chunk")
+        part = snappy.decompress(buf[pos : pos + clen])
+        pos += clen
+        parts.append(part)
+        got += len(part)
+    if got != total:
+        raise SeqFileError(f"decompressed size mismatch: {got} != {total}")
+    return b"".join(parts) if len(parts) != 1 else parts[0]
+
+
+_COMPRESS_CHUNK = 256 * 1024  # uncompressed bytes per snappy chunk
+
+
+def _compress_block_stream(buf: bytes) -> bytes:
+    """Inverse of ``_decompress_block_stream`` (writer side)."""
+    out = bytearray(struct.pack(">I", len(buf)))
+    pos = 0
+    while pos < len(buf):
+        chunk = buf[pos : pos + _COMPRESS_CHUNK]
+        comp = snappy.compress(chunk)
+        out += struct.pack(">I", len(comp))
+        out += comp
+        pos += _COMPRESS_CHUNK
+    return bytes(out)
+
+
+def _decode_column(
+    java_class: str, lengths_buf: bytes, data_buf: bytes, count: int
+) -> pa.Array:
+    """Decode one column section (``Writable.hs:110-134``, ``decode.c:122-227``)."""
+    arrow_type, np_dtype = WRITABLES[java_class]
+    if np_dtype == "null":
+        return pa.nulls(count)  # NullWritable: zero bytes/record (Writable.hs:73-75)
+    if np_dtype is not None:
+        # fixed-width fast path: lengths present but ignored (decode.c:137-139)
+        arr = np.frombuffer(data_buf, dtype=np_dtype)
+        if len(arr) != count:
+            raise SeqFileError(
+                f"fixed-width section has {len(arr)} records, expected {count}"
+            )
+        return pa.array(arr.astype(np_dtype[1:]), type=arrow_type)
+    # variable width: per-record lengths drive offset slicing
+    lengths = decode_vint_array(lengths_buf, count)
+    if lengths.sum() != len(data_buf):
+        raise SeqFileError("variable-width lengths do not cover data buffer")
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    if java_class == "org.apache.hadoop.io.BytesWritable":
+        # strip the 4-byte BE length prefix (Writable.hs:97-99)
+        prefix = np.full(count, 4, dtype=np.int64)
+        if (lengths < 4).any():
+            raise SeqFileError("BytesWritable record shorter than 4-byte prefix")
+    else:  # Text: strip leading Hadoop-varint prefix (Writable.hs:101-106)
+        if len(data) == 0:
+            prefix = np.zeros(count, dtype=np.int64)
+        else:
+            first_bytes = data[np.minimum(starts, len(data) - 1)]
+            prefix = np.where(lengths == 0, 0, vint_sizes(first_bytes))
+    # drop prefix bytes via a keep-mask, then rebuild contiguous offsets
+    keep = np.ones(len(data), dtype=bool)
+    # mark prefix byte ranges False (vectorized via range deltas)
+    if count:
+        delta = np.zeros(len(data) + 1, dtype=np.int8)
+        pstart = starts[prefix > 0]
+        pend = (starts + prefix)[prefix > 0]
+        np.add.at(delta, pstart, 1)
+        np.add.at(delta, pend, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+    payload = data[keep]
+    out_lengths = lengths - prefix
+    if (out_lengths < 0).any():
+        raise SeqFileError("negative payload length")
+    offsets = np.zeros(count + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(out_lengths)
+    buf_offsets = pa.py_buffer(offsets.tobytes())
+    buf_data = pa.py_buffer(payload.tobytes())
+    if java_class == "org.apache.hadoop.io.Text":
+        return pa.StringArray.from_buffers(count, buf_offsets, buf_data)
+    return pa.Array.from_buffers(pa.binary(), count, [None, buf_offsets, buf_data])
+
+
+@dataclass
+class _RawBlock:
+    offset: int
+    count: int
+    sections: list[bytes]  # key lengths, keys, value lengths, values (compressed)
+
+
+def _read_raw_block(f: io.BufferedIOBase, header: Header) -> _RawBlock | None:
+    """Read one record block's raw bytes (``Parser.hs:83-115``).
+    Returns None at clean EOF."""
+    offset = f.tell()
+    escape = f.read(4)
+    if not escape:
+        return None
+    if escape != SYNC_ESCAPE:
+        raise SeqFileError("file is corrupt (bad sync escape)")  # Parser.hs:93-96
+    sync = f.read(16)
+    if sync != header.sync:
+        raise SeqFileError("file is corrupt (sync mismatch)")  # Parser.hs:98-101
+    count = _read_vint_stream(f)
+    sections = []
+    for _ in range(4):
+        n = _read_vint_stream(f)
+        if n < 0:
+            raise SeqFileError("negative section length")
+        data = f.read(n)
+        if len(data) != n:
+            raise SeqFileError("truncated record block")
+        sections.append(data)
+    return _RawBlock(offset, count, sections)
+
+
+def _read_vint_stream(f: io.BufferedIOBase) -> int:
+    first = f.read(1)
+    if not first:
+        raise SeqFileError("unexpected EOF reading varint")
+    b = first[0]
+    sb = b - 256 if b >= 0x80 else b
+    if sb >= -112:
+        return sb
+    negative = sb < -120
+    size = (-119 - sb) if negative else (-111 - sb)
+    rest = f.read(size - 1)
+    if len(rest) != size - 1:
+        raise SeqFileError("unexpected EOF reading varint")
+    value = int.from_bytes(rest, "big")
+    return ~value if negative else value
+
+
+def _decode_raw(
+    raw: _RawBlock, header: Header, *, want_keys: bool = True, want_values: bool = True
+) -> RecordBlock:
+    keys = values = None
+    if want_keys:
+        keys = _decode_column(
+            header.key_class,
+            _decompress_block_stream(raw.sections[0]),
+            _decompress_block_stream(raw.sections[1]),
+            raw.count,
+        )
+    if want_values:
+        values = _decode_column(
+            header.value_class,
+            _decompress_block_stream(raw.sections[2]),
+            _decompress_block_stream(raw.sections[3]),
+            raw.count,
+        )
+    return RecordBlock(raw.count, keys, values, raw.offset)
+
+
+def read_header(path: str) -> Header:
+    with open(path, "rb") as f:
+        return parse_header(f.read(4096))
+
+
+def iter_blocks(
+    path: str,
+    *,
+    want_keys: bool = True,
+    want_values: bool = True,
+    start: int = 0,
+    end: int | None = None,
+    header: Header | None = None,
+) -> Iterator[RecordBlock]:
+    """Stream record blocks, optionally restricted to a byte-range split.
+
+    Split semantics match Hadoop's SequenceFile reader: a block belongs
+    to the split containing the first byte of its sync escape.  For
+    ``start > 0`` we scan forward for the 20-byte
+    ``SYNC_ESCAPE + sync`` pattern (the reference never splits —
+    ``SequenceFile.hs:81-89`` — this is our 100 TB requirement).
+    """
+    with open(path, "rb") as f:
+        if header is None:
+            header = parse_header(f.read(4096))
+        file_end = os.fstat(f.fileno()).st_size
+        stop = file_end if end is None else min(end, file_end)
+        pos = max(start, header.header_len)
+        if start > 0:
+            pos = _find_sync(f, header, start, file_end)
+            if pos is None:
+                return
+        f.seek(pos)
+        while f.tell() < stop:
+            raw = _read_raw_block(f, header)
+            if raw is None:
+                return
+            yield _decode_raw(raw, header, want_keys=want_keys, want_values=want_values)
+
+
+def iter_block_counts(
+    path: str, *, start: int = 0, end: int | None = None, header: Header | None = None
+) -> Iterator[int]:
+    """Count fast path: record counts from block headers alone, no
+    decompression (SURVEY §3 EP3 — count lives at ``Parser.hs:103``)."""
+    with open(path, "rb") as f:
+        if header is None:
+            header = parse_header(f.read(4096))
+        file_end = os.fstat(f.fileno()).st_size
+        stop = file_end if end is None else min(end, file_end)
+        pos = max(start, header.header_len)
+        if start > 0:
+            pos = _find_sync(f, header, start, file_end)
+            if pos is None:
+                return
+        f.seek(pos)
+        while f.tell() < stop:
+            offset = f.tell()
+            escape = f.read(4)
+            if not escape:
+                return
+            if escape != SYNC_ESCAPE:
+                raise SeqFileError("file is corrupt (bad sync escape)")
+            if f.read(16) != header.sync:
+                raise SeqFileError("file is corrupt (sync mismatch)")
+            count = _read_vint_stream(f)
+            for _ in range(4):
+                n = _read_vint_stream(f)
+                f.seek(n, os.SEEK_CUR)
+            yield count
+
+
+def _find_sync(
+    f: io.BufferedIOBase, header: Header, start: int, file_end: int
+) -> int | None:
+    """Scan forward from ``start`` for the next block boundary
+    (``SYNC_ESCAPE + header.sync``).  The 20-byte pattern makes false
+    positives vanishingly unlikely; we additionally verify the candidate
+    parses as a block (SURVEY §7 hard-point (b))."""
+    pattern = SYNC_ESCAPE + header.sync
+    chunk_size = 1 << 20
+    pos = start
+    carry = b""
+    while pos < file_end:
+        f.seek(pos)
+        chunk = carry + f.read(chunk_size)
+        idx = chunk.find(pattern)
+        while idx != -1:
+            candidate = pos - len(carry) + idx
+            if _verify_block_at(f, header, candidate, file_end):
+                return candidate
+            idx = chunk.find(pattern, idx + 1)
+        if len(chunk) < len(pattern):
+            return None
+        carry = chunk[-(len(pattern) - 1) :]
+        pos += chunk_size
+    return None
+
+
+def _verify_block_at(
+    f: io.BufferedIOBase, header: Header, offset: int, file_end: int
+) -> bool:
+    save = f.tell()
+    try:
+        f.seek(offset + 20)
+        count = _read_vint_stream(f)
+        if count < 0:
+            return False
+        for _ in range(4):
+            n = _read_vint_stream(f)
+            if n < 0 or f.tell() + n > file_end:
+                return False
+            f.seek(n, os.SEEK_CUR)
+        return True
+    except SeqFileError:
+        return False
+    finally:
+        f.seek(save)
+
+
+def read_file(
+    path: str, *, want_keys: bool = True, want_values: bool = True
+) -> pa.Table:
+    """Whole-file read → Arrow table with columns (key, value)."""
+    header = read_header(path)
+    schema = header.arrow_schema()
+    fields = []
+    if want_keys:
+        fields.append(schema.field("key"))
+    if want_values:
+        fields.append(schema.field("value"))
+    out_schema = pa.schema(fields)
+    batches = []
+    for block in iter_blocks(path, want_keys=want_keys, want_values=want_values):
+        cols = []
+        if want_keys:
+            cols.append(block.keys)
+        if want_values:
+            cols.append(block.values)
+        batches.append(pa.RecordBatch.from_arrays(cols, schema=out_schema))
+    return pa.Table.from_batches(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Writer — no write path exists in the reference (README.md:5; the only
+# writer is Hadoop itself, tests/MakeSequenceFiles.java:16-29).  Byte
+# layout per SURVEY §1.3 so that JVM Hadoop can read our output.
+# ---------------------------------------------------------------------------
+
+
+def _encode_column(java_class: str, arr: pa.Array) -> tuple[bytes, bytes]:
+    """Encode one column → (lengths buffer, data buffer), uncompressed."""
+    _, np_dtype = WRITABLES[java_class]
+    n = len(arr)
+    if arr.null_count and np_dtype != "null":
+        raise SeqFileError(f"{java_class} cannot encode nulls")
+    if np_dtype == "null":
+        return encode_vint_array(np.zeros(n, dtype=np.int64)), b""
+    if np_dtype is not None:
+        width = int(np_dtype[2:])
+        data = arr.to_numpy(zero_copy_only=False).astype(np_dtype).tobytes()
+        lengths = encode_vint_array(np.full(n, width, dtype=np.int64))
+        return lengths, data
+    # variable width
+    if java_class == "org.apache.hadoop.io.Text":
+        str_arr = arr.cast(pa.string())
+        raw = [s.encode("utf-8") if s is not None else b"" for s in str_arr.to_pylist()]
+        payload = bytearray()
+        lengths = np.empty(n, dtype=np.int64)
+        for i, b in enumerate(raw):
+            pfx = encode_vint(len(b))
+            payload += pfx
+            payload += b
+            lengths[i] = len(pfx) + len(b)
+        return encode_vint_array(lengths), bytes(payload)
+    # BytesWritable: 4-byte BE length prefix
+    blobs = arr.cast(pa.binary()).to_pylist()
+    payload = bytearray()
+    lengths = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = b or b""
+        payload += struct.pack(">I", len(b))
+        payload += b
+        lengths[i] = 4 + len(b)
+    return encode_vint_array(lengths), bytes(payload)
+
+
+@dataclass
+class SeqFileWriter:
+    """Writes a BLOCK+Snappy SequenceFile (inverse of the parse path)."""
+
+    path: str
+    key_class: str
+    value_class: str
+    metadata: list[tuple[str, str]] = field(default_factory=list)
+    sync: bytes | None = None
+    block_records: int = 65536
+
+    def __post_init__(self):
+        if self.sync is None:
+            # deterministic-ish but unique per file; 16 bytes like MD5
+            self.sync = os.urandom(16)
+        self._f = open(self.path, "wb")
+        self._write_header()
+        self._pending_keys: list[pa.Array] = []
+        self._pending_values: list[pa.Array] = []
+        self._pending_count = 0
+
+    def _write_text(self, s: str) -> None:
+        b = s.encode("utf-8")
+        self._f.write(encode_vint(len(b)))
+        self._f.write(b)
+
+    def _write_header(self) -> None:
+        f = self._f
+        f.write(MAGIC)
+        f.write(bytes([VERSION]))
+        self._write_text(self.key_class)
+        self._write_text(self.value_class)
+        f.write(b"\x01\x01")  # compression + blockCompression
+        self._write_text(SNAPPY_CODEC)
+        f.write(struct.pack(">I", len(self.metadata)))
+        for k, v in self.metadata:
+            self._write_text(k)
+            self._write_text(v)
+        f.write(self.sync)
+
+    def write_batch(self, keys: pa.Array, values: pa.Array) -> None:
+        assert len(keys) == len(values)
+        self._pending_keys.append(keys)
+        self._pending_values.append(values)
+        self._pending_count += len(keys)
+        if self._pending_count >= self.block_records:
+            self._flush_block()
+
+    def _flush_block(self) -> None:
+        if not self._pending_count:
+            return
+        keys = pa.concat_arrays([a.cast(WRITABLES[self.key_class][0]) for a in self._pending_keys]) if self._pending_keys else pa.nulls(0)
+        values = pa.concat_arrays([a.cast(WRITABLES[self.value_class][0]) for a in self._pending_values])
+        f = self._f
+        f.write(SYNC_ESCAPE)
+        f.write(self.sync)
+        f.write(encode_vint(self._pending_count))
+        for java_class, arr in ((self.key_class, keys), (self.value_class, values)):
+            lengths, data = _encode_column(java_class, arr)
+            for buf in (lengths, data):
+                comp = _compress_block_stream(buf)
+                f.write(encode_vint(len(comp)))
+                f.write(comp)
+        self._pending_keys = []
+        self._pending_values = []
+        self._pending_count = 0
+
+    def close(self) -> None:
+        self._flush_block()
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_table(
+    path: str,
+    table: pa.Table,
+    *,
+    key_class: str | None = None,
+    value_class: str | None = None,
+    block_records: int = 65536,
+) -> None:
+    """Write a 2-column Arrow table (key, value) as a SequenceFile."""
+    if table.num_columns != 2:
+        raise SeqFileError("sequence file tables must have exactly (key, value)")
+    kc = key_class or ARROW_TO_CLASS.get(str(table.schema.types[0]))
+    vc = value_class or ARROW_TO_CLASS.get(str(table.schema.types[1]))
+    if kc is None or vc is None:
+        raise SeqFileError(f"unsupported arrow types: {table.schema.types}")
+    with SeqFileWriter(path, kc, vc, block_records=block_records) as w:
+        for batch in table.to_batches(max_chunksize=block_records):
+            w.write_batch(
+                pa.concat_arrays(batch.column(0).chunks) if hasattr(batch.column(0), "chunks") else batch.column(0),
+                batch.column(1),
+            )
