@@ -1,0 +1,167 @@
+"""hadoop_seq Spark DataSource tests: read (schema inference, splits,
+pruning, modes, pushdown), write (round-trip, JVM interop), count fast
+path."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_formats_spark.seqfile import core
+from hadoop_formats_spark.seqfile.datasource import (
+    read_sequence_file,
+    sequence_file_count,
+)
+
+TEXT_INT = "/root/reference/tests/text-int.seq"
+LONG_DOUBLE = "/root/reference/tests/long-double.seq"
+
+
+def test_read_reference_fixture_count(spark):
+    # the reference's own recordCount test (tests/Main.hs:29-33) as Spark
+    df = spark.read.format("hadoop_seq").load(TEXT_INT)
+    assert df.count() == 100_000
+    assert [f.name for f in df.schema.fields] == ["key", "value"]
+    assert df.schema["key"].dataType.simpleString() == "string"
+    assert df.schema["value"].dataType.simpleString() == "int"
+
+
+def test_read_projection_limit(spark):
+    # the reference's printKeys test (tests/Main.hs:19-26) as Spark
+    rows = (
+        spark.read.format("hadoop_seq")
+        .load(LONG_DOUBLE)
+        .select("key")
+        .limit(10)
+        .collect()
+    )
+    assert [r.key for r in rows] == list(range(10))
+
+
+def test_aggregate(spark):
+    df = spark.read.format("hadoop_seq").load(TEXT_INT)
+    row = df.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    assert 0 <= row.lo <= row.hi <= 100
+
+
+def test_split_parallelism(spark):
+    # tiny split_size → many partitions; total must still be exact
+    df = (
+        spark.read.format("hadoop_seq")
+        .option("split_size", 100_000)
+        .load(TEXT_INT)
+    )
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == 100_000
+
+
+def test_column_pruning_option(spark):
+    df = read_sequence_file(spark, TEXT_INT, columns="key")
+    assert df.columns == ["key"]
+    assert df.count() == 100_000
+
+
+def test_count_fast_path(spark):
+    assert sequence_file_count(spark, TEXT_INT) == 100_000
+
+
+def test_filter_pushdown_results(spark):
+    df = spark.read.format("hadoop_seq").load(TEXT_INT)
+    got = df.filter(F.col("value") > 95).count()
+    table = core.read_file(TEXT_INT)
+    expected = sum(1 for v in table.column("value").to_pylist() if v > 95)
+    assert got == expected
+
+
+def test_directory_and_glob(spark, tmp_path):
+    for i in range(3):
+        t = pa.table(
+            {
+                "key": pa.array(np.arange(100, dtype=np.int64) + i * 100),
+                "value": pa.array([f"f{i}-{j}" for j in range(100)]),
+            }
+        )
+        core.write_table(str(tmp_path / f"part{i}.seq"), t)
+    df = spark.read.format("hadoop_seq").load(str(tmp_path))
+    assert df.count() == 300
+    df2 = spark.read.format("hadoop_seq").load(str(tmp_path / "part*.seq"))
+    assert df2.count() == 300
+    assert df.agg(F.countDistinct("key").alias("n")).collect()[0].n == 300
+
+
+def test_write_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    src = spark.range(10_000).select(
+        F.col("id").alias("key"), F.concat(F.lit("v"), F.col("id")).alias("value")
+    )
+    src.write.format("hadoop_seq").mode("overwrite").save(out)
+    parts = glob.glob(os.path.join(out, "*.seq"))
+    assert parts
+    back = spark.read.format("hadoop_seq").load(out)
+    assert back.count() == 10_000
+    assert back.schema["key"].dataType.simpleString() == "bigint"
+    got = {r.key: r.value for r in back.collect()}
+    assert got[0] == "v0" and got[9999] == "v9999"
+
+
+def test_write_jvm_interop(spark, tmp_path):
+    """JVM Hadoop (sc.sequenceFile) reads what our writer produced —
+    the same oracle the reference used (Hadoop itself, SURVEY §5)."""
+    out = str(tmp_path / "jvm")
+    spark.range(1_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").cast("int").alias("value"),
+    ).write.format("hadoop_seq").mode("append").save(out)
+    got = dict(spark.sparkContext.sequenceFile(out + "/*.seq").collect())
+    assert len(got) == 1_000
+    assert got["k42"] == 42
+
+
+def test_read_jvm_written(spark, tmp_path):
+    """We read what JVM Hadoop wrote (BLOCK+Snappy)."""
+    out = str(tmp_path / "fromjvm")
+    sc = spark.sparkContext
+    sc._jsc.hadoopConfiguration().set(
+        "mapreduce.output.fileoutputformat.compress.type", "BLOCK"
+    )
+    sc.parallelize([(f"F{i:05d}", float(i)) for i in range(5_000)], 2).saveAsSequenceFile(
+        out, "org.apache.hadoop.io.compress.SnappyCodec"
+    )
+    df = spark.read.format("hadoop_seq").load(out + "/part-*")
+    assert df.count() == 5_000
+    assert df.schema["value"].dataType.simpleString() == "double"
+    row = df.agg(F.sum("value").alias("s")).collect()[0]
+    assert row.s == sum(range(5_000))
+
+
+def test_permissive_mode(spark, tmp_path):
+    data = bytearray(open(TEXT_INT, "rb").read())
+    h = core.read_header(TEXT_INT)
+    second_sync = data.find(core.SYNC_ESCAPE, h.header_len + 4)
+    data[second_sync + 6] ^= 0xFF  # corrupt second block's sync
+    p = tmp_path / "corrupt.seq"
+    p.write_bytes(bytes(data))
+    # FAILFAST: job fails
+    with pytest.raises(Exception):
+        spark.read.format("hadoop_seq").option("split_size", 10**9).load(str(p)).count()
+    # PERMISSIVE: first block still readable
+    n = (
+        spark.read.format("hadoop_seq")
+        .option("mode", "PERMISSIVE")
+        .option("split_size", 10**9)
+        .load(str(p))
+        .count()
+    )
+    assert n == 76_924
+
+
+def test_write_rejects_bad_schema(spark, tmp_path):
+    with pytest.raises(Exception, match="got 3 columns|Writable"):
+        spark.range(10).selectExpr("id a", "id b", "id c").write.format(
+            "hadoop_seq"
+        ).mode("append").save(str(tmp_path / "bad"))
