@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect); a warmup
+query runs first so JVM/codegen startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: the flagship aggregation, the heaviest shuffle join, a
+# window, a seqfile round-trip (format layer), dedup + ANN (ext layer),
+# and a streaming window — one per major subsystem.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_5way_region_rollup_revenue",
+    "window_topk_orders_per_customer",
+    "sort_topk_revenue_parts",
+    "seqfile_roundtrip_returnflag_counts",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "text_quality_score",
+    "stream_tumbling_hourly_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from hadoop_formats_spark.queries import QUERIES
+    from hadoop_formats_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + Arrow + python worker spin-up
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        df = spec.builder(spark, sf_dir)
+        n = df.count() if name != "q1_pricing_summary" else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

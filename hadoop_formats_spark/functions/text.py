@@ -1,0 +1,78 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines: tokenization, language-ID (stopword-vote heuristic), quality
+scoring, document fingerprinting.
+
+All are pure Catalyst column expressions (JVM-side, codegen-friendly —
+no Python UDFs), so they run at full speed inside whole-stage codegen
+and are SQL-expressible for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic per-language stopword profiles (the operator is the
+# vote mechanism; profiles are intentionally small and fixed).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "and", "of"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "y", "es", "una"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+# deterministic tiebreak priority
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    def hits(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    return {lang: hits(words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax stopword vote with fixed tiebreak order; 'und' when all 0."""
+    toks = tokens(text)
+    scores = lang_scores(toks)
+    best = F.greatest(*[scores[lang] for lang in _LANG_ORDER])
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """0.4·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.3·alpha_ratio,
+    rounded to 4 decimals (heuristic doc-quality signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    arr = F.array(*[F.lit(w) for w in all_stop])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(F.lower(c), "[^a-z]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return F.round(0.4 * len_score + 0.3 * stop_ratio + 0.3 * alpha_ratio, 4)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,5 @@
+from .registry import QUERIES, QuerySpec, oracle_sql_map, query_map  # noqa: F401
+from . import parity  # noqa: F401  (registers on import)
+from . import ext  # noqa: F401
+from . import streaming_q  # noqa: F401
+from . import seqfile_q  # noqa: F401

@@ -1,0 +1,411 @@
+"""Extension operators (SURVEY §2.3 + training-data-pipeline mandates):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + IVF), text analysis,
+multimodal binary columns.
+
+Every hash here is deterministic md5 — reproducible across engines —
+so the DuckDB oracles replicate the *same algorithm* in SQL and the
+driver's value-hash comparison is exact (floats tolerance-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from .registry import register, table
+
+# shared SQL fragments -------------------------------------------------------
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+)"""
+
+_JACCARD_TAIL = """
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS dup_key, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY doc_id
+    """,
+    doc="Exact dedup by content hash, deterministic keeper (min doc_id).",
+)
+def dedup_exact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = D.exact_dedup(d, ["text"])
+    return out.select("dup_key", "doc_id", "n_copies").orderBy("doc_id")
+
+
+_MINHASH_SIG_SQL = ",\n    ".join(
+    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8)
+)
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL.lstrip()}
+    SELECT c.doc_a, c.doc_b,
+           round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    doc="MinHash (8 deterministic md5 hashes) + LSH banding (4×2) → "
+    "candidate pairs → exact shingle-Jaccard verify ≥ 0.8.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cand = D.minhash_band_pairs(d, num_hashes=8, bands=4)
+    pairs = D.shingle_jaccard_pairs(d, threshold=0.8, candidates=cand)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_JACCARD_TAIL.lstrip()}
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) AS jaccard
+    FROM inter i
+    JOIN sizes x ON i.doc_a = x.doc_id
+    JOIN sizes y ON i.doc_b = y.doc_id
+    WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Exact word-3-gram Jaccard near-dups via shingle inverted-index "
+    "join (no banding; the all-pairs-above-threshold ground truth).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return D.shingle_jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+_SIMHASH_BITS_SQL = ",\n      ".join(
+    "CASE WHEN sum(CASE WHEN substr(h, {i}, 1) >= '8' THEN 1 ELSE -1 END) > 0 "
+    "THEN '1' ELSE '0' END".format(i=i)
+    for i in range(1, 33)
+)
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+    )
+    SELECT doc_id, concat({_SIMHASH_BITS_SQL}) AS simhash
+    FROM tok
+    WHERE doc_id < 100
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="32-bit SimHash (md5 nibble high-bits, token-count weighted) per "
+    "document; equal signatures ⇒ near-dup cluster.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", D.simhash32("text").alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+_COS_SQL = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)"
+)
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.4). O(n²) at test "
+    "scale; block with ivf_assign / LSH buckets at 100 TB.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(e, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_brute_force_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                                         c.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Exact cosine top-5 neighbors for probe queries (vec_id % 100 = 0); "
+    "broadcast queries × linear corpus scan.",
+)
+def ann_brute_force_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk(e, q, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'v.embedding').replace('b.embedding', 'c.embedding').replace(', 4)', ', 6)')} DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, centroid_id AS probe
+      FROM assigned WHERE vec_id % 97 = 0 AND vec_id <> 0
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             {_COS_SQL.replace('a.embedding', 'p.qemb').replace('b.embedding', 'v.embedding')} AS sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {_COS_SQL.replace('a.embedding', 'p.qemb').replace('b.embedding', 'v.embedding')} DESC,
+                                         v.vec_id) AS rnk
+      FROM probes p JOIN assigned v ON v.centroid_id = p.probe
+      WHERE v.vec_id <> p.query_id
+    ) WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF ANN: deterministic centroids (vec_id % 50 = 0), assign "
+    "corpus to nearest centroid, probe only the query's cluster.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
+    return S.ivf_topk(e, queries, centroids, k=3)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join("'" + w + "'" for w in words)
+        + "], t)))"
+    )
+    for lang, words in T.LANG_STOPWORDS.items()
+}
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = m AND m > 0 THEN '{lang}'" for lang in ["en", "de", "fr", "es", "zh"]
+    )
+    + " ELSE 'und' END"
+)
+
+@register(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {", ".join(f"s_{l}" for l in _LANG_SCORE_SQL)},
+             greatest({", ".join(f"s_{l}" for l in _LANG_SCORE_SQL)}) AS m
+      FROM (
+        SELECT lang,
+               {", ".join(f"{sql} AS s_{l}" for l, sql in _LANG_SCORE_SQL.items())}
+        FROM (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents)
+      )
+    )
+    SELECT lang, {_LANG_CASE_SQL} AS lang_pred, count(*) AS n
+    FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    doc="Language-ID by stopword vote; output = label × prediction "
+    "confusion counts.",
+)
+def text_lang_id_confusion(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_ALL_STOP_SQL = ", ".join(
+    "'" + w + "'" for w in sorted({w for ws in T.LANG_STOPWORDS.values() for w in ws})
+)
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
+               + 0.3 * (len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains([{_ALL_STOP_SQL}], t)))
+                        * 1.0 / greatest(len(string_split(lower(text), ' ')), 1))
+               + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        * 1.0 / greatest(length(text), 1)), 4) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Heuristic quality score: length + stopword ratio + alpha ratio.",
+)
+def text_quality_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT source,
+           sum(len(string_split(text, ' ')))                 AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z0-9]+')))   AS re_tokens,
+           sum(n_chars)                                      AS chars,
+           round(avg(len(string_split(text, ' '))), 2)       AS avg_doc_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Token counting (whitespace + regex tokenizers) per source.",
+)
+def text_token_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    re_t = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(re_t).alias("re_tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.round(F.avg(ws), 2).alias("avg_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_fingerprint_dups",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+             AS n_distinct
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Document fingerprint (md5 of normalized text) distinctness per source.",
+)
+def text_fingerprint_dups(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(T.fingerprint("text")).alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal binary columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT 'IMG0' AS tag,
+           count(*) AS n,
+           sum(octet_length(encode(text))) AS payload_total,
+           count(*) AS n_ok
+    FROM documents
+    """,
+    doc="Binary media column (magic tag + payload) → mapInPandas header "
+    "parse → typed metadata aggregate.",
+)
+def multimodal_metadata(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    packed = M.pack_binary(d, "doc_id", "text")
+    meta = M.extract_metadata(packed)
+    return meta.groupBy("tag").agg(
+        F.count("*").alias("n"),
+        F.sum("payload_len").alias("payload_total"),
+        F.sum(F.when(F.col("header_ok"), 1).otherwise(0)).alias("n_ok"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # decode is stubbed (no media libs in container): rows-only
+    doc="Media decode plumbing: binary → mapInPandas feature extraction "
+    "(stubbed decoder, real distributed shape).",
+)
+def multimodal_decode_features(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    packed = M.pack_binary(d, "doc_id", "text")
+    feats = M.decode_features(packed, allow_stub=True)
+    return feats.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("feat_mean"), 4).alias("avg_feat"),
+        F.sum("feat_dim").alias("total_dim"),
+    )

@@ -1,0 +1,968 @@
+"""SURVEY §2.2 parity query surface — the relational capabilities the
+engine declares, each a Spark DataFrame program plus a DuckDB oracle.
+
+The reference's only dataflow operators are stream map/fold over
+decoded record blocks (``SequenceFile.hs:69-76``; exercised as
+projection/limit/count in ``tests/Main.hs:19-33``); everything here is
+the declared capability-parity layer built on Catalyst built-ins —
+no custom plan rules (SURVEY §4).
+
+Scale notes (100 TB thinking, local[32] testing):
+
+* dimension joins (`region`, `nation`, tiny `supplier`) are explicitly
+  ``broadcast()`` — at any scale those stay broadcast-able;
+* fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  (enabled in session.py) handles skew and coalesces post-shuffle
+  partitions;
+* every aggregation is expressed so Catalyst plans partial (map-side)
+  aggregation — plain ``groupBy().agg()`` on built-in functions;
+* top-k uses ``orderBy().limit()`` which Spark plans as
+  ``TakeOrderedAndProject`` (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+
+# --------------------------------------------------------------------------
+# aggregation / projection / filter
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary (flagship; multi-agg group-by).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "projection_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           round(l_quantity * l_tax, 2)       AS taxed_qty,
+           upper(l_returnflag)                AS flag
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Row-level projection with computed and renamed columns (R11).",
+)
+def projection_compute(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.round(F.col("l_quantity") * F.col("l_tax"), 2).alias("taxed_qty"),
+        F.upper("l_returnflag").alias("flag"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderstatus LIKE 'O%'
+      AND o_custkey IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    doc="Comparison / IN / BETWEEN / LIKE / null predicates.",
+)
+def filter_predicates(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderstatus").like("O%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*)                  AS n_orders,
+           sum(o_totalprice)         AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="count distinct + plain aggs per group.",
+)
+def agg_count_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, avg(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    ORDER BY n_orders DESC, o_custkey
+    """,
+    doc="Group-by with HAVING on an aggregate.",
+)
+def agg_having(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.avg("o_totalprice").alias("avg_price"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.desc("n_orders"), "o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_revenue_by_nation",
+    oracle="""
+    SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Inner equi-joins, dims broadcast (nation always; customer when small).",
+)
+def join_inner_revenue_by_nation(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_5way_region_rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    doc="5-way join: fact-fact shuffle join + broadcast dim chain.",
+)
+def join_5way_region_rollup_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_left_outer_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                 AS n_orders,
+           coalesce(sum(o_totalprice), 0.0)  AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY c_custkey
+    """,
+    doc="Left outer join keeping order-less customers.",
+)
+def join_left_outer_customer_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer_nation_coverage",
+    oracle="""
+    SELECT
+      coalesce(a.n_nationkey, b.nk) AS nationkey,
+      a.n_name                      AS name_dim,
+      b.n_custs                     AS n_custs
+    FROM nation a
+    FULL OUTER JOIN (
+        SELECT c_nationkey AS nk, count(*) AS n_custs
+        FROM customer GROUP BY c_nationkey
+    ) b ON a.n_nationkey = b.nk
+    ORDER BY nationkey
+    """,
+    doc="Full outer join (dims with no customers and vice versa).",
+)
+def join_full_outer_nation_coverage(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_custs"))
+    )
+    return (
+        n.join(c, n.n_nationkey == c.nk, "full_outer")
+        .select(
+            F.coalesce(n.n_nationkey, c.nk).alias("nationkey"),
+            n.n_name.alias("name_dim"),
+            c.n_custs.alias("n_custs"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_custs
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Left semi join (EXISTS).",
+)
+def join_semi_customers_with_urgent(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join (NOT EXISTS).",
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r_name, s.o_orderstatus AS status, count(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, s.o_orderstatus ORDER BY r_name, status
+    """,
+    doc="Cross join (small × small).",
+)
+def join_cross_region_status(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        r.crossJoin(s)
+        .groupBy("r_name", F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("r_name", "status")
+    )
+
+
+@register(
+    "join_theta_quantity_near_size",
+    oracle="""
+    SELECT p_brand, count(*) AS n_close, avg(l_quantity) AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Theta (range-band) join: equi key + non-equi residual.",
+)
+def join_theta_quantity_near_size(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2)
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_close"), F.avg("l_quantity").alias("avg_qty"))
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_custs,
+           grouping(r_name) AS g_region, grouping(n_name) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="ROLLUP with GROUPING() disambiguation.",
+)
+def rollup_region_nation(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total,
+           grouping(o_orderstatus) AS g_s, grouping(o_orderpriority) AS g_p
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE over two dimensions.",
+)
+def cube_status_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_s"),
+            F.grouping("o_orderpriority").cast("int").alias("g_p"),
+        )
+        .orderBy(
+            "g_s",
+            "g_p",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="row_number ranking: top-3 orders per customer.",
+)
+def window_topk_orders_per_customer(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """,
+    doc="rank / dense_rank / ntile in one window.",
+)
+def window_rank_dense_ntile(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderpriority", "rnk", "o_orderkey")
+
+
+@register(
+    "window_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="lag/lead analytics: days between consecutive orders.",
+)
+def window_lag_lead_order_gaps(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_running_and_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_spend,
+           avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg3,
+           first(o_orderkey) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS first_order,
+           last(o_orderkey)  OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Running sum, moving average, first/last with explicit frames.",
+)
+def window_running_and_frame(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_spend"),
+        F.avg("o_totalprice").over(w.rowsBetween(-2, 0)).alias("moving_avg3"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_order"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# sort / top-k / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_topk_revenue_parts",
+    oracle="""
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey LIMIT 10
+    """,
+    doc="ORDER BY … LIMIT k → TakeOrderedAndProject (no full sort).",
+)
+def sort_topk_revenue_parts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_mktsegment ASC, c_acctbal DESC NULLS LAST, c_custkey
+    """,
+    doc="Multi-key sort with explicit null ordering.",
+)
+def sort_multikey_nulls(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", "c_mktsegment").orderBy(
+        F.asc("c_mktsegment"), F.col("c_acctbal").desc_nulls_last(), F.asc("c_custkey")
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) ORDER BY custkey
+    """,
+    doc="UNION DISTINCT of two key sets.",
+)
+def set_union_distinct(spark, sf_dir):
+    a = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct().orderBy("custkey")
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS side, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f' AS side, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    ORDER BY side
+    """,
+    doc="INTERSECT and EXCEPT (distinct semantics).",
+)
+def set_intersect_except(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f.intersect(op).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    only_f = f.subtract(op).agg(F.count("*").alias("n")).select(
+        F.lit("only_f").alias("side"), "n"
+    )
+    return both.unionAll(only_f).orderBy("side")
+
+
+# --------------------------------------------------------------------------
+# scalar function library
+# --------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 8)                      AS name8,
+           concat(p_brand, ':', p_type)              AS brand_type,
+           lower(p_name)                             AS lname,
+           upper(p_brand)                            AS ubrand,
+           trim(p_name)                              AS tname,
+           length(p_name)                            AS name_len,
+           replace(p_type, ' ', '_')                 AS type_us,
+           regexp_extract(p_type, '([A-Z]+)', 1)     AS first_word,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+    FROM part ORDER BY p_partkey
+    """,
+    doc="String scalar functions.",
+)
+def string_functions(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim("p_name").alias("tname"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)            AS yr,
+           CAST(month(o_orderdate) AS INT)           AS mo,
+           CAST(day(o_orderdate) AS INT)             AS dy,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)  AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_to_eoy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="Date/time scalar functions (outputs cast to DATE/INT for parity).",
+)
+def date_functions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")
+        ).cast("long").alias("days_to_eoy"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)            AS disc_dev,
+           round(l_extendedprice, 1)         AS price_r1,
+           floor(l_quantity)                 AS qty_floor,
+           ceil(l_extendedprice / 100)       AS price_h,
+           pow(1 + l_tax, 2)                 AS tax_sq,
+           ln(l_extendedprice + 1)           AS log_price,
+           CASE WHEN l_quantity > 25 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END             AS qty_class,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Math + conditional scalar functions.",
+)
+def math_conditional(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("price_h"),
+        F.pow(1 + F.col("l_tax"), 2).alias("tax_sq"),
+        F.log(F.col("l_extendedprice") + 1).alias("log_price"),
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+        ).alias("flag_or_none"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "array_explode_word_counts",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word
+    """,
+    doc="Array construction + explode (split type names into words).",
+)
+def array_explode_word_counts(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+@register(
+    "struct_map_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           count(DISTINCT o_orderpriority) AS n_prios
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Struct construction exercised Spark-side (struct min/max trick), "
+    "scalar results compared.",
+)
+def struct_map_collect(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    # exercise struct constructors on the Spark side; emit scalars for parity
+    return (
+        o.withColumn("pr", F.struct("o_totalprice", "o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("pr").getField("o_totalprice").alias("lo"),
+            F.max("pr").getField("o_totalprice").alias("hi"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY k ORDER BY k
+    """,
+    doc="JSON field extraction from the events.props column.",
+)
+def json_extract_props(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# UDF surface — Python UDF, pandas scalar UDF, pandas grouped-agg UDF.
+# UDFs are the declared capability; oracles are the equivalent pure-SQL
+# expression (the UDF bodies are deterministic arithmetic).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "udf_python_bucket",
+    oracle="""
+    SELECT bucket, count(*) AS n FROM (
+      SELECT CASE WHEN o_totalprice >= 150000 THEN 'high'
+                  WHEN o_totalprice >= 50000  THEN 'mid'
+                  ELSE 'low' END AS bucket
+      FROM orders
+    ) GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Row-at-a-time Python UDF (the slow path, kept off hot loops).",
+)
+def udf_python_bucket(spark, sf_dir):
+    from pyspark.sql.types import StringType
+
+    @F.udf(returnType=StringType())
+    def bucket(price: float) -> str:
+        if price >= 150000:
+            return "high"
+        if price >= 50000:
+            return "mid"
+        return "low"
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(bucket("o_totalprice").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "udf_pandas_scalar_charge",
+    oracle="""
+    SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Vectorized (Arrow) pandas scalar UDF.",
+)
+def udf_pandas_scalar_charge(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - discount) * (1 + tax)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            charge("l_extendedprice", "l_discount", "l_tax").alias("c"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("c").alias("charge"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "udf_pandas_grouped_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Grouped-aggregate pandas UDF (weighted average).",
+)
+def udf_pandas_grouped_weighted_avg(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def w_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(w_avg("l_extendedprice", "l_quantity").alias("w_avg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct_quantiles",
+    oracle=None,  # approx_* excluded from hash-match by design (SURVEY §2.2)
+    doc="approx_count_distinct + approx quantiles (rows-only check).",
+)
+def approx_distinct_quantiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
+            "price_pcts"
+        ),
+    )

@@ -1,0 +1,137 @@
+"""Format-layer queries through the hadoop_seq DataSource, inside the
+correctness gate.
+
+Two golden queries pin the reference's own test programs
+(``tests/Main.hs:19-33``) as constant-oracle checks on the committed
+fixtures; the round-trip queries write testdata through our writer and
+read it back, so the driver's DuckDB compare validates the whole
+write→read path against the parquet original (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+REFERENCE_TEXT_INT = "/root/reference/tests/text-int.seq"
+_CACHE_ROOT = "/tmp/hfs_seq_cache"
+
+
+def _roundtrip_dir(spark, sf_dir: str, name: str, build) -> str:
+    """Idempotently materialize a DataFrame as a SequenceFile dir under
+    /tmp (atomic rename so concurrent runs can't see partial output)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, name)
+    if os.path.isdir(final) and any(f.endswith(".seq") for f in os.listdir(final)):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    build().write.format("hadoop_seq").mode("append").save(tmp)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; winner's is fine
+    return final
+
+
+@register(
+    "seqfile_reference_record_count",
+    oracle="SELECT CAST(100000 AS BIGINT) AS n",
+    doc="The reference's recordCount test (tests/Main.hs:29-33) via "
+    "spark.read.format('hadoop_seq'); golden invariant 100,000.",
+)
+def seqfile_reference_record_count(spark, sf_dir):
+    df = spark.read.format("hadoop_seq").load(REFERENCE_TEXT_INT)
+    return df.agg(F.count("*").alias("n"))
+
+
+@register(
+    "seqfile_reference_first_keys",
+    oracle="""
+    SELECT 'F' || lpad(CAST(i AS VARCHAR), 7, '0') AS key
+    FROM generate_series(0, 9) AS t(i) ORDER BY key
+    """,
+    doc="The reference's printKeys test (tests/Main.hs:19-26): first 10 "
+    "keys, column-pruned read.",
+)
+def seqfile_reference_first_keys(spark, sf_dir):
+    return (
+        spark.read.format("hadoop_seq")
+        .option("columns", "key")
+        .load(REFERENCE_TEXT_INT)
+        .orderBy("key")
+        .limit(10)
+    )
+
+
+@register(
+    "seqfile_roundtrip_returnflag_counts",
+    oracle="""
+    SELECT l_returnflag AS value, count(*) AS n, sum(l_orderkey) AS key_sum
+    FROM lineitem GROUP BY l_returnflag ORDER BY value
+    """,
+    doc="lineitem (l_orderkey, l_returnflag) → our seqfile writer → our "
+    "reader → aggregate; oracle reads the parquet original.",
+)
+def seqfile_roundtrip_returnflag_counts(spark, sf_dir):
+    path = _roundtrip_dir(
+        spark,
+        sf_dir,
+        "lineitem_rf",
+        lambda: table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("key"), F.col("l_returnflag").alias("value")
+        ),
+    )
+    df = spark.read.format("hadoop_seq").load(path)
+    return (
+        df.groupBy("value")
+        .agg(F.count("*").alias("n"), F.sum("key").alias("key_sum"))
+        .orderBy("value")
+    )
+
+
+@register(
+    "seqfile_roundtrip_double_sum",
+    oracle="""
+    SELECT count(*) AS n, sum(o_totalprice) AS total, min(o_orderkey) AS lo,
+           max(o_orderkey) AS hi
+    FROM orders
+    """,
+    doc="orders (o_orderkey, o_totalprice) round-trip: Long→Double "
+    "writables, fixed-width fast path both directions.",
+)
+def seqfile_roundtrip_double_sum(spark, sf_dir):
+    path = _roundtrip_dir(
+        spark,
+        sf_dir,
+        "orders_price",
+        lambda: table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("value")
+        ),
+    )
+    df = spark.read.format("hadoop_seq").load(path)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("key").alias("lo"),
+        F.max("key").alias("hi"),
+    )
+
+
+@register(
+    "seqfile_block_count_fast_path",
+    oracle="SELECT CAST(100000 AS BIGINT) AS n",
+    doc="count(*) from block headers only — no payload decompression "
+    "(SURVEY §3 EP3).",
+)
+def seqfile_block_count_fast_path(spark, sf_dir):
+    df = (
+        spark.read.format("hadoop_seq")
+        .option("block_counts", "true")
+        .load(REFERENCE_TEXT_INT)
+    )
+    return df.agg(F.sum("block_records").cast("bigint").alias("n"))

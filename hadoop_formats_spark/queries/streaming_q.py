@@ -1,0 +1,191 @@
+"""Structured Streaming slice (SURVEY §2.2 last row) — the `events`
+table replayed as a file stream, aggregated with event-time windows,
+then compared against batch SQL oracles (a streaming query with
+available-now trigger over a static source must equal the batch
+answer).
+
+Each builder runs a real ``readStream → writeStream`` pipeline with an
+``availableNow`` trigger into a memory sink, waits for completion, and
+returns the sink table.  Watermarks are set wide enough that no rows
+are late w.r.t. the replay order, so results are deterministic and
+SQL-expressible (DuckDB ``time_bucket`` / gaps-and-islands)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import events_path
+
+    path = events_path(sf_dir)  # timestamp[us] copy; Spark rejects ns parquet
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    # watermarks need TIMESTAMP (LTZ), parquet copy is NTZ; outputs are
+    # cast back to NTZ so wall-clock values round-trip tz-independently
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+from .registry import register  # noqa: E402
+
+
+@register(
+    "stream_tumbling_hourly_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)   AS n,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Tumbling 1h event-time windows with watermark (streaming).",
+)
+def stream_tumbling_hourly_counts(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window_counts",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '2 hours', ts) AS w0,
+             time_bucket(INTERVAL '2 hours', ts, INTERVAL '1 hour') AS w1,
+             event_id
+      FROM events
+    )
+    SELECT window_start, count(*) AS n FROM (
+      SELECT w0 AS window_start, event_id FROM b
+      UNION ALL
+      SELECT w1 AS window_start, event_id FROM b
+    )
+    GROUP BY window_start ORDER BY window_start
+    """,
+    doc="Sliding windows (2h width, 1h slide): each event lands in 2 windows.",
+)
+def stream_sliding_window_counts(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+    ).orderBy("window_start")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '2 hours'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(*) AS n_events, min(ts) AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Session windows (2h inactivity gap) per user; oracle is the "
+    "classic gaps-and-islands SQL.",
+)
+def stream_session_windows(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 days")
+        .groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_by_user_type",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+    ) GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming dropDuplicates (stateful dedup) on (user_id, event_type).",
+)
+def stream_dedup_by_user_type(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    dedup = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("n"))
+    out = _run_to_memory(agg, spark)
+    return out.orderBy("event_type")
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, count(*) AS n
+    FROM events
+    GROUP BY 1 ORDER BY window_start
+    """,
+    doc="Watermark + late-data semantics: with in-order replay and a wide "
+    "watermark nothing is late, so the batch oracle matches; the "
+    "watermark plumbing (state eviction) is still exercised.",
+)
+def stream_late_data_drop(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+    ).orderBy("window_start")
