@@ -156,6 +156,12 @@ def ivf_topk(
     )
 
 
+def unit_normalize(vec: Column) -> Column:
+    """L2-normalize an array<numeric> column (double output)."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     *,
@@ -163,21 +169,75 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold.
+    """Embedding-cosine near-duplicate pairs above a threshold, exact,
+    via blocked GEMM.
 
-    At test scale this is an O(n²/2) self-join; at 100 TB you block
-    first (``ivf_assign`` and join within cluster, or sign-LSH buckets)
-    — see ``ann_ivf_topk`` for the blocking building block."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("sim"),
+    Vectors are unit-normalized once (JVM-side), bucketed into
+    ``blocks`` hash blocks, and every block *pair* (bi ≤ bj) becomes one
+    cogroup whose similarity matrix is a single numpy matmul (BLAS) —
+    ~100× faster than per-pair interpreted array expressions.  Shuffle
+    volume is blocks·n·d (each vector is replicated once per partner
+    block); parallelism is blocks·(blocks+1)/2 tasks.  At 100 TB size
+    ``blocks`` ~ sqrt(cores) and/or pre-prune with ``ivf_assign`` /
+    sign-LSH so only same-bucket block pairs are formed."""
+    import pandas as pd
+
+    b = F.lit(blocks)
+
+    # each side gets its OWN projection chain (fresh expression ids):
+    # self-cogroup with shared lineage makes Spark dedup-prune the right
+    # side's non-key columns out of the pdf handed to Python.
+    # plain (ka, kb) key columns, not aliased grouping expressions, for
+    # the same reason.
+    def unit() -> DataFrame:
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            unit_normalize(F.col(vec_col)).alias("u"),
+            F.pmod(F.col(id_col), b).cast("int").alias("blk"),
         )
-        .filter(F.col("sim") >= threshold)
-        .orderBy("id_a", "id_b")
+
+    left = unit().select(
+        "id",
+        "u",
+        F.col("blk").alias("ka"),
+        F.explode(F.sequence(F.col("blk"), b - 1)).alias("kb"),
     )
+    right = unit().select(
+        "id",
+        "u",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ka"),
+        F.col("blk").alias("kb"),
+    )
+    out_schema = "id_a bigint, id_b bigint, sim double"
+
+    def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        A = np.vstack(lpdf["u"].to_numpy())
+        B = np.vstack(rpdf["u"].to_numpy())
+        S = np.round(A @ B.T, round_digits)
+        ida = lpdf["id"].to_numpy()
+        idb = rpdf["id"].to_numpy()
+        ii, jj = np.nonzero(S >= threshold)
+        xa, xb = ida[ii], idb[jj]
+        if bi == bj:
+            keep = xa < xb  # each unordered pair appears twice on the diagonal
+            xa, xb, sv = xa[keep], xb[keep], S[ii, jj][keep]
+        else:
+            sv = S[ii, jj]
+            lo = np.minimum(xa, xb)
+            hi = np.maximum(xa, xb)
+            xa, xb = lo, hi
+        return pd.DataFrame({"id_a": xa, "id_b": xb, "sim": sv})
+
+    pairs = (
+        left.groupBy("ka", "kb")
+        .cogroup(right.groupBy("ka", "kb"))
+        .applyInPandas(gemm, out_schema)
+    )
+    return pairs.orderBy("id_a", "id_b")
