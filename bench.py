@@ -56,6 +56,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # format-layer decode throughput (BASELINE.md protocol §1): scan the
+    # seqfile copy of lineitem written by the roundtrip query above
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.queries.seqfile_q import _roundtrip_dir
+    from hadoop_formats_spark.queries.registry import table
+
+    seq_dir = _roundtrip_dir(
+        spark,
+        sf_dir,
+        "lineitem_rf",
+        lambda: table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("key"), F.col("l_returnflag").alias("value")
+        ),
+    )
+    t0 = time.time()
+    n_rows = spark.read.format("hadoop_seq").load(seq_dir).count()
+    decode_s = time.time() - t0
+    timings["seqfile_full_scan"] = round(decode_s, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -65,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "seqfile_decode_recs_per_sec": round(n_rows / decode_s),
             }
         )
     )

@@ -213,7 +213,7 @@ class SeqFileReader(DataSourceReader):
         self.paths = source._paths()
         self.columns = [f.name for f in schema.fields]
         self.mode = opts.get("mode", "FAILFAST").upper()
-        self.split_size = int(opts.get("split_size", DEFAULT_SPLIT_SIZE))
+        self.split_size = int(opts.get("split_size", 0))  # 0 → auto-size
         self.block_counts = opts.get("block_counts", "").lower() == "true"
         self._arrow_filter = None
 
@@ -235,12 +235,24 @@ class SeqFileReader(DataSourceReader):
             self._arrow_filter = combined
 
     def partitions(self) -> list[SeqSplit]:
+        sizes = {p: os.path.getsize(p) for p in self.paths}
+        split_size = self.split_size
+        if split_size <= 0:
+            # mirror Spark's FilePartition sizing: aim for ~2 waves of
+            # tasks over the visible cores, clamped to [4 MiB, 128 MiB]
+            # (explicit ``split_size`` option overrides; on a cluster the
+            # 128 MiB cap keeps task counts sane at 100 TB)
+            total = sum(sizes.values())
+            cores = os.cpu_count() or 8
+            split_size = min(
+                DEFAULT_SPLIT_SIZE, max(4 * 1024 * 1024, total // (2 * cores))
+            )
         splits = []
         for path in self.paths:
-            size = os.path.getsize(path)
+            size = sizes[path]
             if size == 0:
                 continue
-            nsplits = max(1, size // self.split_size)
+            nsplits = max(1, size // split_size)
             step = (size + nsplits - 1) // nsplits
             for start in range(0, size, step):
                 splits.append(SeqSplit(path, start, min(start + step, size)))
