@@ -1,0 +1,127 @@
+"""Query-layer tests: registry integrity, DuckDB-oracle spot checks at
+sf0.001 (the driver runs the full set at sf0.01), and physical-plan
+quality assertions (broadcasts, pushdown, partial aggregation)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hadoop_formats_spark.queries import QUERIES, oracle_sql_map, query_map
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# registry integrity
+# ---------------------------------------------------------------------------
+
+
+def test_registry_every_oracle_has_query():
+    assert set(oracle_sql_map()) <= set(query_map())
+
+
+def test_registry_size_and_docs():
+    assert len(QUERIES) >= 50
+    for name, spec in QUERIES.items():
+        assert spec.doc, f"{name} lacks a doc string"
+
+
+def test_rows_only_queries_are_the_documented_ones():
+    rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+    assert rows_only == {"approx_distinct_quantiles", "multimodal_decode_features"}
+
+
+# ---------------------------------------------------------------------------
+# oracle spot checks at sf0.001 (fast subset, one per category)
+# ---------------------------------------------------------------------------
+
+SPOT = [
+    "q1_pricing_summary",
+    "filter_predicates",
+    "join_5way_region_rollup_revenue",
+    "join_anti_customers_without_orders",
+    "rollup_region_nation",
+    "window_running_and_frame",
+    "set_intersect_except",
+    "string_functions",
+    "date_functions",
+    "udf_pandas_scalar_charge",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_brute_force_topk",
+    "text_lang_id_confusion",
+    "text_token_counts",
+    "multimodal_metadata",
+    "seqfile_roundtrip_returnflag_counts",
+]
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    spec = QUERIES[name]
+    sdf = spec.builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(spec.oracle)
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} != {len(drows)}"
+    assert _rowset(sdf.columns, srows) == _rowset(dcols, drows), name
+
+
+# ---------------------------------------------------------------------------
+# physical plan quality (the 100 TB story: broadcasts, pushdown, partial agg)
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_5way_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_5way_region_rollup_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_predicates")
+    # the toString output truncates the list; presence of a non-empty
+    # PushedFilters plus the pruned 5-column scan is the contract
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "o_comment" not in plan
+
+
+def test_q1_uses_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = plan[plan.index("FileScan parquet") :].splitlines()[0]
+    assert "l_comment" not in scan and "l_shipmode" not in scan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_topk_revenue_parts")
+    assert "TakeOrderedAndProject" in plan
