@@ -394,6 +394,175 @@ def join_theta_quantity_near_size(spark, sf_dir):
 
 
 @register(
+    "join_6way_supplier_nation_revenue",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="TPC-H Q5-style 6-way join: local-supplier revenue by nation "
+    "(fact-fact shuffle joins + broadcast supplier/dim chain).",
+)
+def join_6way_supplier_nation_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_asof_purchase_last_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join (Spark lacks one): for each purchase, the latest "
+    "click by the same user at-or-before it — composed as union + "
+    "last(ignorenulls) window, one shuffle, no range join.",
+)
+def join_asof_purchase_last_click(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")  # dedupe equal-ts ties deterministically
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            "click_id",
+            F.lit(0).alias("is_p"),
+        )
+    )
+    # at equal ts the click (is_p=0) sorts first → inclusive (>=) as-of
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionAll(clicks)
+        .withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", F.col("last_click").alias("click_id"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation) with fixed pivot values.",
+)
+def pivot_priority_by_status(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "subquery_correlated_above_cust_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+    doc="Correlated subquery (price above 1.5× the customer's average) — "
+    "decorrelated into a window aggregate (one shuffle, no self-join).",
+)
+def subquery_correlated_above_cust_avg(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "subquery_scalar_near_max",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_extendedprice >= 0.95 * (SELECT max(l_extendedprice) FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Scalar subquery (global max) — broadcast one-row aggregate.",
+)
+def subquery_scalar_near_max(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_extendedprice").alias("mx"))
+    return (
+        li.crossJoin(F.broadcast(mx))
+        .filter(F.col("l_extendedprice") >= 0.95 * F.col("mx"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
     "rollup_region_nation",
     oracle="""
     SELECT r_name, n_name, count(*) AS n_custs,

@@ -33,12 +33,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -165,6 +167,43 @@ def stream_dedup_by_user_type(spark, sf_dir):
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n"))
     out = _run_to_memory(agg, spark)
     return out.orderBy("event_type")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running (count, sum) state; the replay is one microbatch "
+    "so the emitted state equals the batch aggregate.",
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, tv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tv += float(pdf["value"].sum())
+        state.update((n, tv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tv]}
+        )
+
+    s = _events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, tv double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(out, spark, output_mode="update")
+    return res.orderBy("user_id")
 
 
 @register(
