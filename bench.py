@@ -44,8 +44,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + Arrow + python worker spin-up
+    # warmup: JVM + Arrow + python worker spin-up, incl. the Python
+    # datasource path (first hadoop_seq query pays ~3s of one-time setup)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    spark.read.format("hadoop_seq").load(
+        "/root/reference/tests/text-int.seq"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -118,9 +118,12 @@ def _expand_paths(path: str) -> list[str]:
 
 @dataclass
 class SeqSplit(InputPartition):
-    path: str
-    start: int
-    end: int
+    """One input partition = a list of (path, start, end) byte ranges.
+    Large files are split into ranges (readers resync on the sync
+    marker); small files are bin-packed together so a directory of many
+    part files doesn't pay one Python-worker round-trip per file."""
+
+    ranges: tuple[tuple[str, int, int], ...]
 
 
 class SeqFileDataSource(DataSource):
@@ -247,7 +250,7 @@ class SeqFileReader(DataSourceReader):
             split_size = min(
                 DEFAULT_SPLIT_SIZE, max(4 * 1024 * 1024, total // (2 * cores))
             )
-        splits = []
+        ranges: list[tuple[str, int, int]] = []
         for path in self.paths:
             size = sizes[path]
             if size == 0:
@@ -255,18 +258,35 @@ class SeqFileReader(DataSourceReader):
             nsplits = max(1, size // split_size)
             step = (size + nsplits - 1) // nsplits
             for start in range(0, size, step):
-                splits.append(SeqSplit(path, start, min(start + step, size)))
+                ranges.append((path, start, min(start + step, size)))
+        # first-fit bin-pack ranges into ~split_size partitions
+        splits: list[SeqSplit] = []
+        bin_ranges: list[tuple[str, int, int]] = []
+        bin_bytes = 0
+        for r in ranges:
+            r_bytes = r[2] - r[1]
+            if bin_ranges and bin_bytes + r_bytes > split_size:
+                splits.append(SeqSplit(tuple(bin_ranges)))
+                bin_ranges, bin_bytes = [], 0
+            bin_ranges.append(r)
+            bin_bytes += r_bytes
+        if bin_ranges:
+            splits.append(SeqSplit(tuple(bin_ranges)))
         if not splits:  # Spark requires ≥1 partition
-            splits.append(SeqSplit(self.paths[0], 0, 0))
+            splits.append(SeqSplit(((self.paths[0], 0, 0),)))
         return splits
 
     def read(self, split: SeqSplit) -> Iterator[pa.RecordBatch]:
-        if split.end <= split.start:
+        for path, start, end in split.ranges:
+            yield from self._read_range(path, start, end)
+
+    def _read_range(
+        self, path: str, start: int, end: int
+    ) -> Iterator[pa.RecordBatch]:
+        if end <= start:
             return
         if self.block_counts:
-            counts = core.iter_block_counts(
-                split.path, start=split.start, end=split.end
-            )
+            counts = core.iter_block_counts(path, start=start, end=end)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(list(counts), type=pa.int64())], names=["block_records"]
             )
@@ -274,11 +294,11 @@ class SeqFileReader(DataSourceReader):
         want_keys = "key" in self.columns
         want_values = "value" in self.columns
         blocks = core.iter_blocks(
-            split.path,
+            path,
             want_keys=want_keys,
             want_values=want_values,
-            start=split.start,
-            end=split.end,
+            start=start,
+            end=end,
         )
         while True:
             try:
@@ -287,7 +307,7 @@ class SeqFileReader(DataSourceReader):
                 return
             except core.SeqFileError:
                 if self.mode == "PERMISSIVE":
-                    return  # fail-stop for this split; keep other splits
+                    return  # fail-stop for this range; keep other ranges
                 raise
             arrays, names = [], []
             if want_keys:
