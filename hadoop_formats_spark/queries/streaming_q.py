@@ -12,40 +12,23 @@ SQL-expressible (DuckDB ``time_bucket`` / gaps-and-islands)."""
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..streaming import parquet_replay_stream, run_available_now, stateful_group_stats
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import events_path
 
-    path = events_path(sf_dir)  # timestamp[us] copy; Spark rejects ns parquet
-    schema = spark.read.parquet(path).schema
-    s = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(path)
-    )
-    # watermarks need TIMESTAMP (LTZ), parquet copy is NTZ; outputs are
-    # cast back to NTZ so wall-clock values round-trip tz-independently
-    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+    # timestamp[us] copy; Spark rejects TIMESTAMP(NANOS) parquet
+    return parquet_replay_stream(spark, events_path(sf_dir))
 
 
 def _run_to_memory(
     stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_available_now(stream_df, spark, output_mode=output_mode)
 
 
 from .registry import register  # noqa: E402
@@ -180,28 +163,8 @@ def stream_dedup_by_user_type(spark, sf_dir):
     "so the emitted state equals the batch aggregate.",
 )
 def stream_stateful_user_stats(spark, sf_dir):
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def update(key, pdfs, state: GroupState):
-        n, tv = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            tv += float(pdf["value"].sum())
-        state.update((n, tv))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [tv]}
-        )
-
     s = _events_stream(spark, sf_dir)
-    out = s.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, tv double",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = stateful_group_stats(s, "user_id", "value")
     res = _run_to_memory(out, spark, output_mode="update")
     return res.orderBy("user_id")
 

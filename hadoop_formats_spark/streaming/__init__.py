@@ -1,0 +1,82 @@
+"""Structured Streaming building blocks (SURVEY §2.2 streaming row).
+
+Library layer behind ``queries/streaming_q.py``: file-replay sources,
+run-to-sink helpers, and reusable stateful operators.  Everything is
+event-time based (watermarks drive state eviction), so the same
+pipelines run unchanged against a real Kafka/file stream at scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parquet_replay_stream(
+    spark: SparkSession, path: str, *, ts_col: str = "ts", files_per_trigger: int = 1
+) -> DataFrame:
+    """Replay a parquet dataset as a file stream.  The event-time column
+    is cast to TIMESTAMP (LTZ) because watermarks require it; callers
+    cast outputs back to NTZ so wall-clock values round-trip
+    tz-independently."""
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(path)
+    )
+    if ts_col in s.columns:
+        s = s.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return s
+
+
+def run_available_now(
+    stream_df: DataFrame, spark: SparkSession, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow trigger)
+    into a memory sink and return the sink table.  For tests/oracles:
+    a streaming agg over a static source must equal the batch answer."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stateful_group_stats(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    (count, sum) state, emitted on every update.  The state schema is
+    explicit so it survives restarts via the checkpoint."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        n, tv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tv += float(pdf[value_col].sum())
+        state.update((n, tv))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [tv]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, tv double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
