@@ -1,0 +1,58 @@
+"""Physical-plan inspection utilities (SURVEY §4: no custom Catalyst
+rules are needed — this package is for *verifying* that Catalyst did
+what the 100 TB design expects: pushdown, pruning, broadcasts, partial
+aggregation).  Used by tests/test_queries.py and ad-hoc tuning."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The formatted physical plan after AQE planning."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@dataclass
+class ScanInfo:
+    read_columns: list[str]
+    pushed_filters: bool
+    line: str
+
+
+def parquet_scans(df: DataFrame) -> list[ScanInfo]:
+    """Every parquet FileScan in the plan with its pruned column list
+    and whether any filters were pushed into the scan."""
+    out = []
+    for line in executed_plan(df).splitlines():
+        if "FileScan parquet" not in line:
+            continue
+        cols: list[str] = []
+        lb, rb = line.find("["), line.find("]")
+        if 0 <= lb < rb:
+            cols = [c.split("#")[0] for c in line[lb + 1 : rb].split(",") if c]
+        out.append(
+            ScanInfo(
+                read_columns=cols,
+                pushed_filters="PushedFilters: [" in line
+                and "PushedFilters: []" not in line,
+                line=line.strip(),
+            )
+        )
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Partial (map-side) + final aggregate pair present."""
+    return executed_plan(df).count("HashAggregate") >= 2
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the plan — the metric to minimize."""
+    return executed_plan(df).count("Exchange ")

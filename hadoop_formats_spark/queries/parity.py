@@ -1009,6 +1009,60 @@ def struct_map_collect(spark, sf_dir):
 
 
 @register(
+    "json_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS INT))      AS k_sum,
+           count(json_extract_string(props, '$.tag'))        AS n_tagged
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="from_json into a typed struct, then aggregate struct fields "
+    "(complements the path-extraction get_json_object query).",
+)
+def json_from_json_struct(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k INT, tag STRING").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("p.k").alias("k_sum"),
+            F.count("p.tag").alias("n_tagged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "map_constructor_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'fulfilled'
+                              WHEN 'O' THEN 'open'
+                              WHEN 'P' THEN 'pending'
+                              ELSE 'unknown' END AS status_label
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="Map constructor + element_at lookup (map/struct constructor row).",
+)
+def map_constructor_lookup(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    labels = F.create_map(
+        F.lit("F"), F.lit("fulfilled"),
+        F.lit("O"), F.lit("open"),
+        F.lit("P"), F.lit("pending"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.element_at(labels, F.col("o_orderstatus")), F.lit("unknown")
+        ).alias("status_label"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "json_extract_props",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n,

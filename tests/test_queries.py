@@ -93,35 +93,42 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 # ---------------------------------------------------------------------------
 
 
-def _plan(spark, sf_dir, name) -> str:
-    return QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+from hadoop_formats_spark import plans
+
+
+def _df(spark, sf_dir, name):
+    return QUERIES[name].builder(spark, sf_dir)
 
 
 def test_5way_join_broadcasts_dims(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "join_5way_region_rollup_revenue")
-    assert "BroadcastHashJoin" in plan
+    assert plans.has_broadcast_join(_df(spark, sf_dir, "join_5way_region_rollup_revenue"))
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "filter_predicates")
-    # the toString output truncates the list; presence of a non-empty
-    # PushedFilters plus the pruned 5-column scan is the contract
-    assert "PushedFilters: [IsNotNull" in plan
-    assert "o_comment" not in plan
+    scans = plans.parquet_scans(_df(spark, sf_dir, "filter_predicates"))
+    assert scans and scans[0].pushed_filters
+    assert "o_comment" not in scans[0].read_columns
 
 
 def test_q1_uses_partial_aggregation(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q1_pricing_summary")
-    # partial (map-side) + final HashAggregate pair
-    assert plan.count("HashAggregate") >= 2
+    assert plans.has_partial_aggregation(_df(spark, sf_dir, "q1_pricing_summary"))
 
 
-def test_q1_prunes_unused_columns(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q1_pricing_summary")
-    scan = plan[plan.index("FileScan parquet") :].splitlines()[0]
-    assert "l_comment" not in scan and "l_shipmode" not in scan
+def test_q1_prunes_unused_columns_and_pushes_date_filter(spark, sf_dir):
+    scans = plans.parquet_scans(_df(spark, sf_dir, "q1_pricing_summary"))
+    assert scans and scans[0].pushed_filters
+    assert set(scans[0].read_columns) <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # one exchange for the groupBy, one for the tiny final orderBy
+    assert plans.shuffle_count(_df(spark, sf_dir, "q1_pricing_summary")) <= 2
 
 
 def test_topk_plans_take_ordered(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "sort_topk_revenue_parts")
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plans.executed_plan(
+        _df(spark, sf_dir, "sort_topk_revenue_parts")
+    )
