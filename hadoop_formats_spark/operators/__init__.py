@@ -1,1 +1,1 @@
-from . import dedup, multimodal, similarity  # noqa: F401
+from . import dedup, multimodal, similarity, skew  # noqa: F401

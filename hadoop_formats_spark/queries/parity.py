@@ -388,6 +388,34 @@ def join_theta_quantity_near_size(spark, sf_dir):
     )
 
 
+@register(
+    "join_salted_lineitem_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Salted equi-join (explicit skew mitigation): hot l_orderkey "
+    "values spread over 8 deterministic salt buckets, orders side "
+    "replicated per bucket; result identical to the plain join.",
+)
+def join_salted_lineitem_orders(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, o, "l_orderkey", salt_cols=["l_linenumber", "l_partkey"], buckets=8
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum("l_quantity").alias("qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # --------------------------------------------------------------------------
 # grouping sets / rollup / cube
 # --------------------------------------------------------------------------

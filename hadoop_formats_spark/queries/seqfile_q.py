@@ -123,6 +123,49 @@ def seqfile_roundtrip_double_sum(spark, sf_dir):
 
 
 @register(
+    "parquet_write_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+    FROM lineitem WHERE l_discount > 0.05
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Parquet WRITE path (sources row): filtered projection written "
+    "with our session's writer, read back, aggregated; oracle reads "
+    "the original table.",
+)
+def parquet_write_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+    import uuid as _uuid
+
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join("/tmp/hfs_parquet_cache", key, "lineitem_disc")
+    if not (
+        os.path.isdir(final)
+        and any(f.endswith(".parquet") for f in os.listdir(final))
+    ):
+        tmp = final + "." + _uuid.uuid4().hex[:8]
+        (
+            table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_discount") > 0.05)
+            .select("l_returnflag", "l_quantity")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(final)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "seqfile_block_count_fast_path",
     oracle="SELECT CAST(100000 AS BIGINT) AS n",
     doc="count(*) from block headers only — no payload decompression "
