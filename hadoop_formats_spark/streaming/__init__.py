@@ -34,20 +34,37 @@ def parquet_replay_stream(
 
 
 def run_available_now(
-    stream_df: DataFrame, spark: SparkSession, *, output_mode: str = "complete"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    *,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow trigger)
     into a memory sink and return the sink table.  For tests/oracles:
-    a streaming agg over a static source must equal the batch answer."""
+    a streaming agg over a static source must equal the batch answer.
+
+    ``spark.sql.shuffle.partitions`` fixes the number of state-store
+    instances for the life of a streaming query (it's baked into the
+    checkpoint), so unlike batch it must be sized deliberately: small
+    for bounded replays like these (per-partition store setup dominates
+    otherwise), large for real high-throughput streams.  The session
+    value is restored after the run."""
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
