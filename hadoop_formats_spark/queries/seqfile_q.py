@@ -123,6 +123,36 @@ def seqfile_roundtrip_double_sum(spark, sf_dir):
 
 
 @register(
+    "seqfile_stream_source_counts",
+    oracle="""
+    SELECT l_returnflag AS value, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY value
+    """,
+    doc="SequenceFile directory as a STREAMING source (tail new files; "
+    "hadoop_seq streamReader) — availableNow replay must equal the "
+    "batch aggregate.",
+)
+def seqfile_stream_source_counts(spark, sf_dir):
+    from ..streaming import run_available_now
+
+    path = _roundtrip_dir(
+        spark,
+        sf_dir,
+        "lineitem_rf",
+        lambda: table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("key"), F.col("l_returnflag").alias("value")
+        ),
+    )
+    s = (
+        spark.readStream.format("hadoop_seq")
+        .schema("key bigint, value string")
+        .load(path)
+    )
+    agg = s.groupBy("value").agg(F.count("*").alias("n"))
+    return run_available_now(agg, spark).orderBy("value")
+
+
+@register(
     "parquet_write_roundtrip",
     oracle="""
     SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -177,6 +178,9 @@ class SeqFileDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "SeqFileReader":
         return SeqFileReader(self, schema)
+
+    def streamReader(self, schema: StructType) -> "SeqFileStreamReader":
+        return SeqFileStreamReader(self, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "SeqFileWriter":
         return SeqFileWriter(self.options, schema, overwrite)
@@ -324,6 +328,58 @@ class SeqFileReader(DataSourceReader):
                         yield b
             else:
                 yield batch
+
+
+class SeqFileStreamReader(DataSourceStreamReader):
+    """Streaming source: tail a directory of SequenceFiles.
+
+    Offsets are ``{"files": {path: size}}`` snapshots of fully-written
+    files; each microbatch reads the files that appeared (or grew to a
+    stable size) since the last offset, split/bin-packed exactly like
+    the batch reader.  Exactly-once: a file is claimed by the offset
+    that first saw it; Spark's checkpoint replays offsets, not data.
+    """
+
+    def __init__(self, source: SeqFileDataSource, schema: StructType):
+        self._batch = SeqFileReader(source, schema)
+        self._root = source.options.get("path")
+        if not self._root:
+            raise ValueError("hadoop_seq stream requires a path")
+
+    def _snapshot(self) -> dict:
+        try:
+            files = _expand_paths(self._root)
+        except OSError:
+            files = []
+        return {
+            f: os.path.getsize(f) for f in files if os.path.exists(f)
+        }
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._snapshot()}
+
+    def partitions(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        new_files = [
+            p for p, size in end.get("files", {}).items() if p not in seen and size > 0
+        ]
+        if not new_files:
+            return [SeqSplit(((self._root, 0, 0),))]  # empty batch
+        saved_paths = self._batch.paths
+        try:
+            self._batch.paths = sorted(new_files)
+            return self._batch.partitions()
+        finally:
+            self._batch.paths = saved_paths
+
+    def read(self, split: SeqSplit):
+        yield from self._batch.read(split)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to clean up
 
 
 @dataclass

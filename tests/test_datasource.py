@@ -165,3 +165,39 @@ def test_write_rejects_bad_schema(spark, tmp_path):
         spark.range(10).selectExpr("id a", "id b", "id c").write.format(
             "hadoop_seq"
         ).mode("append").save(str(tmp_path / "bad"))
+
+
+def test_stream_reader_incremental(spark, tmp_path):
+    """Streaming source picks up files across microbatches exactly once."""
+    import pyarrow as pa
+
+    from hadoop_formats_spark.seqfile import write_table
+    from hadoop_formats_spark.streaming import run_available_now
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def seq(path, lo, hi):
+        write_table(
+            str(path),
+            pa.table(
+                {
+                    "key": pa.array(range(lo, hi), pa.int64()),
+                    "value": pa.array([str(i % 3) for i in range(lo, hi)]),
+                }
+            ),
+        )
+
+    seq(d / "a.seq", 0, 500)
+    seq(d / "b.seq", 500, 900)
+    s = (
+        spark.readStream.format("hadoop_seq")
+        .schema("key bigint, value string")
+        .load(str(d))
+    )
+    agg = s.agg(F.count("*").alias("n"), F.sum("key").alias("ks"))
+    out = run_available_now(agg, spark)
+    row = out.collect()[0]
+    assert row["n"] == 900
+    assert row["ks"] == sum(range(900))
