@@ -46,31 +46,71 @@ def brute_force_topk(
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × scan corpus.
+    """Exact cosine top-k: broadcast the (small, collected) query matrix
+    to every corpus partition, GEMM each Arrow batch against it in
+    numpy (BLAS), keep a partition-local top-k per query, then resolve
+    the global top-k with one tiny window — the linear-scan ANN
+    baseline that scales to arbitrarily large corpora (no shuffle of
+    the corpus, candidate volume is partitions·queries·k).
 
     Rounds similarity before ranking (ties broken by neighbor id) so
     rankings are reproducible across engines/float orders.
     Returns (query_id, neighbor_id, sim, rnk)."""
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits).alias("sim"),
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), unit_normalize(F.col(vec_col)).alias("u")
+    ).collect()
+    if not qrows:
+        sess = corpus.sparkSession
+        return sess.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, sim double, rnk int"
         )
+    q_ids = np.array([r["qid"] for r in qrows])
+    q_mat = np.vstack([np.asarray(r["u"]) for r in qrows])  # (Q, d)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    unit = corpus.select(
+        F.col(id_col).alias("id"), unit_normalize(F.col(vec_col)).alias("u")
     )
+
+    def scan(batches):
+        q_ids_, q_mat_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            M = np.vstack(pdf["u"].to_numpy())  # (N, d)
+            S = np.round(M @ q_mat_.T, round_digits)  # (N, Q)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids_)):
+                col = S[:, j]
+                mask = ids != q_ids_[j]
+                cid, cs = ids[mask], col[mask]
+                if len(cid) > k:
+                    # top-k by (sim desc, id asc): lexsort is ascending,
+                    # so sort by (-sim, id) and take the first k
+                    order = np.lexsort((cid, -cs))[:k]
+                else:
+                    order = np.argsort(cid)
+                out_q.append(np.full(len(order), q_ids_[j]))
+                out_n.append(cid[order])
+                out_s.append(cs[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = unit.mapInPandas(scan, "query_id bigint, neighbor_id bigint, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
