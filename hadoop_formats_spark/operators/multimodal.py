@@ -22,6 +22,8 @@ MAGIC_TAG = b"IMG0"
 
 META_SCHEMA = "doc_id bigint, tag string, payload_len int, header_ok boolean"
 FEATURE_SCHEMA = "doc_id bigint, feat_mean double, feat_dim int"
+RESIZE_SCHEMA = "doc_id bigint, media binary, out_len int"
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
 
 
 def pack_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -98,3 +100,58 @@ def decode_features(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(decode, FEATURE_SCHEMA)
+
+
+def resize_media(df: DataFrame, *, target_len: int = 64) -> DataFrame:
+    """Resize plumbing: payload → fixed-length representation.
+
+    STUB decode (no PIL in this container): the \"resize\" is a
+    deterministic even-stride byte subsample standing in for a real
+    pixel resample; the mapInPandas shape (binary in, binary out, same
+    partitioning) is exactly what a PIL/libav resize takes."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b) -> bytes:
+            payload = bytes(b)[4:]
+            if not payload:
+                return MAGIC_TAG
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            idx = np.linspace(0, len(arr) - 1, num=target_len).astype(np.int64)
+            return MAGIC_TAG + arr[idx].tobytes()
+
+        for pdf in batches:
+            out = pdf["media"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "out_len": out.map(len).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, *, frame_len: int = 16, every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: chop the payload
+    into ``frame_len``-byte frames and keep every ``every``-th one,
+    exploding one input row into many (doc_id, frame_idx, frame) rows —
+    the Arrow-batched fan-out a real video frame sampler produces."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media)[4:]
+                n_frames = len(payload) // frame_len
+                for fi in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(payload[fi * frame_len : (fi + 1) * frame_len])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)

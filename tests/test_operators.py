@@ -1,0 +1,166 @@
+"""Unit tests for the extension operators (dedup, similarity, skew,
+multimodal, text) against small in-memory data and self-consistency
+oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_formats_spark.functions import text as T
+from hadoop_formats_spark.operators import dedup as D
+from hadoop_formats_spark.operators import multimodal as M
+from hadoop_formats_spark.operators import similarity as S
+from hadoop_formats_spark.operators.skew import salted_count_by_key, salted_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "hi"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_shingles_short_doc_empty(spark, docs):
+    out = docs.select("doc_id", D.word_shingles("text", 3).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[5] == []
+    assert "the quick brown" in by_id[1]
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = D.exact_dedup(docs.select("doc_id", "text"), ["text"]).collect()
+    dups = [r for r in out if r["n_copies"] == 2]
+    assert len(dups) == 1 and dups[0]["doc_id"] == 1
+
+
+def test_minhash_candidates_contain_exact_dups(spark, docs):
+    cand = D.minhash_band_pairs(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand}
+    assert (1, 4) in pairs
+
+
+def test_jaccard_verify_equals_exhaustive_on_candidates(spark, docs):
+    cand = D.minhash_band_pairs(docs)
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.shingle_jaccard_pairs(docs, threshold=0.5, candidates=cand).collect()
+    }
+    exhaustive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.shingle_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for pair, j in verified.items():
+        assert exhaustive[pair] == j
+    assert verified[(1, 4)] == 1.0
+
+
+def test_simhash_identical_docs_equal_signatures(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", D.simhash32("text").alias("sh")
+    ).collect()}
+    assert out[1] == out[4]
+    assert len(out[1]) == 32 and set(out[1]) <= {"0", "1"}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_cosine_pairs_gemm_matches_manual(spark, vectors):
+    out = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_near_dup_pairs(vectors, threshold=0.9, blocks=2).collect()
+    }
+    assert out[(1, 5)] == 1.0
+    assert (1, 2) in out and abs(out[(1, 2)] - 0.9939) < 1e-9
+    assert (1, 3) not in out
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    out = S.brute_force_topk(vectors, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rnk"]) for r in out] == [(5, 1), (2, 2)]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .count()
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", salt_cols=["l_linenumber", "l_partkey"])
+        .groupBy("o_orderpriority")
+        .count()
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in salted] == [tuple(r) for r in plain]
+
+
+def test_salted_count_equals_plain_count(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: r["count"]
+        for r in li.groupBy("l_returnflag").count().collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["n"]
+        for r in salted_count_by_key(
+            li, "l_returnflag", salt_cols=["l_orderkey", "l_linenumber"]
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    packed = M.pack_binary(docs, "doc_id", "text")
+    resized = M.resize_media(packed, target_len=8).collect()
+    assert all(r["out_len"] == 12 for r in resized)  # 4-byte tag + 8
+    frames = M.frame_sample(packed, frame_len=4, every=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 1: 43-char payload → 10 frames → idx 0,2,4,6,8
+    assert by_doc[1] == [0, 2, 4, 6, 8]
+    assert all(len(r["frame"]) == 4 for r in frames)
+
+
+def test_lang_id_and_fingerprint(spark):
+    rows = [
+        (1, "the cat is on a mat and of course"),
+        (2, "der Hund und die Katze das ist gut"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    langs = {r["doc_id"]: r["l"] for r in df.select(
+        "doc_id", T.lang_id("text").alias("l")
+    ).collect()}
+    assert langs == {1: "en", 2: "de", 3: "und"}
+    fp = df.select(T.fingerprint("text").alias("f")).collect()
+    df2 = spark.createDataFrame(
+        [(1, "  THE cat IS on a MAT and  of course ")], "doc_id bigint, text string"
+    )
+    fp2 = df2.select(T.fingerprint("text").alias("f")).collect()
+    assert fp[0]["f"] == fp2[0]["f"]
