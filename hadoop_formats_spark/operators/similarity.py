@@ -125,9 +125,10 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, ties →
-    lowest centroid id).  Broadcast argmin — one pass over the corpus."""
-    from pyspark.sql import Window
-
+    lowest centroid id).  Broadcast argmax folded into a map-side
+    ``max_by`` aggregation: the corpus×centroids score rows never
+    shuffle (a window over them would shuffle the full cross product —
+    fatal at scale); only one row per vector leaves the map side."""
     c = centroids.select(
         F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
@@ -137,11 +138,11 @@ def ivf_assign(
         "centroid_id",
         F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "csim")
+    # rank key: highest similarity, then lowest centroid id (negated for max)
+    rank = F.struct(F.col("csim"), (-F.col("centroid_id")).alias("neg_cid"))
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),  # constant within the group
+        F.max_by("centroid_id", rank).alias("centroid_id"),
     )
 
 
