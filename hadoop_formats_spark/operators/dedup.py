@@ -63,6 +63,18 @@ def minhash_signature(shingle: Column, num_hashes: int) -> list[Column]:
     ]
 
 
+def minhash_signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
+    """Same signature computed directly on a per-doc shingle ARRAY —
+    pure map-side (transform + array_min), no explode, no shuffle."""
+
+    def sig(j: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"h{j}")
+
+    return [sig(j) for j in range(num_hashes)]
+
+
 def minhash_band_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -79,14 +91,14 @@ def minhash_band_pairs(
     space never materializes globally.  Returns (doc_a, doc_b) distinct.
     """
     rows = num_hashes // bands
-    # repartition by doc id: parallelizes the shingle/md5 compute even
-    # when the source collapses to few splits, and co-locates the
-    # per-doc signature aggregation (map-side, no extra shuffle)
-    shingled = docs.repartition(_parallelism(docs), F.col(id_col)).select(
+    # signatures straight off the per-doc shingle array: transform +
+    # array_min is pure map-side — no explode, no groupBy shuffle.  The
+    # repartition only parallelizes the md5 work when the source
+    # collapses to few splits (AQE won't coalesce an explicit count).
+    sigs = docs.repartition(_parallelism(docs), F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
-    sigs = shingled.groupBy("doc_id").agg(*minhash_signature(F.col("shingle"), num_hashes))
+        *minhash_signature_cols(word_shingles(text_col, shingle_n), num_hashes),
+    ).filter(F.col("h0").isNotNull())  # docs too short to shingle drop out
     # one posexplode pass instead of a bands-way union (single scan of sigs)
     band_keys = F.array(
         *[
