@@ -782,6 +782,83 @@ def window_running_and_frame(spark, sf_dir):
     ).orderBy("o_custkey", "o_orderkey")
 
 
+@register(
+    "window_range_frame_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS spend_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="rangeBetween frame: per-customer trailing-30-day spend over the "
+    "order-date value range (vs the row-count frames elsewhere).",
+)
+def window_range_frame_spend(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    # range frame over seconds-since-epoch; 30 days = 2,592,000 s
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("spend_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_extendedprice)                           AS med_price,
+           quantile_cont(l_extendedprice, 0.25)              AS p25,
+           quantile_cont(l_extendedprice, 0.95)              AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact (not approx) median / percentiles per group.",
+)
+def agg_exact_percentiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.median("l_extendedprice").alias("med_price"),
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_price_measures",
+    oracle="""
+    SELECT o_orderkey, measure, val FROM (
+      SELECT o_orderkey, 'total' AS measure, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'half', o_totalprice / 2 FROM orders
+    ) WHERE o_orderkey < 1000
+    ORDER BY o_orderkey, measure
+    """,
+    doc="Unpivot (wide → long) via the melt/unpivot API.",
+)
+def unpivot_price_measures(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_totalprice") / 2).alias("half"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["total", "half"], "measure", "val"
+    ).orderBy("o_orderkey", "measure")
+
+
 # --------------------------------------------------------------------------
 # sort / top-k / set ops
 # --------------------------------------------------------------------------
