@@ -63,13 +63,30 @@ def minhash_signature(shingle: Column, num_hashes: int) -> list[Column]:
     ]
 
 
-def minhash_signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
-    """Same signature computed directly on a per-doc shingle ARRAY —
-    pure map-side (transform + array_min), no explode, no shuffle."""
+def minhash_hash_concat(shingles: Column, num_hashes: int) -> Column:
+    """Per-shingle hash material: the concatenation of ceil(n/4) md5
+    digests (salted '0:', '1:', …), computed ONCE per shingle.  Each
+    32-hex digest yields four 8-hex slice hashes — 4× less hashing
+    than one md5 per signature position, and slices of independent
+    digests behave as independent hashes for MinHash purposes."""
+    n_digests = (num_hashes + 3) // 4
+
+    def per_shingle(s: Column) -> Column:
+        return F.concat(
+            *[F.md5(F.concat(F.lit(f"{d}:"), s)) for d in range(n_digests)]
+        )
+
+    return F.transform(shingles, per_shingle)
+
+
+def minhash_signature_cols(hash_concat: Column, num_hashes: int) -> list[Column]:
+    """Signature j = min over shingles of the j-th 8-hex slice of the
+    per-shingle hash material — pure map-side (transform + array_min),
+    no explode, no shuffle."""
 
     def sig(j: int) -> Column:
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            F.transform(hash_concat, lambda x: F.substring(x, j * 8 + 1, 8))
         ).alias(f"h{j}")
 
     return [sig(j) for j in range(num_hashes)]
@@ -95,10 +112,21 @@ def minhash_band_pairs(
     # array_min is pure map-side — no explode, no groupBy shuffle.  The
     # repartition only parallelizes the md5 work when the source
     # collapses to few splits (AQE won't coalesce an explicit count).
-    sigs = docs.repartition(_parallelism(docs), F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        *minhash_signature_cols(word_shingles(text_col, shingle_n), num_hashes),
-    ).filter(F.col("h0").isNotNull())  # docs too short to shingle drop out
+    # The hash material is materialized as a column so the md5s run
+    # once, not once per signature position.
+    sigs = (
+        docs.repartition(_parallelism(docs), F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            minhash_hash_concat(
+                word_shingles(text_col, shingle_n), num_hashes
+            ).alias("hh"),
+        )
+        .select(
+            "doc_id", *minhash_signature_cols(F.col("hh"), num_hashes)
+        )
+        .filter(F.col("h0").isNotNull())  # docs too short to shingle drop out
+    )
     # one posexplode pass instead of a bands-way union (single scan of sigs)
     band_keys = F.array(
         *[

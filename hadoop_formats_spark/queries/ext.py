@@ -54,8 +54,11 @@ def dedup_exact(spark, sf_dir):
     return out.select("dup_key", "doc_id", "n_copies").orderBy("doc_id")
 
 
+# signature j = min 8-hex slice of md5('{j//4}:' || shingle) — matches
+# operators.dedup.minhash_hash_concat/minhash_signature_cols exactly
 _MINHASH_SIG_SQL = ",\n    ".join(
-    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8)
+    f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+    for j in range(8)
 )
 
 @register(
