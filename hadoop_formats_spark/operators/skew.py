@@ -31,6 +31,12 @@ def salted_join(
     ``salt_cols`` are left-side columns whose hash spreads rows of the
     same key across buckets deterministically (use high-cardinality
     tie-breakers, e.g. the fact table's line number)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left-side joins only, got {how!r}: "
+            "replicating the right side would duplicate its unmatched rows "
+            "under right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
     l_s = left.withColumn("__salt", salt.cast("int"))
     r_s = right.withColumn(

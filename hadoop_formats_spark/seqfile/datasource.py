@@ -333,11 +333,13 @@ class SeqFileReader(DataSourceReader):
 class SeqFileStreamReader(DataSourceStreamReader):
     """Streaming source: tail a directory of SequenceFiles.
 
-    Offsets are ``{"files": {path: size}}`` snapshots of fully-written
-    files; each microbatch reads the files that appeared (or grew to a
-    stable size) since the last offset, split/bin-packed exactly like
-    the batch reader.  Exactly-once: a file is claimed by the offset
-    that first saw it; Spark's checkpoint replays offsets, not data.
+    Offsets are ``{"files": {path: size}}`` snapshots; each microbatch
+    reads the files that appeared since the last offset, split/
+    bin-packed exactly like the batch reader.  Files must appear
+    atomically (write elsewhere + rename in, as our writer and Spark's
+    own file sinks do) — the standard Spark file-source contract; a
+    file is claimed by the first offset that saw it, and Spark's
+    checkpoint replays offsets, not data.
     """
 
     def __init__(self, source: SeqFileDataSource, schema: StructType):
@@ -416,14 +418,19 @@ class SeqFileWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(self.dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.seq")
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.seq"
+        path = os.path.join(self.dir, name)
+        # write under a dot-prefixed name (readers skip dotfiles), then
+        # rename in atomically — files only ever appear fully written,
+        # which the streaming source relies on
+        tmp = os.path.join(self.dir, "." + name)
         rows = 0
         writer = None
         try:
             for batch in iterator:
                 if writer is None:
                     writer = core.SeqFileWriter(
-                        path,
+                        tmp,
                         self.classes[0],
                         self.classes[1],
                         block_records=self.block_records,
@@ -435,6 +442,8 @@ class SeqFileWriter(DataSourceArrowWriter):
         finally:
             if writer is not None:
                 writer.close()
+        if writer is not None:
+            os.rename(tmp, path)
         return SeqCommit(path, rows)
 
 
