@@ -76,3 +76,33 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
     return F.md5(normalized)
+
+
+# GPT-2-style pretokenizer pattern, ASCII-simplified: contractions,
+# letter runs, digit runs, punctuation runs — the "BPE-ish" split whose
+# piece count tracks BPE token count far better than whitespace does.
+BPE_ISH_PATTERN = "'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Pretokenizer pieces of lowercased text (see BPE_ISH_PATTERN)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0)
+
+
+ROLLING_MOD = 1_000_003  # prime; keeps acc*31+c inside BIGINT
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash (Rabin-Karp: acc = acc*31 + code mod p)
+    over the characters of whitespace-normalized lowercase text —
+    engine-portable (same fold is expressible in SQL) and incremental
+    (a streaming pipeline can extend it char-by-char)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    chars = F.split(normalized, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % ROLLING_MOD,
+    )

@@ -346,6 +346,59 @@ def text_token_counts(spark, sf_dir):
     )
 
 
+_BPE_SQL_PAT = T.BPE_ISH_PATTERN.replace("'", "''")
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT lang,
+           sum(len(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}')))
+             AS bpe_tokens,
+           round(avg(len(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}'))), 2)
+             AS avg_doc_bpe
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="BPE-ish token counting: GPT-2-style pretokenizer regex "
+    "(contractions / letter runs / digit runs / punct runs).",
+)
+def text_bpe_token_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n = F.size(T.bpe_ish_tokens("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(n).alias("bpe_tokens"),
+            F.round(F.avg(n), 2).alias("avg_doc_bpe"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % {T.ROLLING_MOD}
+           ) AS rhash
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="Rabin-Karp rolling-hash document fingerprint (acc*31+c mod p) "
+    "over normalized text; same fold on both engines.",
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", T.rolling_fingerprint("text").alias("rhash")
+    ).orderBy("doc_id")
+
+
 @register(
     "text_fingerprint_dups",
     oracle="""
