@@ -203,6 +203,54 @@ def unit_normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
+def sign_lsh_buckets(
+    corpus: DataFrame,
+    *,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per vector: bit i = sign of
+    the dot product with plane i.  Cosine-similar vectors collide with
+    probability 1 - θ/π per bit, so same-bucket pairs are the candidate
+    set for near-dup verification (block → verify, like MinHash+LSH for
+    text).  Planes are derived deterministically from md5 (no RNG
+    state), broadcast as a numpy matrix, and applied map-side via one
+    GEMM per Arrow batch.  Returns (id, bucket:string)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        first = corpus.select(F.col(vec_col)).first()
+        dim = len(first[0])
+
+    def plane_val(p: int, d: int) -> float:
+        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8]
+        return int(h, 16) / float(2**31) - 1.0  # deterministic in [-1, 1)
+
+    planes = np.array(
+        [[plane_val(p, d) for d in range(dim)] for p in range(n_planes)]
+    )  # (P, d)
+    bp = corpus.sparkSession.sparkContext.broadcast(planes)
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def bucketize(batches):
+        P = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # (N, d)
+            bits = (M @ P.T) >= 0  # (N, P)
+            strs = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame({"id": pdf["id"], "bucket": strs})
+
+    return src.mapInPandas(bucketize, "id bigint, bucket string")
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     *,

@@ -170,6 +170,47 @@ def stream_stateful_user_stats(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join_click_to_purchase",
+    oracle="""
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    doc="Stream-stream interval join: purchases within 1h after a click "
+    "by the same user, watermarked on both sides, counted per user "
+    "(complete-mode agg over the append-only join).",
+)
+def stream_stream_join_click_to_purchase(spark, sf_dir):
+    s1 = _events_stream(spark, sf_dir)
+    clicks = (
+        s1.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 day")
+    )
+    s2 = _events_stream(spark, sf_dir)
+    purchases = (
+        s2.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    # stream-stream joins emit in append mode only; the per-user count
+    # is batch post-processing of the (fully emitted) join output
+    out = _run_to_memory(joined, spark, output_mode="append")
+    return (
+        out.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
+    )
+
+
+@register(
     "stream_late_data_drop",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, count(*) AS n

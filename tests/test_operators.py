@@ -164,3 +164,19 @@ def test_lang_id_and_fingerprint(spark):
     )
     fp2 = df2.select(T.fingerprint("text").alias("f")).collect()
     assert fp[0]["f"] == fp2[0]["f"]
+
+
+def test_sign_lsh_buckets(spark, vectors):
+    out = {r["id"]: r["bucket"] for r in S.sign_lsh_buckets(
+        vectors, n_planes=16
+    ).collect()}
+    assert out[1] == out[5]  # identical vectors share a bucket
+    assert len(out[1]) == 16 and set(out[1]) <= {"0", "1"}
+    # near-identical vectors differ in few bits; orthogonal in many
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(out[1], out[2]) <= ham(out[1], out[3])
+    # deterministic across invocations
+    again = {r["id"]: r["bucket"] for r in S.sign_lsh_buckets(
+        vectors, n_planes=16
+    ).collect()}
+    assert again == out
