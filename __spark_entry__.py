@@ -19,12 +19,50 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``hadoop_formats_spark`` importable in Python WORKERS even
+    when the session was created before this module was on any path
+    (the driver may build its SparkSession first): zip the package and
+    ``addPyFile`` it — sc adds it to every worker's sys.path."""
+    import zipfile
+
+    zip_path = os.path.join("/tmp", "hadoop_formats_spark_pkg.zip")
+    pkg_dir = os.path.join(_REPO, "hadoop_formats_spark")
+    newest = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+
+
 def _ensure_ready(spark: SparkSession) -> None:
     """Register the hadoop_seq datasource + make the package importable
     in Python workers, idempotently, for driver-created sessions."""
     pypath = os.environ.get("PYTHONPATH", "")
     if _REPO not in pypath.split(os.pathsep):
         os.environ["PYTHONPATH"] = _REPO + (os.pathsep + pypath if pypath else "")
+    _ship_package(spark)
+    try:
+        # the reader implements pushFilters(), which Spark rejects
+        # unless this conf is on (our session factory sets it; a
+        # driver-created session may not)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     try:
         from hadoop_formats_spark.seqfile.datasource import register
 
