@@ -655,6 +655,49 @@ def cube_status_priority(spark, sf_dir):
     )
 
 
+@register(
+    "grouping_sets_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(extract(hour FROM ts) AS INT)  AS hr,
+           event_type,
+           count(*) AS n,
+           grouping(hr) AS g_hr, grouping(event_type) AS g_et
+    FROM events
+    GROUP BY GROUPING SETS ((day, hr, event_type), (day, hr), (day))
+    ORDER BY day, g_hr, hr NULLS FIRST, g_et, event_type NULLS FIRST
+    """,
+    doc="GROUPING SETS (hypertable-style multi-granularity time rollup: "
+    "per-hour-per-type, per-hour, per-day in one pass).",
+)
+def grouping_sets_time_rollup(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+    )
+    return (
+        e.groupingSets(
+            [["day", "hr", "event_type"], ["day", "hr"], ["day"]],
+            "day",
+            "hr",
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("hr").cast("int").alias("g_hr"),
+            F.grouping("event_type").cast("int").alias("g_et"),
+        )
+        .orderBy(
+            "day",
+            "g_hr",
+            F.col("hr").asc_nulls_first(),
+            "g_et",
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # window functions
 # --------------------------------------------------------------------------
