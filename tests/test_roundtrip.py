@@ -126,3 +126,18 @@ def test_nulls_rejected_for_typed_columns(tmp_path):
     values = pa.array([1, 2, 3], type=pa.int32())
     with pytest.raises(core.SeqFileError, match="null"):
         core.write_table(str(tmp_path / "n.seq"), pa.table({"key": keys, "value": values}))
+
+
+def test_text_multibyte_varint_prefix(tmp_path):
+    """Text records >=127 bytes carry multi-byte varint length prefixes."""
+    import pyarrow as pa
+
+    from hadoop_formats_spark.seqfile import read_file, write_table
+
+    vals = ["x" * n for n in (0, 1, 126, 127, 128, 255, 256, 5000, 70000)]
+    t = pa.table(
+        {"key": pa.array(range(len(vals)), pa.int64()), "value": pa.array(vals)}
+    )
+    p = str(tmp_path / "longtext.seq")
+    write_table(p, t)
+    assert read_file(p).column("value").to_pylist() == vals
