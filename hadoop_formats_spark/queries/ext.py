@@ -451,6 +451,31 @@ def multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, hex(encode(text)) AS payload_hex,
+             octet_length(encode(text)) // 16 AS n_frames
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           from_hex(substring(payload_hex, CAST(fi AS INT) * 32 + 1, 32)) AS frame
+    FROM f, UNNEST(generate_series(0, n_frames - 1, 4)) AS t(fi)
+    WHERE n_frames > 0
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Video-style frame sampling over binary media columns "
+    "(mapInPandas fan-out): 16-byte frames, every 4th kept.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    packed = M.pack_binary(d, "doc_id", "text")
+    return M.frame_sample(packed, frame_len=16, every=4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
     "multimodal_decode_features",
     oracle=None,  # decode is stubbed (no media libs in container): rows-only
     doc="Media decode plumbing: binary → mapInPandas feature extraction "

@@ -656,6 +656,30 @@ def cube_status_priority(spark, sf_dir):
 
 
 @register(
+    "sql_entry_revenue_by_segment",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
+           sum(o_totalprice) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="spark.sql(...) entry point over registered temp views (the SQL "
+    "API surface; every other query uses the DataFrame API).",
+)
+def sql_entry_revenue_by_segment(spark, sf_dir):
+    table(spark, sf_dir, "customer").createOrReplaceTempView("hfs_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("hfs_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
+               sum(o_totalprice) AS revenue
+        FROM hfs_customer JOIN hfs_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
     "grouping_sets_time_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
