@@ -477,8 +477,71 @@ def read_file(
 # ---------------------------------------------------------------------------
 
 
+def _var_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data bytes, per-record byte lengths) of a string/binary array,
+    honoring a non-zero array offset (sliced arrays)."""
+    n = len(arr)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data_all = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    data = data_all[offsets[0] : offsets[-1]]
+    lens = np.diff(offsets).astype(np.int64)
+    return data, lens
+
+
+def _interleave_prefixed(
+    data: np.ndarray, lens: np.ndarray, pfx: np.ndarray, plen: np.ndarray
+) -> bytes:
+    """Build the payload buffer: per record, ``plen`` prefix bytes from
+    the (n, max_plen) ``pfx`` matrix, then its data bytes — fully
+    vectorized (one fancy-index store per prefix byte position plus one
+    for the data)."""
+    n = len(lens)
+    rec_len = plen + lens
+    out_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        out_starts[1:] = np.cumsum(rec_len)[:-1]
+    out = np.zeros(int(rec_len.sum()), dtype=np.uint8)
+    for k in range(pfx.shape[1]):
+        mask = plen > k
+        out[out_starts[mask] + k] = pfx[mask, k]
+    if len(data):
+        in_starts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            in_starts[1:] = np.cumsum(lens)[:-1]
+        rec_of_byte = np.repeat(np.arange(n), lens)
+        shift = (out_starts + plen - in_starts)[rec_of_byte]
+        out[np.arange(len(data)) + shift] = data
+    return out.tobytes()
+
+
+def _vint_prefix_matrix(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Hadoop-varint encodings of non-negative lengths:
+    returns (prefix byte matrix (n, 5), prefix byte counts)."""
+    n = len(lens)
+    nb = (
+        (lens > 127).astype(np.int64)
+        + (lens > 0xFF)
+        + (lens > 0xFFFF)
+        + (lens > 0xFFFFFF)
+    )  # extra big-endian bytes beyond the marker; 0 → direct single byte
+    plen = np.where(nb == 0, 1, 1 + nb)
+    pfx = np.zeros((n, 5), dtype=np.uint8)
+    direct = nb == 0
+    pfx[direct, 0] = lens[direct]
+    marked = ~direct
+    pfx[marked, 0] = (-112 - nb[marked]) & 0xFF
+    for k in range(4):  # big-endian value bytes right after the marker
+        sel = nb > k
+        if not sel.any():
+            break
+        pfx[sel, 1 + k] = (lens[sel] >> (8 * (nb[sel] - 1 - k))) & 0xFF
+    return pfx, plen
+
+
 def _encode_column(java_class: str, arr: pa.Array) -> tuple[bytes, bytes]:
-    """Encode one column → (lengths buffer, data buffer), uncompressed."""
+    """Encode one column → (lengths buffer, data buffer), uncompressed.
+    Variable-width paths are numpy-vectorized (no per-record Python)."""
     _, np_dtype = WRITABLES[java_class]
     n = len(arr)
     if arr.null_count and np_dtype != "null":
@@ -490,28 +553,17 @@ def _encode_column(java_class: str, arr: pa.Array) -> tuple[bytes, bytes]:
         data = arr.to_numpy(zero_copy_only=False).astype(np_dtype).tobytes()
         lengths = encode_vint_array(np.full(n, width, dtype=np.int64))
         return lengths, data
-    # variable width
     if java_class == "org.apache.hadoop.io.Text":
-        str_arr = arr.cast(pa.string())
-        raw = [s.encode("utf-8") if s is not None else b"" for s in str_arr.to_pylist()]
-        payload = bytearray()
-        lengths = np.empty(n, dtype=np.int64)
-        for i, b in enumerate(raw):
-            pfx = encode_vint(len(b))
-            payload += pfx
-            payload += b
-            lengths[i] = len(pfx) + len(b)
-        return encode_vint_array(lengths), bytes(payload)
-    # BytesWritable: 4-byte BE length prefix
-    blobs = arr.cast(pa.binary()).to_pylist()
-    payload = bytearray()
-    lengths = np.empty(n, dtype=np.int64)
-    for i, b in enumerate(blobs):
-        b = b or b""
-        payload += struct.pack(">I", len(b))
-        payload += b
-        lengths[i] = 4 + len(b)
-    return encode_vint_array(lengths), bytes(payload)
+        data, lens = _var_buffers(arr.cast(pa.string()))
+        pfx, plen = _vint_prefix_matrix(lens)
+    else:  # BytesWritable: fixed 4-byte BE length prefix
+        data, lens = _var_buffers(arr.cast(pa.binary()))
+        plen = np.full(n, 4, dtype=np.int64)
+        pfx = np.zeros((n, 4), dtype=np.uint8)
+        for k in range(4):
+            pfx[:, k] = (lens >> (8 * (3 - k))) & 0xFF
+    payload = _interleave_prefixed(data, lens, pfx, plen)
+    return encode_vint_array(plen + lens), payload
 
 
 @dataclass
