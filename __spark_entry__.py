@@ -57,6 +57,17 @@ def _ensure_ready(spark: SparkSession) -> None:
         os.environ["PYTHONPATH"] = _REPO + (os.pathsep + pypath if pypath else "")
     _ship_package(spark)
     try:
+        # the streaming-source planner is a separate Python process that
+        # does NOT see addPyFile paths; registering the package for
+        # by-value pickling makes every pickled reader self-contained
+        from pyspark import cloudpickle
+
+        import hadoop_formats_spark
+
+        cloudpickle.register_pickle_by_value(hadoop_formats_spark)
+    except Exception:
+        pass
+    try:
         # the reader implements pushFilters(), which Spark rejects
         # unless this conf is on (our session factory sets it; a
         # driver-created session may not)

@@ -58,9 +58,21 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as E
-    from hadoop_formats_spark.session import get_spark
 
-    spark = get_spark("correctness-preflight")
+    if os.environ.get("SPARK_GRAFT_BARE"):
+        # simulate the grading driver: a plain session with none of our
+        # configs — entry-point _ensure_ready must make everything work
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from hadoop_formats_spark.session import get_spark
+
+        spark = get_spark("correctness-preflight")
     qs = E.queries()
     oracles = E.oracle_sql()
 
