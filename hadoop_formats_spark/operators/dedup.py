@@ -139,18 +139,33 @@ def minhash_band_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # one groupBy per band bucket, pairs expanded inside the collected
+    # array — computes the signature pipeline ONCE (a self-join would
+    # recompute it per side) and shuffles only (band, doc_id) rows.
+    # Buckets are near-dup groups, so arrays stay small by construction.
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.size(F.col("ids"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def shingle_jaccard_pairs(
