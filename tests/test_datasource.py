@@ -201,3 +201,48 @@ def test_stream_reader_incremental(spark, tmp_path):
     row = out.collect()[0]
     assert row["n"] == 900
     assert row["ks"] == sum(range(900))
+
+
+def test_stream_checkpoint_exactly_once(spark, tmp_path):
+    """Offsets persist in the checkpoint: a restarted query reads only
+    files that appeared since the last committed batch."""
+    import pyarrow as pa
+
+    from hadoop_formats_spark.seqfile import write_table
+
+    src = tmp_path / "in"; src.mkdir()
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def seq(name, lo, hi):
+        write_table(
+            str(src / name),
+            pa.table({
+                "key": pa.array(range(lo, hi), pa.int64()),
+                "value": pa.array([str(i) for i in range(lo, hi)]),
+            }),
+        )
+
+    def run_once():
+        s = (
+            spark.readStream.format("hadoop_seq")
+            .schema("key bigint, value string")
+            .load(str(src))
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    seq("a.seq", 0, 100)
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+    seq("b.seq", 100, 250)
+    run_once()
+    df = spark.read.parquet(sink)
+    assert df.count() == 250  # a.seq not re-read, b.seq read once
+    assert df.agg({"key": "sum"}).collect()[0][0] == sum(range(250))
