@@ -54,15 +54,6 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle: Column, num_hashes: int) -> list[Column]:
-    """Deterministic MinHash: hash_j(s) = md5(j ':' s); signature j =
-    min over shingles.  Aggregate columns (use under groupBy)."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), shingle))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-
-
 def minhash_hash_concat(shingles: Column, num_hashes: int) -> Column:
     """Per-shingle hash material: the concatenation of ceil(n/4) md5
     digests (salted '0:', '1:', …), computed ONCE per shingle.  Each
