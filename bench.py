@@ -24,13 +24,18 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "q1_pricing_summary",
     "join_5way_region_rollup_revenue",
+    "join_6way_supplier_nation_revenue",
+    "join_asof_purchase_last_click",
+    "grouping_sets_time_rollup",
     "window_topk_orders_per_customer",
     "sort_topk_revenue_parts",
     "seqfile_roundtrip_returnflag_counts",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "text_quality_score",
     "stream_tumbling_hourly_counts",
+    "stream_stream_join_click_to_purchase",
 ]
 
 
