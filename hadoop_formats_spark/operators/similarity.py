@@ -152,26 +152,36 @@ def ivf_topk(
     centroids: DataFrame,
     *,
     k: int = 3,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """IVF ANN: probe only the query's nearest cluster.
+    """IVF ANN: probe the query's ``nprobe`` nearest clusters.
 
     Approximate by construction (recall < 1 when true neighbors live in
-    unprobed clusters) — that's the documented trade; the exactness
-    oracle is ``brute_force_topk``.  Returns
-    (query_id, neighbor_id, sim, rnk)."""
+    unprobed clusters); raising ``nprobe`` trades scan cost for recall —
+    the standard IVF knob.  The exactness oracle is
+    ``brute_force_topk``.  Corpus assignment stays a map-side argmax;
+    the query→probe ranking is a window over the (small) query set ×
+    centroids only.  Returns (query_id, neighbor_id, sim, rnk)."""
     from pyspark.sql import Window
 
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    c = centroids.select(
+        F.col("centroid_id").alias("probe"), F.col(vec_col).alias("cvec")
+    )
+    q_scored = queries.crossJoin(F.broadcast(c)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "probe",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probe"))
     q_assigned = (
-        ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.col("centroid_id").alias("probe"),
-        )
+        q_scored.withColumn("prb_rank", F.row_number().over(wq))
+        .filter(F.col("prb_rank") <= nprobe)
+        .select("query_id", "qvec", "probe")
     )
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"),

@@ -245,6 +245,57 @@ def ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(e, queries, centroids, k=3)
 
 
+@register(
+    "ann_ivf_nprobe2_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'v.embedding').replace('b.embedding', 'c.embedding').replace(', 4)', ', 6)')} DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, centroid_id AS probe
+      FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'v.embedding').replace('b.embedding', 'c.embedding').replace(', 4)', ', 6)')} DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN centroids c
+        WHERE v.vec_id % 97 = 0 AND v.vec_id <> 0
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             {_COS_SQL.replace('a.embedding', 'p.qemb').replace('b.embedding', 'v.embedding')} AS sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {_COS_SQL.replace('a.embedding', 'p.qemb').replace('b.embedding', 'v.embedding')} DESC,
+                                         v.vec_id) AS rnk
+      FROM probes p JOIN assigned v ON v.centroid_id = p.probe
+      WHERE v.vec_id <> p.query_id
+    ) WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF ANN with nprobe=2: probing the two nearest clusters trades "
+    "scan cost for recall — the standard IVF knob.",
+)
+def ann_ivf_nprobe2_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
+    return S.ivf_topk(e, queries, centroids, k=3, nprobe=2)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
