@@ -167,6 +167,7 @@ def shingle_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle inverted index.
 
@@ -214,6 +215,22 @@ def shingle_jaccard_pairs(
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).distinct()
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if max_doc_freq is not None:
+        # the inverted index's failure mode at corpus scale is the HOT
+        # shingle (boilerplate shared by millions of docs → quadratic
+        # pair blowup on one key).  Capping document frequency drops
+        # those posting lists before the pair join; near-dup pairs are
+        # still found via their rarer shingles (intersection counts are
+        # computed on the surviving shingles, so Jaccard becomes a
+        # lower-bound estimate when the cap actually fires).
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        shingled = shingled.join(hot, "shingle", "left_anti")
+        sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (

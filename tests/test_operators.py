@@ -180,3 +180,26 @@ def test_sign_lsh_buckets(spark, vectors):
         vectors, n_planes=16
     ).collect()}
     assert again == out
+
+
+def test_jaccard_doc_freq_cap(spark, docs):
+    """A cap no shingle exceeds changes nothing; a tight cap drops hot
+    shingles but still finds exact dups via their (identical) rare set."""
+    base = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.shingle_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped_loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.shingle_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=1000
+        ).collect()
+    }
+    assert capped_loose == base
+    capped_tight = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.shingle_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=2
+        ).collect()
+    }
+    assert (1, 4) in capped_tight  # exact dups survive any cap
