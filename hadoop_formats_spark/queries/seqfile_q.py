@@ -196,6 +196,47 @@ def parquet_write_roundtrip(spark, sf_dir):
 
 
 @register(
+    "parquet_partitioned_pruned_read",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, sum(l_extendedprice) AS total
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="Hive-partitioned parquet write (partitionBy l_returnflag) + "
+    "pruned read of one partition — only that directory is scanned "
+    "(PartitionFilters, the at-scale layout lever).",
+)
+def parquet_partitioned_pruned_read(spark, sf_dir):
+    import os
+    import shutil
+    import uuid as _uuid
+
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join("/tmp/hfs_parquet_cache", key, "lineitem_by_flag")
+    if not os.path.isdir(final) or not os.listdir(final):
+        tmp = final + "." + _uuid.uuid4().hex[:8]
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_extendedprice")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(tmp)
+        )
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(final)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("total"))
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
     "seqfile_block_count_fast_path",
     oracle="SELECT CAST(100000 AS BIGINT) AS n",
     doc="count(*) from block headers only — no payload decompression "

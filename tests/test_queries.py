@@ -132,3 +132,16 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plans.executed_plan(
         _df(spark, sf_dir, "sort_topk_revenue_parts")
     )
+
+
+def test_partition_pruning_scans_one_directory(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    out = str(tmp_path / "by_flag")
+    li.write.partitionBy("l_returnflag").parquet(out)
+    pruned = spark.read.parquet(out).filter("l_returnflag = 'R'")
+    plan = plans.executed_plan(pruned.groupBy().count())
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan or (
+        "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters:")[1][:120]
+    )
