@@ -222,6 +222,32 @@ def agg_count_distinct(spark, sf_dir):
 
 
 @register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Deterministic collection aggregate: sorted collect_set emitted "
+    "as a joined string (array columns avoided for stable hashing).",
+)
+def agg_collect_sorted(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("o_orderstatus"))
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "agg_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders, avg(o_totalprice) AS avg_price
