@@ -148,6 +148,83 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-style returned-items report: top-20 customers by "
+    "lost revenue (3 joins + broadcast dim + TakeOrdered).",
+)
+def q10_returned_items(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "null_handling_fill_nullsafe",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_nationkey, n.n_name, s.cnt
+      FROM nation n LEFT JOIN (
+        SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY s_nationkey
+      ) s ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT n_nationkey, n_name,
+           coalesce(cnt, 0)                 AS n_suppliers,
+           (cnt IS NOT DISTINCT FROM NULL)  AS no_suppliers
+    FROM j ORDER BY n_nationkey
+    """,
+    doc="Null handling: na.fill over a left-join miss + null-safe "
+    "equality (eqNullSafe / IS NOT DISTINCT FROM).",
+)
+def null_handling_fill_nullsafe(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = n.join(s, n.n_nationkey == s.s_nationkey, "left")
+    return (
+        j.withColumn("no_suppliers", F.col("cnt").eqNullSafe(F.lit(None)))
+        .na.fill({"cnt": 0})
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("cnt").alias("n_suppliers"),
+            "no_suppliers",
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "projection_compute",
     oracle="""
     SELECT l_orderkey, l_linenumber,
