@@ -73,6 +73,22 @@ SPOT = [
     "text_token_counts",
     "multimodal_metadata",
     "seqfile_roundtrip_returnflag_counts",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "grouping_sets_time_rollup",
+    "join_asof_purchase_last_click",
+    "pivot_priority_by_status",
+    "agg_exact_percentiles",
+    "agg_collect_sorted",
+    "null_handling_fill_nullsafe",
+    "text_bpe_token_counts",
+    "text_rolling_fingerprint",
+    "multimodal_frame_sample",
+    "ann_ivf_nprobe2_topk",
+    "window_range_frame_spend",
+    "unpivot_price_measures",
+    "subquery_correlated_above_cust_avg",
 ]
 
 
