@@ -35,7 +35,7 @@ def _ship_package(spark: SparkSession) -> None:
         if f.endswith(".py")
     )
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
-        tmp = zip_path + ".tmp"
+        tmp = f"{zip_path}.{os.getpid()}.tmp"  # unique per process: no race
         with zipfile.ZipFile(tmp, "w") as z:
             for root, _, files in os.walk(pkg_dir):
                 for f in files:
