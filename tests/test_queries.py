@@ -54,42 +54,10 @@ def test_rows_only_queries_are_the_documented_ones():
 # oracle spot checks at sf0.001 (fast subset, one per category)
 # ---------------------------------------------------------------------------
 
-SPOT = [
-    "q1_pricing_summary",
-    "filter_predicates",
-    "join_5way_region_rollup_revenue",
-    "join_anti_customers_without_orders",
-    "rollup_region_nation",
-    "window_running_and_frame",
-    "set_intersect_except",
-    "string_functions",
-    "date_functions",
-    "udf_pandas_scalar_charge",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "ann_brute_force_topk",
-    "text_lang_id_confusion",
-    "text_token_counts",
-    "multimodal_metadata",
-    "seqfile_roundtrip_returnflag_counts",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "grouping_sets_time_rollup",
-    "join_asof_purchase_last_click",
-    "pivot_priority_by_status",
-    "agg_exact_percentiles",
-    "agg_collect_sorted",
-    "null_handling_fill_nullsafe",
-    "text_bpe_token_counts",
-    "text_rolling_fingerprint",
-    "multimodal_frame_sample",
-    "ann_ivf_nprobe2_topk",
-    "window_range_frame_spend",
-    "unpivot_price_measures",
-    "subquery_correlated_above_cust_avg",
-]
+# every query with an oracle: the driver's CORRECTNESS window only
+# covers the first 50 registry entries, so this list is what guarantees
+# the tail stays correct.
+SPOT = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 
 
 @pytest.mark.parametrize("name", SPOT)
