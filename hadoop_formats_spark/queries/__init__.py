@@ -3,3 +3,4 @@ from . import parity  # noqa: F401  (registers on import)
 from . import ext  # noqa: F401
 from . import streaming_q  # noqa: F401
 from . import seqfile_q  # noqa: F401
+from . import tpch  # noqa: F401
