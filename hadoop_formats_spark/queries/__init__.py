@@ -4,3 +4,4 @@ from . import ext  # noqa: F401
 from . import streaming_q  # noqa: F401
 from . import seqfile_q  # noqa: F401
 from . import tpch  # noqa: F401
+from . import curation  # noqa: F401
