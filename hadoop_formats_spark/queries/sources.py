@@ -1,0 +1,152 @@
+"""Additional source/sink formats beyond parquet + SequenceFile:
+CSV, JSON-lines, and ORC write→read round-trips (SURVEY §2.2 sources
+row).  Each query writes a projection of testdata through the Spark
+sink, reads it back through the matching source, and aggregates; the
+DuckDB oracle reads the parquet original, so the round-trip itself is
+what's being checked.
+
+Scale notes: all three sinks shard by partition (one file per task) and
+all three sources split by file — at 100 TB the write parallelism and
+the read parallelism both come from partition counts, not file counts.
+CSV/JSON are row-oriented text: fine for interchange, 5-20x worse than
+parquet/ORC for scans (no column pruning, no predicate pushdown, full
+parse cost per row) — which is exactly what the at-scale guidance in
+SCALE.md says: land data in a columnar format before heavy querying.
+ORC gets the same pushdown/pruning treatment as parquet from Spark's
+native reader.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+_CACHE = "/tmp/hfs_fmt_cache"
+
+
+def _materialize(sf_dir: str, name: str, write) -> str:
+    """Idempotently write a dataset under /tmp (atomic rename; losing a
+    concurrent race is fine — the winner's output is identical)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE, key, name)
+    if os.path.isdir(final) and any(
+        not f.startswith((".", "_")) for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    write(tmp)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+@register(
+    "csv_write_read_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS bal
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="CSV sink + source round-trip: customer projection written with "
+    "header + explicit quoting, read back with an explicit schema (no "
+    "inference scan — at scale schema inference is a full extra pass), "
+    "aggregated by segment.",
+)
+def csv_write_read_roundtrip(spark, sf_dir):
+    path = _materialize(
+        sf_dir,
+        "customer_csv",
+        lambda tmp: (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(tmp)
+        ),
+    )
+    df = (
+        spark.read.schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        df.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("c_acctbal").alias("bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "json_lines_roundtrip",
+    oracle="""
+    SELECT split_part(p_type, ' ', 1) AS type_head, count(*) AS n,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY type_head ORDER BY type_head
+    """,
+    doc="JSON-lines sink + source round-trip: part projection written as "
+    "newline-delimited JSON, read back with an explicit schema, grouped "
+    "by the head word of p_type.",
+)
+def json_lines_roundtrip(spark, sf_dir):
+    path = _materialize(
+        sf_dir,
+        "part_json",
+        lambda tmp: (
+            table(spark, sf_dir, "part")
+            .select("p_partkey", "p_type", "p_retailprice")
+            .write.mode("overwrite")
+            .json(tmp)
+        ),
+    )
+    df = spark.read.schema(
+        "p_partkey bigint, p_type string, p_retailprice double"
+    ).json(path)
+    return (
+        df.withColumn("type_head", F.split("p_type", " ").getItem(0))
+        .groupBy("type_head")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("type_head")
+    )
+
+
+@register(
+    "orc_write_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n, sum(s_acctbal) AS bal
+    FROM supplier
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    doc="ORC sink + source round-trip: supplier written as ORC, read "
+    "back, aggregated by nation.  ORC is Spark's other native columnar "
+    "format — same pushdown/pruning as parquet.",
+)
+def orc_write_roundtrip(spark, sf_dir):
+    path = _materialize(
+        sf_dir,
+        "supplier_orc",
+        lambda tmp: (
+            table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .write.mode("overwrite")
+            .orc(tmp)
+        ),
+    )
+    return (
+        spark.read.orc(path)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("s_acctbal").alias("bal"))
+        .orderBy("s_nationkey")
+    )
