@@ -123,6 +123,50 @@ def seqfile_roundtrip_double_sum(spark, sf_dir):
 
 
 @register(
+    "seqfile_record_layout_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS value, count(*) AS n, sum(o_orderkey) AS key_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY value
+    """,
+    doc="RECORD-compressed layout (zlib DefaultCodec) round-trip — one "
+    "of the two Hadoop layouts beyond the reference's BLOCK+Snappy "
+    "(Parser.hs:56-60 rejects them; we read/write all three, "
+    "JVM-interop-tested).  orders → record-layout seqfile → aggregate.",
+)
+def seqfile_record_layout_roundtrip(spark, sf_dir):
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "orders_prio_record")
+    if not (
+        os.path.isdir(final)
+        and any(f.endswith(".seq") for f in os.listdir(final))
+    ):
+        tmp = final + "." + uuid.uuid4().hex[:8]
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderpriority").alias("value"),
+            )
+            .write.format("hadoop_seq")
+            .option("compression_type", "record")
+            .option("codec", "default")
+            .mode("append")
+            .save(tmp)
+        )
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.format("hadoop_seq").load(final)
+    return (
+        df.groupBy("value")
+        .agg(F.count("*").alias("n"), F.sum("key").alias("key_sum"))
+        .orderBy("value")
+    )
+
+
+@register(
     "seqfile_stream_source_counts",
     oracle="""
     SELECT l_returnflag AS value, count(*) AS n

@@ -46,7 +46,11 @@ from .varint import (
 MAGIC = b"SEQ"
 VERSION = 6
 SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
+DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
+BZIP2_CODEC = "org.apache.hadoop.io.compress.BZip2Codec"
 SYNC_ESCAPE = b"\xff\xff\xff\xff"
+SYNC_INTERVAL = 100 * (4 + 16)  # Hadoop: sync every ~2000 bytes (record/none)
 
 # Java class name ↔ decoder metadata (SURVEY §1.2 table; Writable.hs:73-106)
 # entry: (arrow type, numpy big-endian dtype or None for variable width)
@@ -80,16 +84,86 @@ class SeqFileError(ValueError):
     (``SequenceFile.hs:64, 91-95``)."""
 
 
+# ---------------------------------------------------------------------------
+# Codecs.  The reference supports exactly BLOCK+Snappy (Parser.hs:56-65);
+# we add Hadoop's zlib-family codecs and the RECORD/uncompressed layouts
+# for real-world interop (JVM Hadoop as the oracle, same strategy as the
+# reference's own tests).  Two compressed-stream shapes exist:
+#
+# * snappy-style codecs wrap output in a Hadoop BlockCompressorStream
+#   (4-byte BE total + repeated [4-byte BE chunk size + raw chunk],
+#   ``decode.c:76-118``);
+# * zlib-family codecs (Default/Gzip/BZip2) emit one continuous
+#   compressed stream per section — no framing (verified against
+#   Hadoop-written fixtures: block sections start with the zlib magic
+#   0x789c directly).
+# ---------------------------------------------------------------------------
+
+
+def _zlib_stream_decompress(buf: bytes, wbits: int) -> bytes:
+    """Decompress possibly-concatenated zlib/gzip streams."""
+    out = []
+    while buf:
+        d = __import__("zlib").decompressobj(wbits)
+        out.append(d.decompress(buf))
+        out.append(d.flush())
+        if not d.eof:
+            raise SeqFileError("truncated compressed stream")
+        buf = d.unused_data
+    return b"".join(out)
+
+
+def _bz2_stream_decompress(buf: bytes) -> bytes:
+    import bz2
+
+    out = []
+    while buf:
+        d = bz2.BZ2Decompressor()
+        out.append(d.decompress(buf))
+        if not d.eof:
+            raise SeqFileError("truncated bzip2 stream")
+        buf = d.unused_data
+    return b"".join(out)
+
+
+def _codec_funcs(codec_class: str):
+    """(compress, decompress) for one section / one record value."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import zlib as _zlib
+
+    if codec_class == SNAPPY_CODEC:
+        return _compress_block_stream, _decompress_block_stream
+    if codec_class == DEFAULT_CODEC:
+        return _zlib.compress, lambda b: _zlib_stream_decompress(b, 15)
+    if codec_class == GZIP_CODEC:
+        return _gzip.compress, lambda b: _zlib_stream_decompress(b, 31)
+    if codec_class == BZIP2_CODEC:
+        return _bz2.compress, _bz2_stream_decompress
+    raise SeqFileError(f"unsupported codec: {codec_class}")  # Parser.hs:62-65
+
+
+SUPPORTED_CODECS = (SNAPPY_CODEC, DEFAULT_CODEC, GZIP_CODEC, BZIP2_CODEC)
+
+
 @dataclass
 class Header:
     """File header (``Types.hs:18-25``)."""
 
     key_class: str
     value_class: str
-    codec_class: str
+    codec_class: str  # "" when uncompressed
     metadata: list[tuple[str, str]]
     sync: bytes
     header_len: int = 0  # byte offset of first record block
+    compression: bool = True
+    block_compression: bool = True
+
+    @property
+    def compression_type(self) -> str:
+        if self.block_compression:
+            return "block"
+        return "record" if self.compression else "none"
 
     def arrow_schema(self) -> pa.Schema:
         for cls, role in ((self.key_class, "key"), (self.value_class, "value")):
@@ -135,13 +209,17 @@ def parse_header(buf: bytes) -> Header:
         raise SeqFileError("truncated header")
     compression, block_compression = buf[pos], buf[pos + 1]
     pos += 2
-    if not (compression == 1 and block_compression == 1):
-        raise SeqFileError(
-            "only block-compressed sequence files are supported"
-        )  # Parser.hs:56-60
-    codec_class, pos = _read_text(buf, pos)
-    if codec_class != SNAPPY_CODEC:
-        raise SeqFileError(f"unsupported codec: {codec_class}")  # Parser.hs:62-65
+    if block_compression and not compression:
+        raise SeqFileError("invalid header: blockCompression without compression")
+    # the reference accepts ONLY (1,1)+Snappy (Parser.hs:56-65); we also
+    # read Hadoop's RECORD-compressed and uncompressed layouts, and the
+    # zlib-family codecs, for real-world interop (SURVEY §7 non-goals,
+    # lifted in round 2)
+    codec_class = ""
+    if compression:
+        codec_class, pos = _read_text(buf, pos)
+        if codec_class not in SUPPORTED_CODECS:
+            raise SeqFileError(f"unsupported codec: {codec_class}")  # Parser.hs:62-65
     (meta_count,) = struct.unpack(">I", buf[pos : pos + 4])  # BE, Hadoop-correct
     pos += 4
     metadata = []
@@ -153,7 +231,16 @@ def parse_header(buf: bytes) -> Header:
     if len(sync) != 16:
         raise SeqFileError("truncated sync marker")
     pos += 16
-    return Header(key_class, value_class, codec_class, metadata, sync, pos)
+    return Header(
+        key_class,
+        value_class,
+        codec_class,
+        metadata,
+        sync,
+        pos,
+        compression=bool(compression),
+        block_compression=bool(block_compression),
+    )
 
 
 def _decompress_block_stream(buf: bytes) -> bytes:
@@ -202,9 +289,16 @@ def _compress_block_stream(buf: bytes) -> bytes:
 
 
 def _decode_column(
-    java_class: str, lengths_buf: bytes, data_buf: bytes, count: int
+    java_class: str,
+    lengths_buf: bytes | np.ndarray,
+    data_buf: bytes,
+    count: int,
 ) -> pa.Array:
-    """Decode one column section (``Writable.hs:110-134``, ``decode.c:122-227``)."""
+    """Decode one column section (``Writable.hs:110-134``, ``decode.c:122-227``).
+
+    ``lengths_buf`` is either the varint-packed lengths section (block
+    layout) or an already-materialized numpy length array (record/
+    uncompressed layouts, where lengths come from record headers)."""
     arrow_type, np_dtype = WRITABLES[java_class]
     if np_dtype == "null":
         return pa.nulls(count)  # NullWritable: zero bytes/record (Writable.hs:73-75)
@@ -217,7 +311,10 @@ def _decode_column(
             )
         return pa.array(arr.astype(np_dtype[1:]), type=arrow_type)
     # variable width: per-record lengths drive offset slicing
-    lengths = decode_vint_array(lengths_buf, count)
+    if isinstance(lengths_buf, np.ndarray):
+        lengths = lengths_buf
+    else:
+        lengths = decode_vint_array(lengths_buf, count)
     if lengths.sum() != len(data_buf):
         raise SeqFileError("variable-width lengths do not cover data buffer")
     data = np.frombuffer(data_buf, dtype=np.uint8)
@@ -309,19 +406,20 @@ def _read_vint_stream(f: io.BufferedIOBase) -> int:
 def _decode_raw(
     raw: _RawBlock, header: Header, *, want_keys: bool = True, want_values: bool = True
 ) -> RecordBlock:
+    _, decompress = _codec_funcs(header.codec_class)
     keys = values = None
     if want_keys:
         keys = _decode_column(
             header.key_class,
-            _decompress_block_stream(raw.sections[0]),
-            _decompress_block_stream(raw.sections[1]),
+            decompress(raw.sections[0]),
+            decompress(raw.sections[1]),
             raw.count,
         )
     if want_values:
         values = _decode_column(
             header.value_class,
-            _decompress_block_stream(raw.sections[2]),
-            _decompress_block_stream(raw.sections[3]),
+            decompress(raw.sections[2]),
+            decompress(raw.sections[3]),
             raw.count,
         )
     return RecordBlock(raw.count, keys, values, raw.offset)
@@ -341,12 +439,15 @@ def iter_blocks(
     end: int | None = None,
     header: Header | None = None,
 ) -> Iterator[RecordBlock]:
-    """Stream record blocks, optionally restricted to a byte-range split.
+    """Stream columnar batches, optionally restricted to a byte-range
+    split.  Dispatches on the file's layout: BLOCK-compressed files
+    yield one batch per record block; RECORD-compressed and
+    uncompressed files yield re-batched runs of records.
 
-    Split semantics match Hadoop's SequenceFile reader: a block belongs
-    to the split containing the first byte of its sync escape.  For
-    ``start > 0`` we scan forward for the 20-byte
-    ``SYNC_ESCAPE + sync`` pattern (the reference never splits —
+    Split semantics match Hadoop's SequenceFile reader: for
+    ``start > 0`` the reader resyncs to the first 20-byte
+    ``SYNC_ESCAPE + sync`` pattern at/after ``start``, and reads until
+    it meets a sync at/after ``end`` (the reference never splits —
     ``SequenceFile.hs:81-89`` — this is our 100 TB requirement).
     """
     with open(path, "rb") as f:
@@ -354,49 +455,203 @@ def iter_blocks(
             header = parse_header(f.read(4096))
         file_end = os.fstat(f.fileno()).st_size
         stop = file_end if end is None else min(end, file_end)
-        pos = max(start, header.header_len)
-        if start > 0:
-            pos = _find_sync(f, header, start, file_end)
-            if pos is None:
-                return
-        f.seek(pos)
-        while f.tell() < stop:
-            raw = _read_raw_block(f, header)
-            if raw is None:
-                return
-            yield _decode_raw(raw, header, want_keys=want_keys, want_values=want_values)
+        if header.block_compression:
+            pos = max(start, header.header_len)
+            if start > 0:
+                pos = _find_sync(f, header, start, file_end)
+                if pos is None:
+                    return
+            f.seek(pos)
+            while f.tell() < stop:
+                raw = _read_raw_block(f, header)
+                if raw is None:
+                    return
+                yield _decode_raw(
+                    raw, header, want_keys=want_keys, want_values=want_values
+                )
+            return
+        if not _enter_record_stream(f, header, start, file_end):
+            return
+        yield from _iter_record_batches(
+            f, header, stop, want_keys=want_keys, want_values=want_values
+        )
+
+
+def _enter_record_stream(
+    f: io.BufferedIOBase, header: Header, start: int, file_end: int
+) -> bool:
+    """Position ``f`` at the first record of a split of a record-oriented
+    (non-block) file.  Split 0 starts right after the header; later
+    splits resync forward."""
+    if start <= header.header_len:
+        f.seek(header.header_len)
+        return True
+    pos = _find_sync(f, header, start, file_end)
+    if pos is None:
+        return False
+    f.seek(pos + 20)  # consume the entry sync
+    return True
+
+
+_RECORD_BATCH = 16384
+
+
+def _iter_record_batches(
+    f: io.BufferedIOBase,
+    header: Header,
+    end: int,
+    *,
+    want_keys: bool = True,
+    want_values: bool = True,
+    count_only: bool = False,
+) -> Iterator[RecordBlock]:
+    """Walk a RECORD-compressed / uncompressed record stream, yielding
+    columnar ``RecordBlock`` batches (``_RECORD_BATCH`` records each).
+
+    Record layout (Hadoop SequenceFile.Writer.append): 4-byte BE record
+    length (serialized key + stored value bytes), 4-byte BE key length,
+    key bytes, value bytes; a length of -1 escapes a 16-byte sync
+    marker.  In RECORD mode each value is independently compressed with
+    the codec; keys are never compressed.  The reader consumes records
+    until it meets a sync at/after ``end`` (Hadoop's ``syncSeen`` split
+    rule: records between ``end`` and that sync belong to THIS split).
+    """
+    decompress_value = None
+    if header.compression:
+        decompress_value = _codec_funcs(header.codec_class)[1]
+
+    chunk_size = 1 << 20
+    buf = b""
+    base = f.tell()  # file offset of buf[0]
+    pos = 0
+
+    def ensure(n: int) -> bool:
+        nonlocal buf, base, pos
+        if pos + n <= len(buf):
+            return True
+        buf = buf[pos:]
+        base += pos
+        pos = 0
+        while len(buf) < n:
+            more = f.read(max(chunk_size, n - len(buf)))
+            if not more:
+                return False
+            buf += more
+        return True
+
+    batch_offset = base
+    key_parts: list[bytes] = []
+    key_lens: list[int] = []
+    val_parts: list[bytes] = []
+    val_lens: list[int] = []
+    count = 0
+
+    def flush() -> RecordBlock | None:
+        nonlocal key_parts, key_lens, val_parts, val_lens, count, batch_offset
+        if not count:
+            return None
+        keys = values = None
+        if want_keys and not count_only:
+            keys = _decode_column(
+                header.key_class,
+                np.asarray(key_lens, dtype=np.int64),
+                b"".join(key_parts),
+                count,
+            )
+        if want_values and not count_only:
+            values = _decode_column(
+                header.value_class,
+                np.asarray(val_lens, dtype=np.int64),
+                b"".join(val_parts),
+                count,
+            )
+        block = RecordBlock(count, keys, values, batch_offset)
+        key_parts, key_lens, val_parts, val_lens = [], [], [], []
+        count = 0
+        batch_offset = base + pos
+        return block
+
+    while True:
+        if not ensure(4):
+            if len(buf) - pos not in (0,):
+                raise SeqFileError("truncated record")
+            break
+        (rl,) = struct.unpack_from(">i", buf, pos)
+        if rl == -1:  # sync escape
+            if base + pos >= end:
+                break  # first sync at/after the split end: stop BEFORE it
+            if not ensure(20):
+                raise SeqFileError("truncated sync marker")
+            if buf[pos + 4 : pos + 20] != header.sync:
+                raise SeqFileError("file is corrupt (sync mismatch)")
+            pos += 20
+            continue
+        if rl < 0:
+            raise SeqFileError("file is corrupt (negative record length)")
+        if not ensure(8 + rl):
+            raise SeqFileError("truncated record")
+        (kl,) = struct.unpack_from(">i", buf, pos + 4)
+        if kl < 0 or kl > rl:
+            raise SeqFileError("file is corrupt (bad key length)")
+        if not count_only:
+            if want_keys:
+                key_parts.append(buf[pos + 8 : pos + 8 + kl])
+                key_lens.append(kl)
+            if want_values:
+                raw_val = buf[pos + 8 + kl : pos + 8 + rl]
+                if decompress_value is not None:
+                    raw_val = decompress_value(raw_val)
+                val_parts.append(raw_val)
+                val_lens.append(len(raw_val))
+        count += 1
+        pos += 8 + rl
+        if count >= _RECORD_BATCH:
+            block = flush()
+            if block is not None:
+                yield block
+    block = flush()
+    if block is not None:
+        yield block
 
 
 def iter_block_counts(
     path: str, *, start: int = 0, end: int | None = None, header: Header | None = None
 ) -> Iterator[int]:
-    """Count fast path: record counts from block headers alone, no
-    decompression (SURVEY §3 EP3 — count lives at ``Parser.hs:103``)."""
+    """Count fast path: for BLOCK files, record counts from block
+    headers alone — no decompression (SURVEY §3 EP3, count lives at
+    ``Parser.hs:103``).  For record-oriented files the stream is walked
+    but nothing is decoded or decompressed."""
     with open(path, "rb") as f:
         if header is None:
             header = parse_header(f.read(4096))
         file_end = os.fstat(f.fileno()).st_size
         stop = file_end if end is None else min(end, file_end)
-        pos = max(start, header.header_len)
-        if start > 0:
-            pos = _find_sync(f, header, start, file_end)
-            if pos is None:
-                return
-        f.seek(pos)
-        while f.tell() < stop:
-            offset = f.tell()
-            escape = f.read(4)
-            if not escape:
-                return
-            if escape != SYNC_ESCAPE:
-                raise SeqFileError("file is corrupt (bad sync escape)")
-            if f.read(16) != header.sync:
-                raise SeqFileError("file is corrupt (sync mismatch)")
-            count = _read_vint_stream(f)
-            for _ in range(4):
-                n = _read_vint_stream(f)
-                f.seek(n, os.SEEK_CUR)
-            yield count
+        if header.block_compression:
+            pos = max(start, header.header_len)
+            if start > 0:
+                pos = _find_sync(f, header, start, file_end)
+                if pos is None:
+                    return
+            f.seek(pos)
+            while f.tell() < stop:
+                offset = f.tell()
+                escape = f.read(4)
+                if not escape:
+                    return
+                if escape != SYNC_ESCAPE:
+                    raise SeqFileError("file is corrupt (bad sync escape)")
+                if f.read(16) != header.sync:
+                    raise SeqFileError("file is corrupt (sync mismatch)")
+                count = _read_vint_stream(f)
+                for _ in range(4):
+                    n = _read_vint_stream(f)
+                    f.seek(n, os.SEEK_CUR)
+                yield count
+            return
+        if not _enter_record_stream(f, header, start, file_end):
+            return
+        for block in _iter_record_batches(f, header, stop, count_only=True):
+            yield block.count
 
 
 def _find_sync(
@@ -429,6 +684,8 @@ def _find_sync(
 def _verify_block_at(
     f: io.BufferedIOBase, header: Header, offset: int, file_end: int
 ) -> bool:
+    if not header.block_compression:
+        return _verify_record_at(f, header, offset, file_end)
     save = f.tell()
     try:
         f.seek(offset + 20)
@@ -443,6 +700,27 @@ def _verify_block_at(
         return True
     except SeqFileError:
         return False
+    finally:
+        f.seek(save)
+
+
+def _verify_record_at(
+    f: io.BufferedIOBase, header: Header, offset: int, file_end: int
+) -> bool:
+    """A candidate sync in a record stream is followed by either another
+    sync escape, EOF, or a plausible record header."""
+    save = f.tell()
+    try:
+        f.seek(offset + 20)
+        head = f.read(8)
+        if len(head) == 0:
+            return True  # sync at EOF
+        if head[:4] == SYNC_ESCAPE:
+            return True
+        if len(head) < 8:
+            return False
+        rl, kl = struct.unpack(">ii", head)
+        return 0 <= kl <= rl and offset + 28 + rl <= file_end
     finally:
         f.seek(save)
 
@@ -539,20 +817,20 @@ def _vint_prefix_matrix(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return pfx, plen
 
 
-def _encode_column(java_class: str, arr: pa.Array) -> tuple[bytes, bytes]:
-    """Encode one column → (lengths buffer, data buffer), uncompressed.
-    Variable-width paths are numpy-vectorized (no per-record Python)."""
+def _encode_column_np(java_class: str, arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Encode one column → (per-record serialized lengths, data buffer),
+    uncompressed.  Variable-width paths are numpy-vectorized (no
+    per-record Python)."""
     _, np_dtype = WRITABLES[java_class]
     n = len(arr)
     if arr.null_count and np_dtype != "null":
         raise SeqFileError(f"{java_class} cannot encode nulls")
     if np_dtype == "null":
-        return encode_vint_array(np.zeros(n, dtype=np.int64)), b""
+        return np.zeros(n, dtype=np.int64), b""
     if np_dtype is not None:
         width = int(np_dtype[2:])
         data = arr.to_numpy(zero_copy_only=False).astype(np_dtype).tobytes()
-        lengths = encode_vint_array(np.full(n, width, dtype=np.int64))
-        return lengths, data
+        return np.full(n, width, dtype=np.int64), data
     if java_class == "org.apache.hadoop.io.Text":
         data, lens = _var_buffers(arr.cast(pa.string()))
         pfx, plen = _vint_prefix_matrix(lens)
@@ -563,12 +841,21 @@ def _encode_column(java_class: str, arr: pa.Array) -> tuple[bytes, bytes]:
         for k in range(4):
             pfx[:, k] = (lens >> (8 * (3 - k))) & 0xFF
     payload = _interleave_prefixed(data, lens, pfx, plen)
-    return encode_vint_array(plen + lens), payload
+    return plen + lens, payload
+
+
+def _encode_column(java_class: str, arr: pa.Array) -> tuple[bytes, bytes]:
+    """Block-layout encoding: (varint-packed lengths section, data)."""
+    lens, payload = _encode_column_np(java_class, arr)
+    return encode_vint_array(lens), payload
 
 
 @dataclass
 class SeqFileWriter:
-    """Writes a BLOCK+Snappy SequenceFile (inverse of the parse path)."""
+    """Writes a SequenceFile; BLOCK+Snappy by default (inverse of the
+    reference's parse path), with ``compression_type`` in
+    {"block", "record", "none"} and any ``codec`` from
+    ``SUPPORTED_CODECS`` for Hadoop interop."""
 
     path: str
     key_class: str
@@ -576,13 +863,22 @@ class SeqFileWriter:
     metadata: list[tuple[str, str]] = field(default_factory=list)
     sync: bytes | None = None
     block_records: int = 65536
+    compression_type: str = "block"
+    codec: str = SNAPPY_CODEC
 
     def __post_init__(self):
+        if self.compression_type not in ("block", "record", "none"):
+            raise SeqFileError(
+                f"compression_type must be block|record|none, got {self.compression_type}"
+            )
+        if self.compression_type != "none":
+            self._compress, _ = _codec_funcs(self.codec)
         if self.sync is None:
             # deterministic-ish but unique per file; 16 bytes like MD5
             self.sync = os.urandom(16)
         self._f = open(self.path, "wb")
         self._write_header()
+        self._last_sync_pos = 0  # record/none layouts: sync cadence
         self._pending_keys: list[pa.Array] = []
         self._pending_values: list[pa.Array] = []
         self._pending_count = 0
@@ -598,8 +894,10 @@ class SeqFileWriter:
         f.write(bytes([VERSION]))
         self._write_text(self.key_class)
         self._write_text(self.value_class)
-        f.write(b"\x01\x01")  # compression + blockCompression
-        self._write_text(SNAPPY_CODEC)
+        ct = self.compression_type
+        f.write(bytes([ct != "none", ct == "block"]))  # compression, blockCompression
+        if ct != "none":
+            self._write_text(self.codec)
         f.write(struct.pack(">I", len(self.metadata)))
         for k, v in self.metadata:
             self._write_text(k)
@@ -608,11 +906,46 @@ class SeqFileWriter:
 
     def write_batch(self, keys: pa.Array, values: pa.Array) -> None:
         assert len(keys) == len(values)
+        if self.compression_type != "block":
+            self._write_records(keys, values)
+            return
         self._pending_keys.append(keys)
         self._pending_values.append(values)
         self._pending_count += len(keys)
         if self._pending_count >= self.block_records:
             self._flush_block()
+
+    def _write_records(self, keys: pa.Array, values: pa.Array) -> None:
+        """RECORD / uncompressed layout (Hadoop Writer.append): per
+        record ``[rl][kl][key][value]``, sync every ~SYNC_INTERVAL
+        bytes.  In RECORD mode each value is independently compressed
+        (that's the format — per-record codec calls are inherent; BLOCK
+        is the performance path)."""
+        f = self._f
+        key_lens, key_buf = _encode_column_np(
+            self.key_class, keys.cast(WRITABLES[self.key_class][0])
+        )
+        val_lens, val_buf = _encode_column_np(
+            self.value_class, values.cast(WRITABLES[self.value_class][0])
+        )
+        k_off = np.zeros(len(key_lens) + 1, dtype=np.int64)
+        np.cumsum(key_lens, out=k_off[1:])
+        v_off = np.zeros(len(val_lens) + 1, dtype=np.int64)
+        np.cumsum(val_lens, out=v_off[1:])
+        kmv, vmv = memoryview(key_buf), memoryview(val_buf)
+        compress = self._compress if self.compression_type == "record" else None
+        for i in range(len(key_lens)):
+            key = kmv[k_off[i] : k_off[i + 1]]
+            val = vmv[v_off[i] : v_off[i + 1]]
+            if compress is not None:
+                val = compress(bytes(val))
+            if f.tell() - self._last_sync_pos >= SYNC_INTERVAL:
+                f.write(SYNC_ESCAPE)
+                f.write(self.sync)
+                self._last_sync_pos = f.tell()
+            f.write(struct.pack(">ii", len(key) + len(val), len(key)))
+            f.write(key)
+            f.write(val)
 
     def _flush_block(self) -> None:
         if not self._pending_count:
@@ -626,7 +959,7 @@ class SeqFileWriter:
         for java_class, arr in ((self.key_class, keys), (self.value_class, values)):
             lengths, data = _encode_column(java_class, arr)
             for buf in (lengths, data):
-                comp = _compress_block_stream(buf)
+                comp = self._compress(buf)
                 f.write(encode_vint(len(comp)))
                 f.write(comp)
         self._pending_keys = []
@@ -651,6 +984,8 @@ def write_table(
     key_class: str | None = None,
     value_class: str | None = None,
     block_records: int = 65536,
+    compression_type: str = "block",
+    codec: str = SNAPPY_CODEC,
 ) -> None:
     """Write a 2-column Arrow table (key, value) as a SequenceFile."""
     if table.num_columns != 2:
@@ -659,7 +994,14 @@ def write_table(
     vc = value_class or ARROW_TO_CLASS.get(str(table.schema.types[1]))
     if kc is None or vc is None:
         raise SeqFileError(f"unsupported arrow types: {table.schema.types}")
-    with SeqFileWriter(path, kc, vc, block_records=block_records) as w:
+    with SeqFileWriter(
+        path,
+        kc,
+        vc,
+        block_records=block_records,
+        compression_type=compression_type,
+        codec=codec,
+    ) as w:
         for batch in table.to_batches(max_chunksize=block_records):
             w.write_batch(
                 pa.concat_arrays(batch.column(0).chunks) if hasattr(batch.column(0), "chunks") else batch.column(0),

@@ -1,4 +1,9 @@
-"""Spark Python DataSource ``hadoop_seq`` — SequenceFile (BLOCK+Snappy).
+"""Spark Python DataSource ``hadoop_seq`` — Hadoop SequenceFiles.
+
+Reads/writes all three layouts (BLOCK-compressed — the reference's only
+layout — plus RECORD-compressed and uncompressed) and the
+Snappy/Default(zlib)/Gzip/BZip2 codecs, auto-detected from each file's
+header.
 
 Spark-first re-expression of the reference's scan/decode entry point
 (``decode``, ``src/Data/Hadoop/SequenceFile.hs:81-84``): one DataFrame
@@ -141,6 +146,10 @@ class SeqFileDataSource(DataSource):
     Writer options:
       * ``path`` — output directory (one part file per partition)
       * ``block_records`` — records per record-block (default 65536)
+      * ``compression_type`` — block (default) | record | none
+      * ``codec`` — Hadoop codec class (Snappy default; also
+        DefaultCodec/GzipCodec/BZip2Codec).  The reader auto-detects
+        layout and codec from each file's header.
     """
 
     @classmethod
@@ -408,6 +417,17 @@ class SeqFileWriter(DataSourceArrowWriter):
                 )
             self.classes.append(cls)
         self.block_records = int(options.get("block_records", 65536))
+        self.compression_type = options.get("compression_type", "block").lower()
+        codec = options.get("codec", core.SNAPPY_CODEC)
+        # accept short names: snappy, default, gzip, bzip2
+        short = {
+            "snappy": core.SNAPPY_CODEC,
+            "default": core.DEFAULT_CODEC,
+            "deflate": core.DEFAULT_CODEC,
+            "gzip": core.GZIP_CODEC,
+            "bzip2": core.BZIP2_CODEC,
+        }
+        self.codec = short.get(codec.lower(), codec)
         if overwrite and os.path.isdir(self.dir):
             for f in os.listdir(self.dir):
                 if f.endswith(".seq"):
@@ -434,6 +454,8 @@ class SeqFileWriter(DataSourceArrowWriter):
                         self.classes[0],
                         self.classes[1],
                         block_records=self.block_records,
+                        compression_type=self.compression_type,
+                        codec=self.codec,
                     )
                 keys = batch.column(0).cast(core.WRITABLES[self.classes[0]][0])
                 values = batch.column(1).cast(core.WRITABLES[self.classes[1]][0])
