@@ -29,6 +29,21 @@ def _parallelism(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+def _spread(df: DataFrame, key) -> DataFrame:
+    """Repartition ONLY if the source is under-partitioned relative to
+    the cluster.  The CPU-heavy shingle/hash stages are pure
+    projections — they need enough input partitions, not a shuffle: at
+    100 TB the scan already yields ~maxPartitionBytes-sized splits and
+    this is a no-op; a full repartition there would shuffle the whole
+    corpus for nothing.  Locally, a tiny parquet file arrives as one
+    split and WOULD serialize the hash work on one core, so we spread
+    it."""
+    target = _parallelism(df)
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, key)
+
+
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact dedup: hash-groupBy keeping the lowest id per key group.
     (`dropDuplicates` is the built-in; this variant keeps a deterministic
@@ -70,17 +85,38 @@ def minhash_hash_concat(shingles: Column, num_hashes: int) -> Column:
     return F.transform(shingles, per_shingle)
 
 
-def minhash_signature_cols(hash_concat: Column, num_hashes: int) -> list[Column]:
-    """Signature j = min over shingles of the j-th 8-hex slice of the
-    per-shingle hash material — pure map-side (transform + array_min),
-    no explode, no shuffle."""
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signatures.
 
-    def sig(j: int) -> Column:
-        return F.array_min(
-            F.transform(hash_concat, lambda x: F.substring(x, j * 8 + 1, 8))
-        ).alias(f"h{j}")
-
-    return [sig(j) for j in range(num_hashes)]
+    Explode the per-shingle hash material, then ``min`` aggregates per
+    signature position.  The explode is load-bearing: a
+    projection-only formulation (array_min over 8 transforms of a
+    shared hash column) gets CollapseProject'd so the md5 pipeline
+    inlines into — and re-executes for — every signature position
+    (measured 5× slower), and higher-order-function subtrees defeat
+    subexpression elimination.  Here md5 runs once per (doc, shingle)
+    in the Generate stage; the 8 substring-mins partial-aggregate
+    map-side, so the one shuffle carries ~80 bytes/doc regardless of
+    corpus size."""
+    hashed = _spread(docs, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            minhash_hash_concat(word_shingles(text_col, shingle_n), num_hashes)
+        ).alias("hmat"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("hmat", j * 8 + 1, 8)).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
 
 
 def minhash_band_pairs(
@@ -99,24 +135,11 @@ def minhash_band_pairs(
     space never materializes globally.  Returns (doc_a, doc_b) distinct.
     """
     rows = num_hashes // bands
-    # signatures straight off the per-doc shingle array: transform +
-    # array_min is pure map-side — no explode, no groupBy shuffle.  The
-    # repartition only parallelizes the md5 work when the source
-    # collapses to few splits (AQE won't coalesce an explicit count).
-    # The hash material is materialized as a column so the md5s run
-    # once, not once per signature position.
-    sigs = (
-        docs.repartition(_parallelism(docs), F.col(id_col))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            minhash_hash_concat(
-                word_shingles(text_col, shingle_n), num_hashes
-            ).alias("hh"),
-        )
-        .select(
-            "doc_id", *minhash_signature_cols(F.col("hh"), num_hashes)
-        )
-        .filter(F.col("h0").isNotNull())  # docs too short to shingle drop out
+    # explode-then-min-aggregate signatures (see minhash_signatures for
+    # why NOT a pure projection); docs too short to shingle drop out
+    # naturally (explode of an empty array emits no rows)
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     # one posexplode pass instead of a bands-way union (single scan of sigs)
     band_keys = F.array(
@@ -177,40 +200,47 @@ def shingle_jaccard_pairs(
     jaccard rounded to 3 decimals.
     """
     if candidates is not None:
-        # verify path: join each candidate pair against the two docs'
-        # shingle ARRAYS and intersect in place — the candidate pipeline
-        # is computed exactly once and the shuffle is O(|candidates|),
-        # never the inverted-index pair space
-        sets = docs.repartition(_parallelism(docs), F.col(id_col)).select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, shingle_n).alias("shingles"),
+        # verify path: explode each candidate pair into its two sides,
+        # join ONCE against the docs to pick up shingle arrays (the join
+        # doubles as the only-shingle-what-you-verify filter), then
+        # regroup per pair and intersect in place.  Each plan input is
+        # referenced exactly once — a sides-as-two-aliases formulation
+        # would inline the whole candidate pipeline once per side — and
+        # the shuffles are O(|candidate sides|), never the
+        # inverted-index pair space.
+        sides = candidates.select(
+            "doc_a",
+            "doc_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
         )
-        sa = sets.select(
-            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        shingled = sides.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                word_shingles(text_col, shingle_n).alias("shingles"),
+            ),
+            "doc_id",
         )
-        sb = sets.select(
-            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        first_match = lambda side: F.first(  # noqa: E731
+            F.when(F.col("doc_id") == F.col(side), F.col("shingles")),
+            ignorenulls=True,
+        )
+        paired = shingled.groupBy("doc_a", "doc_b").agg(
+            first_match("doc_a").alias("sh_a"),
+            first_match("doc_b").alias("sh_b"),
         )
         n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        return (
-            candidates.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(
-                    n_inter
-                    / (F.size("sh_a") + F.size("sh_b") - n_inter),
-                    3,
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
+        return paired.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 3
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
 
     # exhaustive path (ground truth): shingle inverted-index self-join —
     # pairs are generated only for docs sharing a shingle, never a cross
     # join; shuffles on the high-cardinality shingle key
-    shingled = docs.repartition(_parallelism(docs), F.col(id_col)).select(
+    shingled = _spread(docs, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).distinct()

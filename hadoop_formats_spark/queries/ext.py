@@ -55,7 +55,7 @@ def dedup_exact(spark, sf_dir):
 
 
 # signature j = min 8-hex slice of md5('{j//4}:' || shingle) — matches
-# operators.dedup.minhash_hash_concat/minhash_signature_cols exactly
+# operators.dedup.minhash_hash_concat/minhash_signatures exactly
 _MINHASH_SIG_SQL = ",\n    ".join(
     f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
     for j in range(8)

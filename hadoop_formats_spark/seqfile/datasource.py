@@ -255,13 +255,15 @@ class SeqFileReader(DataSourceReader):
         split_size = self.split_size
         if split_size <= 0:
             # mirror Spark's FilePartition sizing: aim for ~2 waves of
-            # tasks over the visible cores, clamped to [4 MiB, 128 MiB]
+            # tasks over the visible cores, clamped to [1 MiB, 128 MiB]
             # (explicit ``split_size`` option overrides; on a cluster the
-            # 128 MiB cap keeps task counts sane at 100 TB)
+            # 128 MiB cap keeps task counts sane at 100 TB, while the
+            # 1 MiB floor stops a small file from serializing onto two
+            # tasks — below that, Python-worker startup dominates)
             total = sum(sizes.values())
             cores = os.cpu_count() or 8
             split_size = min(
-                DEFAULT_SPLIT_SIZE, max(4 * 1024 * 1024, total // (2 * cores))
+                DEFAULT_SPLIT_SIZE, max(1024 * 1024, total // (2 * cores))
             )
         ranges: list[tuple[str, int, int]] = []
         for path in self.paths:
