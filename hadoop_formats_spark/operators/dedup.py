@@ -294,27 +294,39 @@ def shingle_jaccard_pairs(
     )
 
 
-def simhash32(text: Column | str) -> Column:
-    """32-bit SimHash as a 32-char bit string.
+def simhash32(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash as a 32-char bit string.
 
     Per token: md5 hex; bit i = high bit of hex nibble i (deterministic,
     engine-portable).  Document bit i = sign of the token-count-weighted
     sum of (±1).  Returned as a bit string so the oracle can compare
-    without 64-bit signed arithmetic."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(c), " ")
-    # token -> md5 once (array of (md5) per token, weights = token multiplicity)
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    without 64-bit signed arithmetic.
 
-    # factory so the closure captures i without adding a lambda param
-    # (PySpark maps lambda arity onto the higher-order function's arity)
-    def bit_contrib(i: int):
-        return lambda acc, h: acc + F.when(
-            F.substring(h, i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
-        ).otherwise(-1)
-
-    bits = []
-    for i in range(1, 33):
-        contrib = F.aggregate(hashes, F.lit(0), bit_contrib(i))
-        bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    Shaped as explode + 32 conditional-sum aggregates for the same
+    reason as ``minhash_signatures``: a projection building 32 bits
+    from a shared token-hash array gets CollapseProject'd into 32
+    re-executions of the md5 pipeline.  Here each token is hashed once
+    in the Generate stage and the sums partial-aggregate map-side."""
+    hashed = (
+        _spread(docs, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        )
+        .select(F.col(id_col), F.md5("tok").alias("th"))
+    )
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    sums = [
+        F.sum(
+            F.when(F.substring("th", i, 1).isin(*high), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(1, 33)
+    ]
+    agg = hashed.groupBy(id_col).agg(*sums)
+    bits = [
+        F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, 33)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))

@@ -146,9 +146,7 @@ _SIMHASH_BITS_SQL = ",\n      ".join(
 )
 def dedup_simhash(spark, sf_dir):
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select("doc_id", D.simhash32("text").alias("simhash")).orderBy(
-        "doc_id"
-    )
+    return D.simhash32(d).orderBy("doc_id")
 
 
 _COS_SQL = (

@@ -62,9 +62,7 @@ def test_jaccard_verify_equals_exhaustive_on_candidates(spark, docs):
 
 
 def test_simhash_identical_docs_equal_signatures(spark, docs):
-    out = {r["doc_id"]: r["sh"] for r in docs.select(
-        "doc_id", D.simhash32("text").alias("sh")
-    ).collect()}
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
     assert out[1] == out[4]
     assert len(out[1]) == 32 and set(out[1]) <= {"0", "1"}
 
