@@ -90,6 +90,41 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0)
 
 
+def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """(doc_id, rn, term, tfidf) — top-k terms per document by
+    tf·ln(N/df), deterministic tiebreak on term.
+
+    Corpus-level stats stay distributed: df is a groupBy on term
+    (partial-agg friendly), N rides along as a broadcast 1-row cross
+    join — no driver-side collect.  Ranking orders by the ROUNDED
+    score so the engine and the SQL oracle agree on ties."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "rn", "term", "tfidf")
+    )
+
+
 ROLLING_MOD = 1_000_003  # prime; keeps acc*31+c inside BIGINT
 
 

@@ -294,6 +294,70 @@ def shingle_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, group_id) — connected components over undirected dup
+    pairs: the step that turns pairwise near-dup hits into dedup GROUPS
+    (keep one doc per group).  group_id = smallest doc id in the
+    component.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; rounds needed =
+    component diameter, which for near-dup clusters is tiny.  Each
+    round is one join + one aggregate (both shuffle on node id, so at
+    scale consecutive rounds reuse the same hash partitioning);
+    ``localCheckpoint`` truncates the growing lineage — on a real
+    cluster use ``spark.sparkContext.setCheckpointDir`` + checkpoint
+    instead so a lost executor can't force a full recompute."""
+    sym = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("src").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
 def simhash32(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -122,6 +122,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.shingle_jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_group_assignment",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+    {_JACCARD_TAIL.lstrip()},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes x ON i.doc_a = x.doc_id
+      JOIN sizes y ON i.doc_b = y.doc_id
+      WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    doc="Near-dup pairs → dedup GROUPS: connected components by "
+    "iterative min-label propagation (Spark) vs recursive transitive "
+    "closure (oracle).  group_id = smallest doc in the component; "
+    "keep-one-per-group is then a trivial filter.",
+)
+def dedup_group_assignment(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(d, threshold=0.8)
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
 _SIMHASH_BITS_SQL = ",\n      ".join(
     "CASE WHEN sum(CASE WHEN substr(h, {i}, 1) >= '8' THEN 1 ELSE -1 END) > 0 "
     "THEN '1' ELSE '0' END".format(i=i)
@@ -446,6 +481,44 @@ def text_rolling_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", T.rolling_fingerprint("text").alias("rhash")
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, rn, term, tfidf FROM ranked
+    WHERE rn <= 3 AND doc_id < 50
+    ORDER BY doc_id, rn
+    """,
+    doc="TF-IDF: tf·ln(N/df) per (doc, term), top-3 terms per document "
+    "(rounded-score ordering, term tiebreak).  df and N computed "
+    "distributed; N joins as a broadcast scalar.",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = T.tfidf_top_terms(d, k=3)
+    return out.filter(F.col("doc_id") < 50).orderBy("doc_id", "rn")
 
 
 @register(

@@ -61,6 +61,30 @@ def test_jaccard_verify_equals_exhaustive_on_candidates(spark, docs):
     assert verified[(1, 4)] == 1.0
 
 
+def test_connected_components_chain_and_isolation(spark):
+    # chain 1-2-3 collapses to one group; 7-8 is separate
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r["doc_id"]: r["group_id"] for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    rows = [
+        (1, "alpha beta shared shared"),
+        (2, "gamma beta shared"),
+        (3, "delta beta shared"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = T.tfidf_top_terms(d, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rn"] == 1}
+    # the doc-unique term wins everywhere; corpus-wide terms score 0
+    assert top == {1: "alpha", 2: "gamma", 3: "delta"}
+    scores = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+    assert all(v > 0 for k, v in scores.items() if k[1] in ("alpha", "gamma", "delta"))
+
+
 def test_simhash_identical_docs_equal_signatures(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
     assert out[1] == out[4]
