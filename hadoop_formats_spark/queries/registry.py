@@ -93,6 +93,8 @@ PRIORITY_ORDER = [
     "seqfile_roundtrip_double_sum",
     "seqfile_block_count_fast_path",
     "seqfile_stream_source_counts",
+    "seqfile_stream_sink_roundtrip",
+    "seqfile_record_layout_roundtrip",
     "parquet_write_roundtrip",
     "parquet_partitioned_pruned_read",
     # [ext] dedup / similarity / text / multimodal (SURVEY §2.3)
@@ -103,11 +105,9 @@ PRIORITY_ORDER = [
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
     "ann_ivf_topk",
-    "ann_ivf_nprobe2_topk",
     "text_lang_id_confusion",
     "text_quality_score",
     "text_token_counts",
-    "text_bpe_token_counts",
     "text_rolling_fingerprint",
     "text_fingerprint_dups",
     "multimodal_metadata",

@@ -197,6 +197,60 @@ def seqfile_stream_source_counts(spark, sf_dir):
 
 
 @register(
+    "seqfile_stream_sink_roundtrip",
+    oracle="""
+    SELECT event_type AS value, count(*) AS n, sum(event_id) AS key_sum
+    FROM events GROUP BY event_type ORDER BY value
+    """,
+    doc="SequenceFile as a streaming SINK (hadoop_seq streamWriter): "
+    "events replayed as a stream, written per-microbatch to seqfiles "
+    "(atomic per-batch commit), then batch-read and aggregated; the "
+    "full pipeline is stream-in → seqfile-out → batch-read.",
+)
+def seqfile_stream_sink_roundtrip(spark, sf_dir):
+    from .registry import events_path
+
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "events_stream_sink")
+    if not (
+        os.path.isdir(final)
+        and any(f.endswith(".seq") for f in os.listdir(final))
+    ):
+        tmp = final + "." + uuid.uuid4().hex[:8]
+        ckpt = tmp + ".ckpt"
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(events_path(sf_dir)).schema
+            )
+            .parquet(events_path(sf_dir))
+            .select(
+                F.col("event_id").alias("key"),
+                F.col("event_type").alias("value"),
+            )
+        )
+        q = (
+            stream.writeStream.format("hadoop_seq")
+            .option("path", tmp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.format("hadoop_seq").load(final)
+    return (
+        df.groupBy("value")
+        .agg(F.count("*").alias("n"), F.sum("key").alias("key_sum"))
+        .orderBy("value")
+    )
+
+
+@register(
     "parquet_write_roundtrip",
     oracle="""
     SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty

@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -193,6 +194,9 @@ class SeqFileDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "SeqFileWriter":
         return SeqFileWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return SeqFileStreamWriter(self.options, schema)
 
 
 def _filter_to_arrow(f: Filter):
@@ -469,6 +473,66 @@ class SeqFileWriter(DataSourceArrowWriter):
         if writer is not None:
             os.rename(tmp, path)
         return SeqCommit(path, rows)
+
+
+class SeqFileStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK: each microbatch partition writes a temp dotfile;
+    ``commit`` renames them in, so files appear atomically and only for
+    committed batches.  File names embed (batchId, partitionId), making
+    a replayed batch overwrite its own output — idempotent re-runs, so
+    end-to-end the sink is effectively exactly-once for deterministic
+    input (the same guarantee Spark's built-in file sinks give, minus
+    the manifest: our streaming READER tracks files by appearance, so a
+    manifest isn't needed to consume this sink's output).  Paths are
+    local/NFS here; on a real cluster this writer targets the shared
+    filesystem, same as the batch writer."""
+
+    def __init__(self, options, schema: StructType):
+        # reuse the batch writer's option parsing / schema checks
+        self._w = SeqFileWriter(options, schema, overwrite=False)
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> "SeqCommit":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        w = self._w
+        tmp = os.path.join(w.dir, f".stream-{uuid.uuid4().hex[:8]}-{pid:05d}.seq")
+        rows = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = core.SeqFileWriter(
+                        tmp,
+                        w.classes[0],
+                        w.classes[1],
+                        block_records=w.block_records,
+                        compression_type=w.compression_type,
+                        codec=w.codec,
+                    )
+                keys = batch.column(0).cast(core.WRITABLES[w.classes[0]][0])
+                values = batch.column(1).cast(core.WRITABLES[w.classes[1]][0])
+                writer.write_batch(keys, values)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return SeqCommit(tmp if writer is not None else "", rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(messages):
+            if m is None or not m.path:
+                continue
+            final = os.path.join(
+                os.path.dirname(m.path), f"batch-{batchId:08d}-{i:05d}.seq"
+            )
+            os.replace(m.path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register(spark) -> None:

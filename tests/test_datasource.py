@@ -246,3 +246,53 @@ def test_stream_checkpoint_exactly_once(spark, tmp_path):
     df = spark.read.parquet(sink)
     assert df.count() == 250  # a.seq not re-read, b.seq read once
     assert df.agg({"key": "sum"}).collect()[0][0] == sum(range(250))
+
+
+def test_stream_sink_seqfile_exactly_once(spark, tmp_path):
+    """hadoop_seq as a streaming SINK: per-batch files appear atomically
+    on commit; a restarted query appends only new batches; the full
+    pipeline is seqfile-in -> seqfile-out."""
+    import pyarrow as pa
+
+    from hadoop_formats_spark.seqfile import write_table
+
+    src = tmp_path / "in"; src.mkdir()
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def seq(name, lo, hi):
+        write_table(
+            str(src / name),
+            pa.table({
+                "key": pa.array(range(lo, hi), pa.int64()),
+                "value": pa.array([float(i) for i in range(lo, hi)], pa.float64()),
+            }),
+        )
+
+    def run_once():
+        s = (
+            spark.readStream.format("hadoop_seq")
+            .schema("key bigint, value double")
+            .load(str(src))
+        )
+        q = (
+            s.writeStream.format("hadoop_seq")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    seq("a.seq", 0, 1000)
+    run_once()
+    import os
+
+    first_files = sorted(os.listdir(sink))
+    assert first_files and all(f.startswith("batch-") for f in first_files)
+    assert spark.read.format("hadoop_seq").load(sink).count() == 1000
+    seq("b.seq", 1000, 1500)
+    run_once()
+    df = spark.read.format("hadoop_seq").load(sink)
+    assert df.count() == 1500
+    assert df.agg({"key": "sum"}).collect()[0][0] == sum(range(1500))
