@@ -49,8 +49,11 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Partial (map-side) + final aggregate pair present."""
-    return executed_plan(df).count("HashAggregate") >= 2
+    """Partial (map-side) + final aggregate pair present.  Covers all
+    three physical aggregates (Hash/ObjectHash/Sort — e.g. string min
+    has no mutable buffer and plans as SortAggregate)."""
+    plan = executed_plan(df)
+    return "partial_" in plan or plan.count("HashAggregate") >= 2
 
 
 def shuffle_count(df: DataFrame) -> int:

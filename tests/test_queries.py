@@ -129,3 +129,33 @@ def test_partition_pruning_scans_one_directory(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan or (
         "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters:")[1][:120]
     )
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    assert plans.has_broadcast_join(_df(spark, sf_dir, "q5_local_supplier_volume"))
+
+
+def test_tpch_q9_partial_aggregation(spark, sf_dir):
+    assert plans.has_partial_aggregation(_df(spark, sf_dir, "q9_product_type_profit"))
+
+
+def test_curation_pipeline_bounded_shuffles(spark, sf_dir):
+    # fingerprint-window shuffle + slice-count aggregate + final orderBy
+    assert plans.shuffle_count(_df(spark, sf_dir, "curation_pipeline_docs")) <= 3
+
+
+def test_hash_sample_is_map_only_before_agg(spark, sf_dir):
+    # deterministic md5-threshold sampling must not add a shuffle beyond
+    # the aggregate + orderBy pair
+    assert plans.shuffle_count(_df(spark, sf_dir, "sample_hash_deterministic")) <= 2
+
+
+def test_minhash_signature_aggregates_partially(spark, sf_dir):
+    # the explode+min-agg signature stage must partial-aggregate
+    # map-side (HashAggregate pairs) rather than shuffling raw
+    # (doc, shingle-hash) rows
+    from hadoop_formats_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    assert plans.has_partial_aggregation(sigs)
