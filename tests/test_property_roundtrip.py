@@ -95,3 +95,48 @@ def test_short_float_roundtrip(tmp_path_factory, vals, block):
     shorts = pa.array([v % 32768 - 16384 for v in vals], pa.int16())
     floats = pa.array([float(v % 1000) / 7.0 for v in vals], pa.float32())
     _roundtrip(tmp, shorts, floats, block)
+
+
+# -- layout/codec matrix (round 2): the same adversarial values must
+#    survive every (layout, codec) combination, not just BLOCK+Snappy --
+
+from hadoop_formats_spark.seqfile import core as _core
+
+_LAYOUTS = [
+    ("block", _core.DEFAULT_CODEC),
+    ("block", _core.BZIP2_CODEC),
+    ("record", _core.SNAPPY_CODEC),
+    ("record", _core.DEFAULT_CODEC),
+    ("none", _core.SNAPPY_CODEC),
+]
+
+
+def _roundtrip_layout(tmp_path, key_arr, value_arr, ctype, codec):
+    t = pa.table({"key": key_arr, "value": value_arr})
+    path = str(tmp_path / "prop.seq")
+    write_table(
+        path, t, block_records=100, compression_type=ctype, codec=codec
+    )
+    back = read_file(path)
+    assert back.column("key").to_pylist() == t.column("key").to_pylist()
+    assert back.column("value").to_pylist() == t.column("value").to_pylist()
+
+
+@settings(**SETTINGS)
+@given(keys=text_values, combo=st.sampled_from(_LAYOUTS))
+def test_layout_matrix_text_long(tmp_path_factory, keys, combo):
+    tmp = tmp_path_factory.mktemp("pl")
+    vals = list(range(len(keys)))
+    _roundtrip_layout(
+        tmp, pa.array(keys, pa.string()), pa.array(vals, pa.int64()), *combo
+    )
+
+
+@settings(**SETTINGS)
+@given(vals=bytes_values, combo=st.sampled_from(_LAYOUTS))
+def test_layout_matrix_long_bytes(tmp_path_factory, vals, combo):
+    tmp = tmp_path_factory.mktemp("pb")
+    keys = list(range(len(vals)))
+    _roundtrip_layout(
+        tmp, pa.array(keys, pa.int64()), pa.array(vals, pa.binary()), *combo
+    )
