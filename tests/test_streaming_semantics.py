@@ -1,0 +1,101 @@
+"""Watermark semantics under genuinely-late data.
+
+The oracle-checked streaming queries replay in order, so nothing is
+ever late there (by design — results must match batch SQL).  This test
+constructs the opposite: two source files consumed one per microbatch
+(maxFilesPerTrigger=1), where the second file carries an event OLDER
+than the watermark advanced by the first — the aggregate state for its
+window has been evicted, so the late row must be dropped, and the
+streaming result must differ from the batch answer by exactly that
+row."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_late_event_dropped_after_watermark_advance(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: events far ahead (watermark advances to max(ts) - 10m)
+    early = [
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 12:00:00", 2),
+    ]
+    # batch 2: any on-time event; entering this batch the watermark
+    # (11:50) has passed the 10:00 window's end, so that window is
+    # emitted and its state EVICTED at this batch's commit
+    mid = [
+        ("2024-01-01 12:05:00", 9),
+    ]
+    # batch 3: a row for the already-evicted window → must be dropped
+    # (a late row arriving in the SAME batch as the eviction would
+    # still have merged — state-present lateness is accepted; only
+    # post-eviction arrivals are dropped)
+    late = [
+        ("2024-01-01 10:05:00", 3),
+        ("2024-01-01 12:06:00", 4),
+    ]
+
+    def write_file(rows, name, mtime):
+        import glob
+        import os
+        import shutil
+
+        tmp = str(tmp_path / ("t_" + name))
+        spark.createDataFrame(rows, "ts string, v int").select(
+            F.col("ts").cast("timestamp").alias("ts"), "v"
+        ).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))  # file source orders by mod time
+
+    write_file(early, "b1.parquet", 1_700_000_000)
+    write_file(mid, "b2.parquet", 1_700_000_100)
+    write_file(late, "b3.parquet", 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    )
+    name = "late" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append emits only FINALIZED windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the post-eviction 10:05 arrival
+    out = {
+        r["window"]["start"].strftime("%H:%M"): (r["n"], r["sv"])
+        for r in spark.table(name).collect()
+    }
+    # the 10:00 window finalized with ONLY the on-time event: the late
+    # v=3 arrival was dropped, not merged
+    assert out.get("10:00") == (1, 1), out
+    # batch over the same data would count 2 events in that window
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    batch_out = {
+        r["window"]["start"].strftime("%H:%M"): r["n"] for r in batch.collect()
+    }
+    assert batch_out["10:00"] == 2
