@@ -329,6 +329,89 @@ def ann_ivf_nprobe2_topk(spark, sf_dir):
     return S.ivf_topk(e, queries, centroids, k=3, nprobe=2)
 
 
+_COS_VC = _COS_SQL.replace("a.embedding", "v.embedding").replace(
+    "b.embedding", "c.embedding"
+).replace(", 4)", ", 6)")
+_COS_QC2 = _COS_SQL.replace("a.embedding", "q.embedding").replace(
+    "b.embedding", "c.embedding"
+)
+_COS_PV = _COS_SQL.replace("a.embedding", "p.qemb").replace(
+    "b.embedding", "v.embedding"
+)
+
+
+@register(
+    "ann_ivf_recall_at_3",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS_VC} DESC, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, centroid_id AS probe
+      FROM assigned WHERE vec_id % 97 = 0 AND vec_id <> 0
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_COS_PV} DESC, v.vec_id) AS rnk
+        FROM probes p JOIN assigned v ON v.centroid_id = p.probe
+        WHERE v.vec_id <> p.query_id
+      ) WHERE rnk <= 3
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_QC2} DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 97 = 0 AND q.vec_id <> 0
+      ) WHERE rnk <= 3
+    )
+    SELECT bf.query_id,
+           round(sum(CASE WHEN ivf.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) / 3.0, 4) AS recall_at_3
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """,
+    doc="ANN quality eval: recall@3 of IVF (nprobe=1) against the exact "
+    "brute-force top-3, per query — the measurement that justifies the "
+    "nprobe knob.  Both pipelines run distributed; the compare is a "
+    "tiny left join on (query, neighbor).",
+)
+def ann_ivf_recall_at_3(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
+    bf = S.brute_force_topk(e, queries, k=3).select("query_id", "neighbor_id")
+    iv = (
+        S.ivf_topk(e, queries, centroids, k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / 3.0, 4).alias(
+                "recall_at_3"
+            )
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
