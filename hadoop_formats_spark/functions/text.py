@@ -41,7 +41,13 @@ def lang_scores(toks: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column | str) -> Column:
-    """Argmax stopword vote with fixed tiebreak order; 'und' when all 0."""
+    """Argmax stopword vote with fixed tiebreak order; 'und' when all 0.
+
+    Expression form — convenient for one-off use, but the tokenize
+    subtree gets inlined into every per-language score by
+    CollapseProject.  For corpus-scale scoring use ``lang_id_scored``,
+    which tokenizes each document once (explode + conditional-count
+    aggregates, map-side partial)."""
     toks = tokens(text)
     scores = lang_scores(toks)
     best = F.greatest(*[scores[lang] for lang in _LANG_ORDER])
@@ -52,6 +58,39 @@ def lang_id(text: Column | str) -> Column:
             expr
         )
     return expr
+
+
+def _argmax_lang(score_col) -> Column:
+    """when-chain argmax over the plain per-language score columns."""
+    best = F.greatest(*[score_col(lang) for lang in _LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((score_col(lang) == best) & (best > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def lang_id_scored(docs, keep_cols=("doc_id",), text_col: str = "text"):
+    """DataFrame-level language ID: returns ``keep_cols`` + per-language
+    stopword scores ``s_<lang>`` + ``lang_pred``.  Tokenizes each doc
+    ONCE (explode + 5 conditional-sum aggregates, partial map-side);
+    the argmax when-chain then runs over plain int columns, so
+    CollapseProject inlining is harmless.  ``split`` of any non-null
+    string yields at least one element, so no document drops out."""
+    tok = docs.select(
+        *keep_cols, F.explode(tokens(text_col)).alias("tok")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("tok").isin(*words), 1).otherwise(0)
+        ).alias(f"s_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    scored = tok.groupBy(*keep_cols).agg(*aggs)
+    return scored.withColumn(
+        "lang_pred", _argmax_lang(lambda lang: F.col(f"s_{lang}"))
+    )
 
 
 def quality_score(text: Column | str) -> Column:

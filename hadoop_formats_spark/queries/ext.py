@@ -452,9 +452,9 @@ _LANG_CASE_SQL = (
 )
 def text_lang_id_confusion(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
+    scored = T.lang_id_scored(d, keep_cols=("doc_id", "lang"))
     return (
-        d.select("lang", T.lang_id("text").alias("lang_pred"))
-        .groupBy("lang", "lang_pred")
+        scored.groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "lang_pred")
     )
