@@ -1050,6 +1050,36 @@ def window_range_frame_spend(spark, sf_dir):
 
 
 @register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6)    AS cd,
+           nth_value(c_custkey, 3) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS third_in_segment
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Distribution window functions: percent_rank, cume_dist, "
+    "nth_value per market segment ordered by balance.",
+)
+def window_distribution_functions(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_custkey", 3)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("third_in_segment"),
+    ).orderBy("c_custkey")
+
+
+@register(
     "agg_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
