@@ -134,6 +134,51 @@ def resize_media(df: DataFrame, *, target_len: int = 64) -> DataFrame:
     return df.mapInPandas(resize, RESIZE_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id bigint, win_idx int, n_samples int, rms double"
+
+
+def audio_windows(
+    df: DataFrame, *, window: int = 32, hop: int = 16
+) -> DataFrame:
+    """Audio-feature plumbing: treat the payload as little-endian int16
+    PCM mono, emit overlapping (window, hop) frames with per-window RMS
+    — the fan-out shape of any spectral/feature front-end (MFCC, mel).
+    Decode is the deterministic byte→int16 view (no audio libs in this
+    container); the numpy work is a vectorized stride trick per Arrow
+    batch, and rows fan out within the task exactly like frame_sample."""
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media)[4:]
+                n_samp = len(payload) // 2
+                if n_samp < window:
+                    continue
+                samples = (
+                    np.frombuffer(payload[: n_samp * 2], dtype="<i2")
+                    .astype(np.float64)
+                )
+                n_win = (n_samp - window) // hop + 1
+                idx = (
+                    np.arange(window)[None, :]
+                    + hop * np.arange(n_win)[:, None]
+                )
+                w = samples[idx]  # (n_win, window)
+                r = np.sqrt((w * w).mean(axis=1))
+                ids.extend([doc_id] * n_win)
+                idxs.extend(range(n_win))
+                ns.extend([window] * n_win)
+                rms.extend(np.round(r, 4))
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": idxs, "n_samples": ns, "rms": rms}
+            )
+
+    return df.mapInPandas(windows, AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, *, frame_len: int = 16, every: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: chop the payload
     into ``frame_len``-byte frames and keep every ``every``-th one,

@@ -656,6 +656,37 @@ def multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_window_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) // 2 - 32) // 16 + 1 AS BIGINT)
+             AS n_windows,
+           CAST(32 * ((octet_length(encode(text)) // 2 - 32) // 16 + 1)
+                AS BIGINT) AS samples_covered
+    FROM documents
+    WHERE doc_id < 100 AND octet_length(encode(text)) // 2 >= 32
+    ORDER BY doc_id
+    """,
+    doc="Audio windowing plumbing: payload as int16 PCM → overlapping "
+    "(32, hop 16) windows with per-window RMS via a vectorized stride "
+    "trick in mapInPandas; checked on the window fan-out counts (RMS "
+    "values are unit-tested against numpy).",
+)
+def multimodal_audio_window_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    packed = M.pack_binary(d, "doc_id", "text")
+    wins = M.audio_windows(packed, window=32, hop=16)
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("n_samples").alias("samples_covered"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (

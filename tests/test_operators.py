@@ -225,3 +225,23 @@ def test_jaccard_doc_freq_cap(spark, docs):
         ).collect()
     }
     assert (1, 4) in capped_tight  # exact dups survive any cap
+
+
+def test_audio_windows_rms_matches_numpy(spark):
+    import numpy as np
+
+    payload = bytes(range(256)) * 4  # 1024 bytes → 512 int16 samples
+    rows = [(1, b"IMG0" + payload)]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    out = M.audio_windows(df, window=32, hop=16).collect()
+    samples = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+    n_win = (len(samples) - 32) // 16 + 1
+    assert len(out) == n_win
+    for r in out:
+        w = samples[r["win_idx"] * 16 : r["win_idx"] * 16 + 32]
+        assert r["rms"] == pytest.approx(round(float(np.sqrt((w * w).mean())), 4))
+    # too-short payloads emit nothing rather than a partial window
+    short = spark.createDataFrame(
+        [(2, b"IMG0" + b"\x01\x02" * 10)], "doc_id bigint, media binary"
+    )
+    assert M.audio_windows(short, window=32, hop=16).count() == 0
