@@ -207,6 +207,59 @@ def ivf_topk(
     )
 
 
+def kmeans_iterations(
+    corpus: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means (cosine assignment, elementwise-mean update) —
+    the step that trains real IVF centroids instead of sampling them.
+
+    Deterministic by construction so a SQL oracle can unroll it: init =
+    the ``k`` lowest-id vectors; assignment = ``ivf_assign``'s rounded
+    max-cosine with lowest-centroid tiebreak; update = per-dimension
+    mean via posexplode + avg (partial map-side) + ordered rebuild.
+    Each iteration is one broadcast assignment plus one aggregation —
+    no iteration-to-iteration lineage blowup at these depths (for
+    hundreds of iterations, checkpoint like connected_components).
+    Returns the final (centroid_id, vec) centroids."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, cent, id_col=id_col, vec_col=vec_col
+        )
+        by_dim = assigned.select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+        )
+        dim_means = by_dim.groupBy("centroid_id", "pos").agg(
+            F.avg("x").alias("m")
+        )
+        cent = (
+            dim_means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias(vec_col),
+            )
+        )
+    return cent
+
+
 def unit_normalize(vec: Column) -> Column:
     """L2-normalize an array<numeric> column (double output)."""
     n = norm(vec)

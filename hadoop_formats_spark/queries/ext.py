@@ -412,6 +412,70 @@ def ann_ivf_recall_at_3(spark, sf_dir):
     )
 
 
+_KMEANS_ASSIGN = """
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round(
+                                    list_dot_product(CAST(v.embedding AS DOUBLE[]), c.emb)
+                                    / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                                       * sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+                                  c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+"""
+
+_KMEANS_UPDATE = """
+      SELECT centroid_id, list(m ORDER BY pos) AS emb FROM (
+        SELECT centroid_id, i AS pos, avg(emb_i) AS m FROM (
+          SELECT a.centroid_id, i, CAST(a.embedding[i] AS DOUBLE) AS emb_i
+          FROM {assign} a, UNNEST(generate_series(1, len(a.embedding))) AS t(i)
+        ) GROUP BY centroid_id, i
+      ) GROUP BY centroid_id
+"""
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT centroid_id, CAST(embedding AS DOUBLE[]) AS emb FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding
+        FROM embeddings
+      ) WHERE centroid_id < 4
+    ),
+    assign1 AS ({_KMEANS_ASSIGN.format(cent="cent0")}),
+    cent1 AS ({_KMEANS_UPDATE.format(assign="assign1")}),
+    assign2 AS ({_KMEANS_ASSIGN.format(cent="cent1")}),
+    cent2 AS ({_KMEANS_UPDATE.format(assign="assign2")}),
+    final AS ({_KMEANS_ASSIGN.format(cent="cent2")})
+    SELECT f.centroid_id,
+           count(*) AS n_members,
+           round(sqrt(list_dot_product(any_value(c.emb), any_value(c.emb))), 4)
+             AS c_norm
+    FROM final f JOIN cent2 c ON f.centroid_id = c.centroid_id
+    GROUP BY f.centroid_id ORDER BY f.centroid_id
+    """,
+    doc="Distributed k-means (2 Lloyd iterations, k=4, cosine "
+    "assignment): trains IVF centroids instead of sampling them.  The "
+    "oracle unrolls both iterations in SQL; output = final cluster "
+    "sizes + centroid norms.",
+)
+def kmeans_cluster_profile(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    cent = S.kmeans_iterations(e, k=4, iters=2)
+    final = S.ivf_assign(e, cent)
+    sizes = final.groupBy("centroid_id").agg(F.count("*").alias("n_members"))
+    norms = cent.select(
+        "centroid_id", F.round(S.norm(F.col("embedding")), 4).alias("c_norm")
+    )
+    return (
+        sizes.join(norms, "centroid_id")
+        .select("centroid_id", "n_members", "c_norm")
+        .orderBy("centroid_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
