@@ -245,3 +245,19 @@ def test_audio_windows_rms_matches_numpy(spark):
         [(2, b"IMG0" + b"\x01\x02" * 10)], "doc_id bigint, media binary"
     )
     assert M.audio_windows(short, window=32, hop=16).count() == 0
+
+
+def test_kmeans_converges_to_natural_clusters(spark):
+    # two tight groups on orthogonal axes; init takes the 2 lowest ids
+    # (one from each group), so 2 iterations must separate them cleanly
+    rows = [
+        (1, [1.0, 0.0]), (3, [0.9, 0.1]), (5, [1.0, 0.1]),
+        (2, [0.0, 1.0]), (4, [0.1, 0.9]), (6, [0.1, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = S.kmeans_iterations(e, k=2, iters=2)
+    assigned = S.ivf_assign(e, cent)
+    groups = {}
+    for r in assigned.collect():
+        groups.setdefault(r["centroid_id"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, groups.values())) == [[1, 3, 5], [2, 4, 6]]
