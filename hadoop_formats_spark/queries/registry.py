@@ -103,16 +103,20 @@ PRIORITY_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_group_assignment",
     "ann_brute_force_topk",
     "ann_ivf_topk",
+    "ann_ivf_recall_at_3",
+    "kmeans_cluster_profile",
     "text_lang_id_confusion",
     "text_quality_score",
     "text_token_counts",
     "text_rolling_fingerprint",
     "text_fingerprint_dups",
+    "text_tfidf_top_terms",
     "multimodal_metadata",
     "multimodal_frame_sample",
-    "multimodal_decode_features",
+    "multimodal_audio_window_counts",
     # streaming (SURVEY §2.2 last row)
     "stream_tumbling_hourly_counts",
     "stream_sliding_window_counts",
@@ -124,16 +128,12 @@ PRIORITY_ORDER = [
     # parity representatives, one per §2.2 category
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
     "join_inner_revenue_by_nation",
     "join_asof_purchase_last_click",
     "join_salted_lineitem_orders",
-    "join_full_outer_nation_coverage",
     "window_topk_orders_per_customer",
     "grouping_sets_time_rollup",
     "sort_topk_revenue_parts",
-    "set_union_distinct",
     "string_functions",
     "json_extract_props",
     "subquery_correlated_above_cust_avg",
