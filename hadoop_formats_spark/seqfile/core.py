@@ -126,6 +126,22 @@ def _bz2_stream_decompress(buf: bytes) -> bytes:
     return b"".join(out)
 
 
+def _safe_decompress(fn):
+    """Normalize codec-library exceptions (zlib.error, OSError, snappy
+    errors) to SeqFileError so the fail-stop / PERMISSIVE machinery
+    treats corrupt payloads uniformly."""
+
+    def wrapped(b: bytes) -> bytes:
+        try:
+            return fn(b)
+        except SeqFileError:
+            raise
+        except Exception as ex:  # zlib.error / EOFError / SnappyError...
+            raise SeqFileError(f"decompression failed: {ex}") from ex
+
+    return wrapped
+
+
 def _codec_funcs(codec_class: str):
     """(compress, decompress) for one section / one record value."""
     import bz2 as _bz2
@@ -133,13 +149,17 @@ def _codec_funcs(codec_class: str):
     import zlib as _zlib
 
     if codec_class == SNAPPY_CODEC:
-        return _compress_block_stream, _decompress_block_stream
+        return _compress_block_stream, _safe_decompress(_decompress_block_stream)
     if codec_class == DEFAULT_CODEC:
-        return _zlib.compress, lambda b: _zlib_stream_decompress(b, 15)
+        return _zlib.compress, _safe_decompress(
+            lambda b: _zlib_stream_decompress(b, 15)
+        )
     if codec_class == GZIP_CODEC:
-        return _gzip.compress, lambda b: _zlib_stream_decompress(b, 31)
+        return _gzip.compress, _safe_decompress(
+            lambda b: _zlib_stream_decompress(b, 31)
+        )
     if codec_class == BZIP2_CODEC:
-        return _bz2.compress, _bz2_stream_decompress
+        return _bz2.compress, _safe_decompress(_bz2_stream_decompress)
     raise SeqFileError(f"unsupported codec: {codec_class}")  # Parser.hs:62-65
 
 
@@ -571,38 +591,52 @@ def _iter_record_batches(
         batch_offset = base + pos
         return block
 
+    # on corruption: yield the records decoded so far FIRST, then raise —
+    # PERMISSIVE readers keep the clean prefix (matching the block path,
+    # where earlier blocks have already been emitted); FAILFAST task
+    # failure discards everything anyway
+    err: SeqFileError | None = None
     while True:
         if not ensure(4):
             if len(buf) - pos not in (0,):
-                raise SeqFileError("truncated record")
+                err = SeqFileError("truncated record")
             break
         (rl,) = struct.unpack_from(">i", buf, pos)
         if rl == -1:  # sync escape
             if base + pos >= end:
                 break  # first sync at/after the split end: stop BEFORE it
             if not ensure(20):
-                raise SeqFileError("truncated sync marker")
+                err = SeqFileError("truncated sync marker")
+                break
             if buf[pos + 4 : pos + 20] != header.sync:
-                raise SeqFileError("file is corrupt (sync mismatch)")
+                err = SeqFileError("file is corrupt (sync mismatch)")
+                break
             pos += 20
             continue
         if rl < 0:
-            raise SeqFileError("file is corrupt (negative record length)")
+            err = SeqFileError("file is corrupt (negative record length)")
+            break
         if not ensure(8 + rl):
-            raise SeqFileError("truncated record")
+            err = SeqFileError("truncated record")
+            break
         (kl,) = struct.unpack_from(">i", buf, pos + 4)
         if kl < 0 or kl > rl:
-            raise SeqFileError("file is corrupt (bad key length)")
+            err = SeqFileError("file is corrupt (bad key length)")
+            break
         if not count_only:
-            if want_keys:
-                key_parts.append(buf[pos + 8 : pos + 8 + kl])
-                key_lens.append(kl)
             if want_values:
                 raw_val = buf[pos + 8 + kl : pos + 8 + rl]
                 if decompress_value is not None:
-                    raw_val = decompress_value(raw_val)
+                    try:
+                        raw_val = decompress_value(raw_val)
+                    except SeqFileError as ex:
+                        err = ex
+                        break  # record not added at all: batch stays aligned
                 val_parts.append(raw_val)
                 val_lens.append(len(raw_val))
+            if want_keys:
+                key_parts.append(buf[pos + 8 : pos + 8 + kl])
+                key_lens.append(kl)
         count += 1
         pos += 8 + rl
         if count >= _RECORD_BATCH:
@@ -612,6 +646,8 @@ def _iter_record_batches(
     block = flush()
     if block is not None:
         yield block
+    if err is not None:
+        raise err
 
 
 def iter_block_counts(

@@ -181,3 +181,35 @@ def test_datasource_reads_record_layout(spark, tmp_path):
     )
     h = core.read_header(os.path.join(out, part))
     assert h.compression_type == "record"
+
+
+def test_permissive_mode_record_stream(spark, tmp_path):
+    """PERMISSIVE reading of a record-layout file with a corrupted
+    mid-stream sync: rows before the corruption survive, FAILFAST
+    raises."""
+    t = _sample_table(5000)
+    p = tmp_path / "r.seq"
+    core.write_table(str(p), t, compression_type="none")
+    buf = bytearray(p.read_bytes())
+    h = core.read_header(str(p))
+    idx = bytes(buf).find(core.SYNC_ESCAPE + h.sync, h.header_len)
+    assert idx > 0
+    buf[idx + 12] ^= 0xFF
+    p.write_bytes(bytes(buf))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.format("hadoop_seq")
+            .option("split_size", 10**9)
+            .load(str(p))
+            .count()
+        )
+    n = (
+        spark.read.format("hadoop_seq")
+        .option("mode", "PERMISSIVE")
+        .option("split_size", 10**9)
+        .load(str(p))
+        .count()
+    )
+    assert 0 < n < 5000
