@@ -151,6 +151,9 @@ class SeqFileDataSource(DataSource):
       * ``codec`` — Hadoop codec class (Snappy default; also
         DefaultCodec/GzipCodec/BZip2Codec).  The reader auto-detects
         layout and codec from each file's header.
+      * ``metadata.<key>`` — file-header metadata pairs (SURVEY R18;
+        e.g. ``option("metadata.source", "etl-v2")``); read back with
+        ``read_metadata(path)`` or Hadoop's ``Reader.getMetadata``.
     """
 
     @classmethod
@@ -434,6 +437,11 @@ class SeqFileWriter(DataSourceArrowWriter):
             "bzip2": core.BZIP2_CODEC,
         }
         self.codec = short.get(codec.lower(), codec)
+        self.metadata = sorted(
+            (k[len("metadata."):], v)
+            for k, v in options.items()
+            if k.startswith("metadata.")
+        )
         if overwrite and os.path.isdir(self.dir):
             for f in os.listdir(self.dir):
                 if f.endswith(".seq"):
@@ -462,6 +470,7 @@ class SeqFileWriter(DataSourceArrowWriter):
                         block_records=self.block_records,
                         compression_type=self.compression_type,
                         codec=self.codec,
+                        metadata=self.metadata,
                     )
                 keys = batch.column(0).cast(core.WRITABLES[self.classes[0]][0])
                 values = batch.column(1).cast(core.WRITABLES[self.classes[1]][0])
@@ -510,6 +519,7 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
                         block_records=w.block_records,
                         compression_type=w.compression_type,
                         codec=w.codec,
+                        metadata=w.metadata,
                     )
                 keys = batch.column(0).cast(core.WRITABLES[w.classes[0]][0])
                 values = batch.column(1).cast(core.WRITABLES[w.classes[1]][0])
@@ -537,6 +547,13 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
 
 def register(spark) -> None:
     spark.dataSource.register(SeqFileDataSource)
+
+
+def read_metadata(path: str) -> dict[str, str]:
+    """File-header metadata pairs of one SequenceFile (SURVEY R18)."""
+    from . import core as _core
+
+    return dict(_core.read_header(path).metadata)
 
 
 def read_sequence_file(spark, path: str, *, columns: str | None = None):

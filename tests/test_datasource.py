@@ -296,3 +296,36 @@ def test_stream_sink_seqfile_exactly_once(spark, tmp_path):
     df = spark.read.format("hadoop_seq").load(sink)
     assert df.count() == 1500
     assert df.agg({"key": "sum"}).collect()[0][0] == sum(range(1500))
+
+
+def test_metadata_option_jvm_interop(spark, tmp_path):
+    """Writer metadata.<key> options land in the file header (SURVEY
+    R18 write side); both our reader and Hadoop's own
+    SequenceFile.Reader.getMetadata see them."""
+    from hadoop_formats_spark.seqfile.datasource import read_metadata
+
+    out = str(tmp_path / "meta")
+    (
+        spark.range(100)
+        .selectExpr("id as key", "cast(id as string) as value")
+        .write.format("hadoop_seq")
+        .option("metadata.source", "etl-v2")
+        .option("metadata.owner", "pipeline")
+        .mode("append")
+        .save(out)
+    )
+    f = next(x for x in os.listdir(out) if x.endswith(".seq"))
+    path = os.path.join(out, f)
+    assert read_metadata(path) == {"source": "etl-v2", "owner": "pipeline"}
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    SF = jvm.org.apache.hadoop.io.SequenceFile
+    opts = gw.new_array(SF.Reader.Option, 1)
+    opts[0] = SF.Reader.file(jvm.org.apache.hadoop.fs.Path(path))
+    r = SF.Reader(sc._jsc.hadoopConfiguration(), opts)
+    md = {
+        str(e.getKey()): str(e.getValue())
+        for e in r.getMetadata().getMetadata().entrySet()
+    }
+    r.close()
+    assert md == {"source": "etl-v2", "owner": "pipeline"}
