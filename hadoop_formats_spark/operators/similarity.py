@@ -207,6 +207,34 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) — 4× storage reduction for embedding
+    columns, the standard step before shipping vectors to an ANN index.
+    floor(x+0.5) instead of round() because SQL round() is
+    half-away-from-zero while numpy/Spark round is banker's — floor
+    makes Spark and the SQL oracle bit-agree.  Pure map-side column
+    expressions; returns (id, scale, qvec array<smallint>)."""
+    emb = F.col(vec_col).cast("array<double>")
+    scale = (F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+        "scale"
+    )
+    out = df.select(F.col(id_col), emb.alias("emb"), scale)
+    return out.select(
+        id_col,
+        "scale",
+        F.transform(
+            "emb", lambda x: F.floor(x / F.col("scale") + 0.5).cast("smallint")
+        ).alias("qvec"),
+    )
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
 def kmeans_iterations(
     corpus: DataFrame,
     *,

@@ -412,6 +412,54 @@ def ann_ivf_recall_at_3(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantize_int8_error",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS emb,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127.0 AS scale
+      FROM embeddings WHERE vec_id < 100
+    ),
+    dq AS (
+      SELECT vec_id, emb,
+             list_transform(
+               list_transform(emb, x -> floor(x / scale + 0.5)),
+               v -> v * scale) AS emb2
+      FROM q
+    )
+    SELECT vec_id,
+           round(list_dot_product(emb, emb2)
+                 / (sqrt(list_dot_product(emb, emb))
+                    * sqrt(list_dot_product(emb2, emb2))), 4) AS cos_keep,
+           round(list_max(list_transform(
+             list_zip(emb, emb2),
+             p -> abs(p[1] - p[2]))), 6) AS max_abs_err
+    FROM dq ORDER BY vec_id
+    """,
+    doc="int8 symmetric quantization round-trip quality: per vector, "
+    "cosine(original, dequantized) and max abs error — the check run "
+    "before committing to 4x-smaller embedding storage.  floor(x+0.5) "
+    "rounding so Spark and SQL agree bit-for-bit.",
+)
+def embedding_quantize_int8_error(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = S.quantize_int8(e)
+    joined = q.join(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")),
+        "vec_id",
+    ).select("vec_id", "emb", S.dequantize(F.col("qvec"), F.col("scale")).alias("emb2"))
+    err = F.array_max(
+        F.zip_with("emb", "emb2", lambda a, b: F.abs(a - b))
+    )
+    return joined.select(
+        "vec_id",
+        F.round(S.cosine(F.col("emb"), F.col("emb2")), 4).alias("cos_keep"),
+        F.round(err, 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 _KMEANS_ASSIGN = """
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT v.vec_id, v.embedding, c.centroid_id,
