@@ -73,6 +73,53 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "sample_mixture_balanced",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang,
+             least(1.0, (SELECT min(n) FROM counts) * 1.0 / n) AS rate
+      FROM counts
+    )
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           * 1.0 / 16777216) < r.rate
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Mixture balancing: downsample every language stratum to the "
+    "size of the smallest (uniform target mix), with deterministic "
+    "md5-threshold acceptance.  Rates are computed distributed "
+    "(count per stratum + broadcast scalar min) — the standard "
+    "rebalance step before training-data mixing; at 100 TB the "
+    "per-stratum counts are one partial-agg pass and the sample "
+    "itself stays map-side.",
+)
+def sample_mixture_balanced(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.least(F.lit(1.0), F.col("min_n") / F.col("n")).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        / F.lit(16777216.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@register(
     "sessionize_events_batch",
     oracle="""
     WITH marked AS (
