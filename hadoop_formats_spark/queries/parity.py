@@ -560,6 +560,46 @@ def join_theta_quantity_near_size(spark, sf_dir):
 
 
 @register(
+    "join_interval_binned_price_band",
+    oracle="""
+    SELECT p_brand, count(*) AS n_in_band,
+           round(avg(l_extendedprice - p_retailprice), 4) AS avg_gap
+    FROM lineitem JOIN part
+      ON l_extendedprice BETWEEN p_retailprice - 5 AND p_retailprice + 5
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="PURE interval join (no equi key): line items priced within ±5 "
+    "of a part's retail price.  Catalyst alone plans this as a nested-loop "
+    "cross product; binned_interval_join quantizes the price domain "
+    "(bin=10), equi-joins on bin id, and refines — the shuffle-keyed "
+    "form that survives at 100 TB.",
+)
+def join_interval_binned_price_band(spark, sf_dir):
+    from ..operators.ranges import binned_interval_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        (F.col("p_retailprice") - 5).alias("band_lo"),
+        (F.col("p_retailprice") + 5).alias("band_hi"),
+        "p_retailprice",
+    )
+    joined = binned_interval_join(
+        li, p, "l_extendedprice", "band_lo", "band_hi", bin_width=10.0
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_in_band"),
+            F.round(
+                F.avg(F.col("l_extendedprice") - F.col("p_retailprice")), 4
+            ).alias("avg_gap"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "join_salted_lineitem_orders",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS qty

@@ -159,3 +159,38 @@ def test_minhash_signature_aggregates_partially(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
     assert plans.has_partial_aggregation(sigs)
+
+
+def test_binned_interval_join_avoids_nested_loop(spark, sf_dir):
+    # the naive BETWEEN-only join plans BroadcastNestedLoopJoin; the
+    # binned rewrite must hash/sort-merge on the bin key instead
+    df = _df(spark, sf_dir, "join_interval_binned_price_band")
+    plan = plans.executed_plan(df)
+    assert "NestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_binned_interval_join_equals_naive(spark, sf_dir):
+    from hadoop_formats_spark.operators.ranges import binned_interval_join
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 5).alias("lo"),
+        (F.col("p_retailprice") + 5).alias("hi"),
+    )
+    binned = binned_interval_join(
+        li, p, "l_extendedprice", "lo", "hi", bin_width=10.0
+    )
+    naive = li.join(
+        p,
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") <= F.col("hi")),
+    )
+    key = lambda df: sorted(
+        (r["l_orderkey"], r["p_partkey"]) for r in df.collect()
+    )
+    assert key(binned) == key(naive)
