@@ -111,15 +111,15 @@ PRIORITY_ORDER = [
     "text_lang_id_confusion",
     "text_quality_score",
     "text_token_counts",
-    "text_rolling_fingerprint",
+    "join_interval_binned_price_band",
     "text_fingerprint_dups",
     "text_tfidf_top_terms",
     "multimodal_metadata",
-    "multimodal_frame_sample",
+    "embedding_quantize_int8_error",
     "multimodal_audio_window_counts",
     # streaming (SURVEY §2.2 last row)
     "stream_tumbling_hourly_counts",
-    "stream_sliding_window_counts",
+    "sessionize_events_batch",
     "stream_session_windows",
     "stream_dedup_by_user_type",
     "stream_stateful_user_stats",
@@ -127,7 +127,7 @@ PRIORITY_ORDER = [
     "stream_late_data_drop",
     # parity representatives, one per §2.2 category
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "curation_pipeline_docs",
     "join_inner_revenue_by_nation",
     "join_asof_purchase_last_click",
     "join_salted_lineitem_orders",
