@@ -68,6 +68,72 @@ def run_available_now(
     return spark.table(name)
 
 
+def tws_group_minmax(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4's successor to applyInPandasWithState): per-key running
+    (count, min, max) held in a ValueState.  The handle-based API gives
+    typed state cells, per-state TTL, and timers — this operator uses
+    just a ValueState so the semantics stay SQL-checkable.
+
+    NOT runnable in this container: the transformWithState driver
+    worker needs ``google.protobuf`` (absent here, installs forbidden)
+    — it fails at query start with STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE.  The operator is kept (correct per the
+    documented API, verified to reach the driver-worker boundary) for
+    environments with protobuf; ``stateful_group_stats`` below is the
+    applyInPandasWithState equivalent that runs everywhere and carries
+    the driver-checked query."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MinMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "mm", "n bigint, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = 0, None, None
+            if self._state.exists():
+                n, mn, mx = self._state.get()
+            for pdf in rows:
+                vals = pdf[value_col].astype(float)
+                n += len(vals)
+                lo, hi = float(vals.min()), float(vals.max())
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            self._state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        MinMax(),
+        outputStructType=(
+            f"{key_col} bigint, n_events bigint, "
+            "min_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_group_stats(
     stream_df: DataFrame,
     key_col: str,
