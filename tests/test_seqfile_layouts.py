@@ -213,3 +213,15 @@ def test_permissive_mode_record_stream(spark, tmp_path):
         .count()
     )
     assert 0 < n < 5000
+
+
+@pytest.mark.parametrize("ctype", ["block", "record", "none"])
+def test_empty_file_roundtrip(tmp_path, ctype):
+    """Zero-record files are valid: header-only on disk, schema intact
+    on read, zero from the count path."""
+    t = pa.table({"key": pa.array([], "int64"), "value": pa.array([], "string")})
+    p = str(tmp_path / "empty.seq")
+    core.write_table(p, t, compression_type=ctype, codec=core.DEFAULT_CODEC)
+    back = core.read_file(p)
+    assert back.num_rows == 0 and back.schema.names == ["key", "value"]
+    assert sum(core.iter_block_counts(p)) == 0
