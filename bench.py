@@ -69,6 +69,26 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # round-2 operator timings — separate section so the 15-entry
+    # headline total stays comparable across rounds
+    EXTRA = [
+        "dedup_group_assignment",
+        "kmeans_cluster_profile",
+        "ann_ivf_recall_at_3",
+        "text_tfidf_top_terms",
+        "join_interval_binned_price_band",
+        "embedding_quantize_int8_error",
+        "curation_pipeline_docs",
+        "sample_mixture_balanced",
+    ]
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        spec = QUERIES[name]
+        t0 = time.time()
+        n = spec.builder(spark, sf_dir).count()
+        extra[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {extra[name]:.2f}s ({n} rows)", file=sys.stderr)
+
     # format-layer decode throughput (BASELINE.md protocol §1): scan the
     # seqfile copy of lineitem written by the roundtrip query above
     from pyspark.sql import functions as F
@@ -97,6 +117,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
                 "seqfile_decode_recs_per_sec": round(n_rows / decode_s),
             }
