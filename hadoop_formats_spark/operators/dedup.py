@@ -353,6 +353,16 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # Exhausted max_iter without converging: the labels are partial
+        # (a component wider than max_iter hops still carries several
+        # labels).  Dedup built on them would under-merge, so refuse to
+        # hand them out silently.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({n_changed} labels still changing); raise "
+            "max_iter for graphs with long chains"
+        )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("group_id")
     )

@@ -39,12 +39,12 @@ def binned_interval_join(
     lo = F.col(lo_col) if isinstance(lo_col, str) else lo_col
     hi = F.col(hi_col) if isinstance(hi_col, str) else hi_col
     bw = F.lit(float(bin_width))
-    pb = points.withColumn("_bin", F.floor(p / bw))
+    pb = points.withColumn("_pbin", F.floor(p / bw))
     ib = intervals.withColumn(
-        "_bin", F.explode(F.sequence(F.floor(lo / bw), F.floor(hi / bw)))
+        "_ibin", F.explode(F.sequence(F.floor(lo / bw), F.floor(hi / bw)))
     )
-    return (
-        pb.join(ib, "_bin", how)
-        .filter((p >= lo) & (p <= hi))
-        .drop("_bin")
-    )
+    # The exact-refine predicate lives INSIDE the join condition (not a
+    # post-join filter): for outer joins a post-join filter would drop
+    # the null-extended rows and silently degrade to inner semantics.
+    cond = (pb["_pbin"] == ib["_ibin"]) & (p >= lo) & (p <= hi)
+    return pb.join(ib, cond, how).drop("_pbin", "_ibin")

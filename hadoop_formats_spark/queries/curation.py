@@ -131,8 +131,10 @@ def sample_mixture_balanced(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sess_id
       FROM marked
     ), sessions AS (
       SELECT user_id, sess_id, count(*) AS n_events
@@ -140,7 +142,7 @@ def sample_mixture_balanced(spark, sf_dir):
     )
     SELECT user_id, count(*) AS n_sessions,
            max(n_events) AS max_session_events,
-           sum(n_events) AS n_events_total
+           CAST(sum(n_events) AS BIGINT) AS n_events_total
     FROM sessions
     GROUP BY user_id
     ORDER BY user_id

@@ -601,9 +601,10 @@ def text_quality_score(spark, sf_dir):
     "text_token_counts",
     oracle="""
     SELECT source,
-           sum(len(string_split(text, ' ')))                 AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z0-9]+')))   AS re_tokens,
-           sum(n_chars)                                      AS chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)  AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+                                                              AS re_tokens,
+           CAST(sum(n_chars) AS BIGINT)                       AS chars,
            round(avg(len(string_split(text, ' '))), 2)       AS avg_doc_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -631,8 +632,8 @@ _BPE_SQL_PAT = T.BPE_ISH_PATTERN.replace("'", "''")
     "text_bpe_token_counts",
     oracle=f"""
     SELECT lang,
-           sum(len(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}')))
-             AS bpe_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}')))
+                AS BIGINT) AS bpe_tokens,
            round(avg(len(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}'))), 2)
              AS avg_doc_bpe
     FROM documents GROUP BY lang ORDER BY lang
@@ -749,7 +750,7 @@ def text_fingerprint_dups(spark, sf_dir):
     oracle="""
     SELECT 'IMG0' AS tag,
            count(*) AS n,
-           sum(octet_length(encode(text))) AS payload_total,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_total,
            count(*) AS n_ok
     FROM documents
     """,

@@ -870,7 +870,7 @@ def cube_status_priority(spark, sf_dir):
     "sql_entry_revenue_by_segment",
     oracle="""
     SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
-           sum(o_totalprice) AS revenue
+           round(sum(o_totalprice), 2) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -883,7 +883,7 @@ def sql_entry_revenue_by_segment(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
-               sum(o_totalprice) AS revenue
+               round(sum(o_totalprice), 2) AS revenue
         FROM hfs_customer JOIN hfs_orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """

@@ -71,7 +71,8 @@ def seqfile_reference_first_keys(spark, sf_dir):
 @register(
     "seqfile_roundtrip_returnflag_counts",
     oracle="""
-    SELECT l_returnflag AS value, count(*) AS n, sum(l_orderkey) AS key_sum
+    SELECT l_returnflag AS value, count(*) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
     FROM lineitem GROUP BY l_returnflag ORDER BY value
     """,
     doc="lineitem (l_orderkey, l_returnflag) → our seqfile writer → our "
@@ -125,7 +126,8 @@ def seqfile_roundtrip_double_sum(spark, sf_dir):
 @register(
     "seqfile_record_layout_roundtrip",
     oracle="""
-    SELECT o_orderpriority AS value, count(*) AS n, sum(o_orderkey) AS key_sum
+    SELECT o_orderpriority AS value, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM orders GROUP BY o_orderpriority ORDER BY value
     """,
     doc="RECORD-compressed layout (zlib DefaultCodec) round-trip — one "
@@ -199,7 +201,8 @@ def seqfile_stream_source_counts(spark, sf_dir):
 @register(
     "seqfile_stream_sink_roundtrip",
     oracle="""
-    SELECT event_type AS value, count(*) AS n, sum(event_id) AS key_sum
+    SELECT event_type AS value, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS key_sum
     FROM events GROUP BY event_type ORDER BY value
     """,
     doc="SequenceFile as a streaming SINK (hadoop_seq streamWriter): "

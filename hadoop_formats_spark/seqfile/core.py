@@ -503,10 +503,14 @@ def _enter_record_stream(
     """Position ``f`` at the first record of a split of a record-oriented
     (non-block) file.  Split 0 starts right after the header; later
     splits resync forward."""
-    if start <= header.header_len:
+    if start == 0:
         f.seek(header.header_len)
         return True
-    pos = _find_sync(f, header, start, file_end)
+    # 0 < start <= header_len: this split begins inside the header, so
+    # the leading records belong to split 0 — resync forward from the
+    # end of the header (NOT from the start) or we'd emit duplicates
+    # when a user-set split_size is smaller than the header.
+    pos = _find_sync(f, header, max(start, header.header_len), file_end)
     if pos is None:
         return False
     f.seek(pos + 20)  # consume the entry sync

