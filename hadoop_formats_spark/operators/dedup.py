@@ -119,6 +119,44 @@ def minhash_signatures(
     )
 
 
+def band_bucket_pairs(
+    banded: DataFrame,
+    *,
+    band_id_col: str = "band_id",
+    band_key_col: str = "band_key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from banded LSH rows —
+    the shared tail of every banding scheme (MinHash bands over text,
+    sign-LSH bands over embeddings).
+
+    One groupBy per band bucket, pairs expanded inside the collected
+    array — computes the upstream signature pipeline ONCE (a self-join
+    would recompute it per side) and shuffles only (band, id) rows.
+    Buckets are near-dup groups, so arrays stay small by construction;
+    a degenerate hot bucket (constant column ⇒ everything collides)
+    should be capped upstream the same way hot shingles are."""
+    buckets = (
+        banded.groupBy(band_id_col, band_key_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
 def minhash_band_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -153,33 +191,7 @@ def minhash_band_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
-    # one groupBy per band bucket, pairs expanded inside the collected
-    # array — computes the signature pipeline ONCE (a self-join would
-    # recompute it per side) and shuffles only (band, doc_id) rows.
-    # Buckets are near-dup groups, so arrays stay small by construction.
-    buckets = (
-        banded.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.size(F.col("ids"))
-                        ),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return band_bucket_pairs(banded)
 
 
 def shingle_jaccard_pairs(
@@ -196,8 +208,16 @@ def shingle_jaccard_pairs(
 
     Pairs are generated by joining on shingle (never a cross join); with
     ``candidates`` given (e.g. from MinHash LSH) only those pairs are
-    verified.  Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold,
-    jaccard rounded to 3 decimals.
+    verified.  ``max_doc_freq`` caps the inverted index's failure mode
+    at corpus scale — a HOT shingle (boilerplate shared by millions of
+    docs) makes the pair join quadratic on one key — by dropping
+    posting lists longer than the cap from *candidate generation only*:
+    surviving candidates are still verified with the exact Jaccard over
+    their FULL shingle sets, so reported values are never estimates and
+    the only loss is pairs whose every shared shingle is hot (a ≥0.8
+    near-dup pair essentially always shares rare shingles).  Returns
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded to 3
+    decimals.
     """
     if candidates is not None:
         # verify path: explode each candidate pair into its two sides,
@@ -244,23 +264,39 @@ def shingle_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).distinct()
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if max_doc_freq is not None:
-        # the inverted index's failure mode at corpus scale is the HOT
-        # shingle (boilerplate shared by millions of docs → quadratic
-        # pair blowup on one key).  Capping document frequency drops
-        # those posting lists before the pair join; near-dup pairs are
-        # still found via their rarer shingles (intersection counts are
-        # computed on the surviving shingles, so Jaccard becomes a
-        # lower-bound estimate when the cap actually fires).
+        # capped candidate generation: anti-join the hot posting lists
+        # out of the index, pair the survivors, then take the exact
+        # full-set verify path above for those candidates.
         hot = (
             shingled.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        shingled = shingled.join(hot, "shingle", "left_anti")
-        sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        capped = shingled.join(hot, "shingle", "left_anti")
+        a, b = capped.alias("a"), capped.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        return shingle_jaccard_pairs(
+            docs,
+            id_col,
+            text_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            candidates=cand,
+        )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (

@@ -105,21 +105,34 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+      )
+    ),
     {_JACCARD_TAIL.lstrip()}
-    SELECT i.doc_a, i.doc_b,
+    SELECT c.doc_a, c.doc_b,
            round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) AS jaccard
-    FROM inter i
-    JOIN sizes x ON i.doc_a = x.doc_id
-    JOIN sizes y ON i.doc_b = y.doc_id
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
     WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
-    ORDER BY doc_a, doc_b
+    ORDER BY c.doc_a, c.doc_b
     """,
     doc="Exact word-3-gram Jaccard near-dups via shingle inverted-index "
-    "join (no banding; the all-pairs-above-threshold ground truth).",
+    "join with a doc-frequency cap (100) on candidate generation: hot "
+    "posting lists (the quadratic blowup at corpus scale) never reach "
+    "the pair join, while surviving candidates are verified with the "
+    "exact Jaccard over their full shingle sets.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    return D.shingle_jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+    return D.shingle_jaccard_pairs(
+        d, threshold=0.8, max_doc_freq=100
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -205,6 +218,120 @@ _COS_SQL = (
 def dedup_embedding_cosine(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(e, threshold=0.4)
+
+
+# sign-LSH oracle material: ±1 Rademacher plane entries are derived from
+# the same md5 high-bit convention as the Spark side
+# (similarity.rademacher_sign), so the oracle embeds them as literal
+# +e[i]/-e[i] terms — and the strictly left-associative SQL sum matches
+# the Spark expression's fold order, making every sign bit IEEE-identical.
+_LSH_PLANES, _LSH_BANDS, _EMB_DIM = 16, 4, 64
+
+
+def _lsh_bits_sql(e: str = "e") -> str:
+    bits = []
+    for p in range(_LSH_PLANES):
+        terms = []
+        for d in range(_EMB_DIM):
+            s = S.rademacher_sign(p, d)
+            if d == 0:
+                terms.append(f"{'-' if s < 0 else ''}{e}[1]")
+            else:
+                terms.append(f"{' - ' if s < 0 else ' + '}{e}[{d + 1}]")
+        bits.append(f"CASE WHEN ({''.join(terms)}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ",\n             ".join(bits) + ")"
+
+
+_LSH_R = _LSH_PLANES // _LSH_BANDS
+_LSH_CAND_CTES = f"""
+    b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bk AS (
+      SELECT vec_id, {_lsh_bits_sql()} AS bucket FROM b
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, {bnd} AS band_id, "
+        f"substr(bucket, {bnd * _LSH_R + 1}, {_LSH_R}) AS band_key FROM bk"
+        for bnd in range(_LSH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bands a
+      JOIN bands c ON a.band_id = c.band_id AND a.band_key = c.band_key
+                  AND a.vec_id < c.vec_id
+    ),
+    verified AS (
+      SELECT id_a, id_b, sim FROM (
+        SELECT cd.id_a, cd.id_b,
+               round(list_dot_product(x.e, y.e)
+                     / (sqrt(list_dot_product(x.e, x.e))
+                        * sqrt(list_dot_product(y.e, y.e))), 4) AS sim
+        FROM cand cd JOIN b x ON x.vec_id = cd.id_a
+                     JOIN b y ON y.vec_id = cd.id_b
+      ) WHERE sim >= 0.4
+    )"""
+
+
+@register(
+    "dedup_embedding_lsh_blocked",
+    oracle=f"""
+    WITH {_LSH_CAND_CTES.lstrip()}
+    SELECT id_a, id_b, sim FROM verified ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-dup via sign-LSH banding (16 ±1 hyperplanes → "
+    "4 bands × 4 bits) + exact-cosine verify of same-band candidates — "
+    "the scale path: candidate volume is O(n·bands), never all-pairs; "
+    "reported pairs are exact (LSH only bounds recall, measured by "
+    "dedup_embedding_lsh_recall).",
+)
+def dedup_embedding_lsh_blocked(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_banded_near_dup_pairs(
+        e, threshold=0.4, n_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_EMB_DIM
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_lsh_recall",
+    oracle=f"""
+    WITH {_LSH_CAND_CTES.lstrip()},
+    exact AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL.replace("b.embedding", "c.embedding")} AS sim
+        FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+      ) WHERE sim >= 0.4
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM exact JOIN verified USING (id_a, id_b))
+                AS BIGINT) AS n_matched,
+           round((SELECT count(*) FROM exact JOIN verified USING (id_a, id_b))
+                 * 1.0 / (SELECT count(*) FROM exact), 3) AS recall
+    """,
+    doc="Recall of the LSH-banded near-dup path against the exact "
+    "all-pairs ground truth (the ann_ivf_recall_at_3 pattern): LSH "
+    "pairs are a verified subset, so this measures what banding at "
+    "these parameters misses at the (deliberately weak) 0.4 threshold.",
+)
+def dedup_embedding_lsh_recall(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    exact = S.cosine_near_dup_pairs(e, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("ex")
+    )
+    lsh = S.lsh_banded_near_dup_pairs(
+        e, threshold=0.4, n_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_EMB_DIM
+    ).select("id_a", "id_b", F.lit(1).alias("ls"))
+    both = exact.join(lsh, ["id_a", "id_b"], "full")
+    n_matched = F.sum(F.col("ex") * F.col("ls"))
+    return both.agg(
+        F.sum("ex").cast("bigint").alias("n_exact"),
+        F.sum("ls").cast("bigint").alias("n_lsh"),
+        n_matched.cast("bigint").alias("n_matched"),
+        F.round(n_matched / F.sum("ex"), 3).alias("recall"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -204,6 +204,48 @@ def test_sign_lsh_buckets(spark, vectors):
     assert again == out
 
 
+def test_lsh_banded_near_dup_pairs(spark, vectors):
+    """LSH-blocked pairs are a verified subset of the exact all-pairs
+    result: every reported pair has an exact sim ≥ threshold (no false
+    positives), and the trivially-identical pair is always found."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_near_dup_pairs(vectors, threshold=0.9, blocks=2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.lsh_banded_near_dup_pairs(
+            vectors, threshold=0.9, n_planes=16, bands=4, dim=3
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert lsh[(1, 5)] == 1.0  # identical vectors collide in every band
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]  # verify step is exact, not estimated
+
+
+def test_lsh_banded_rejects_uneven_bands(spark, vectors):
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.lsh_banded_near_dup_pairs(vectors, n_planes=16, bands=5, dim=3)
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.27, -1.27, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in S.quantize_int8(df).collect()}
+    # all-zero vector: scale 0 must yield a zero qvec, not NaN/null
+    assert out[1]["scale"] == 0.0 and out[1]["qvec"] == [0, 0, 0]
+    assert out[2]["qvec"] == [127, -127, 0]
+    deq = df.sparkSession.createDataFrame(
+        [(out[1]["qvec"], out[1]["scale"])], "qvec array<smallint>, scale double"
+    ).select(S.dequantize(F.col("qvec"), F.col("scale")).alias("v")).collect()
+    assert deq[0]["v"] == [0.0, 0.0, 0.0]
+
+
 def test_jaccard_doc_freq_cap(spark, docs):
     """A cap no shingle exceeds changes nothing; a tight cap drops hot
     shingles but still finds exact dups via their (identical) rare set."""
@@ -225,6 +267,31 @@ def test_jaccard_doc_freq_cap(spark, docs):
         ).collect()
     }
     assert (1, 4) in capped_tight  # exact dups survive any cap
+    # capped jaccard VALUES are exact (full-set verify), not lower bounds
+    vals = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.shingle_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=2
+        ).collect()
+    }
+    base_vals = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.shingle_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for pair, j in vals.items():
+        assert j == base_vals[pair]
+
+
+def test_jaccard_cap_plan_prunes_hot_postings(spark, docs):
+    """The capped plan must anti-join hot shingles out BEFORE the
+    inverted-index pair join — the 100 TB guarantee that an uncapped
+    posting list never reaches the quadratic join."""
+    from hadoop_formats_spark import plans
+
+    plan = plans.executed_plan(
+        D.shingle_jaccard_pairs(docs, threshold=0.8, max_doc_freq=100)
+    )
+    assert "LeftAnti" in plan
 
 
 def test_audio_windows_rms_matches_numpy(spark):
