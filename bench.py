@@ -39,6 +39,34 @@ HEADLINE = [
 ]
 
 
+def _scaled_seq_file(n: int = 10_000_000) -> str:
+    """Build (once, cached) the ~100× scaled Text→Int fixture analog:
+    ``n`` records shaped like the reference's text-int.seq
+    (``MakeSequenceFiles.java:15-27`` keys F%07X → int), written by our
+    vectorized writer in BLOCK+Snappy, read back via auto-split."""
+    import pyarrow as pa
+
+    path = "/tmp/hfs_seq_cache/scaled/text_int_10m.seq"
+    if os.path.isfile(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import numpy as np
+
+    from hadoop_formats_spark.seqfile import core
+
+    tmp = path + ".build"
+    with core.SeqFileWriter(
+        tmp, "org.apache.hadoop.io.Text", "org.apache.hadoop.io.IntWritable"
+    ) as w:
+        chunk = 1_000_000
+        for lo in range(0, n, chunk):
+            ints = np.arange(lo, min(lo + chunk, n), dtype=np.int32)
+            keys = pa.array([f"F{i:07X}" for i in ints.tolist()], pa.string())
+            w.write_batch(keys, pa.array(ints, pa.int32()))
+    os.replace(tmp, path)
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -84,9 +112,13 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in EXTRA:
         spec = QUERIES[name]
-        t0 = time.time()
-        n = spec.builder(spark, sf_dir).count()
-        extra[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2 (r3+; r2 extras were single-run)
+            t0 = time.time()
+            n = spec.builder(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        extra[name] = round(best, 3)
         print(f"# extra {name}: {extra[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     # format-layer decode throughput (BASELINE.md protocol §1): scan the
@@ -109,6 +141,18 @@ def main() -> None:
     decode_s = time.time() - t0
     timings["seqfile_full_scan"] = round(decode_s, 3)
 
+    # scaled format-layer scan (BASELINE.md §1 protocol: fixtures
+    # rewritten at ~100×): one 10M-record Text→Int file, multi-split
+    # parallel read through the datasource.  Built once, cached across
+    # runs; NOT part of the headline total (kept comparable to r1/r2).
+    scaled_path = _scaled_seq_file()
+    scaled_s = None
+    for _ in range(2):  # best-of-2, like the headline queries
+        t0 = time.time()
+        n_scaled = spark.read.format("hadoop_seq").load(scaled_path).count()
+        dt = time.time() - t0
+        scaled_s = dt if scaled_s is None else min(scaled_s, dt)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +164,11 @@ def main() -> None:
                 "extra_queries": extra,
                 "sf": sf,
                 "seqfile_decode_recs_per_sec": round(n_rows / decode_s),
+                "seqfile_scaled_scan": {
+                    "records": n_scaled,
+                    "sec": round(scaled_s, 3),
+                    "recs_per_sec": round(n_scaled / scaled_s),
+                },
             }
         )
     )

@@ -359,10 +359,26 @@ def connected_components(
     labels = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
     )
-    for _ in range(max_iter):
+    # Per-round cost model: rounds are cheap in DATA (labels are one
+    # row per node) but expensive in JOBS — at low SF the fixed
+    # job/stage overhead dominates, at 100 TB the shuffles do, and both
+    # prefer fewer rounds.  Two levers, both exact:
+    #
+    # * batch TWO propagation hops into each materialized round (same
+    #   total shuffle work per hop, half the job/checkpoint/convergence
+    #   overhead; converged hops are no-ops, so overshoot is harmless);
+    # * convergence via the label SUM, not a diff join: labels only
+    #   ever decrease (new = least(old, min-neighbor)), so the sum is
+    #   strictly monotone and stalls iff the labels did.  Folding the
+    #   sum into the action that materializes the lazy checkpoint makes
+    #   each round exactly ONE Spark job (the old shape — eager
+    #   checkpoint, then a self-join diff count — was two jobs and an
+    #   extra shuffle per round).  decimal(38,0) so the sum can't
+    #   overflow at any node-count × id-range.
+    def _hop(lab: DataFrame) -> DataFrame:
         nbr = (
             sym.join(
-                labels.select(
+                lab.select(
                     F.col("src").alias("dst"), F.col("label").alias("dst_label")
                 ),
                 "dst",
@@ -370,25 +386,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, "src", "left")
-            .select(
-                "src",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        return lab.join(nbr, "src", "left").select(
+            "src",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+
+    prev_sum = None
+    for _ in range((max_iter + 1) // 2):
+        new_labels = _hop(_hop(labels)).localCheckpoint(eager=False)
+        cur_sum = int(
+            new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
         )
         labels = new_labels
-        if n_changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # Exhausted max_iter without converging: the labels are partial
         # (a component wider than max_iter hops still carries several
@@ -396,8 +412,8 @@ def connected_components(
         # hand them out silently.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({n_changed} labels still changing); raise "
-            "max_iter for graphs with long chains"
+            "iterations (label sum still decreasing); raise max_iter "
+            "for graphs with long chains"
         )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("group_id")

