@@ -114,9 +114,9 @@ def _hash_rows(cols, rows) -> str:
 
 
 def main() -> int:
-    global LAX
-    argv = [a for a in sys.argv[1:] if a != "--lax"]
-    LAX = len(argv) != len(sys.argv) - 1
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = len(argv) != len(sys.argv) - 1
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
