@@ -180,3 +180,77 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % ROLLING_MOD,
     )
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams of lowercased text, duplicates kept — the
+    repetition-analysis counterpart of ``operators.dedup.word_shingles``
+    (which deduplicates because set-similarity wants sets; repetition
+    signals are precisely about the duplicates)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    docs, id_col: str = "doc_id", text_col: str = "text", *, n: int = 2
+):
+    """(doc_id, n_ngrams, n_distinct, dup_frac, top_frac) — Gopher-style
+    within-document repetition signals over word n-grams: dup_frac =
+    fraction of n-gram occurrences that are repeats of an earlier one,
+    top_frac = fraction covered by the single most frequent n-gram.
+    High values flag boilerplate / degenerate documents for filtering.
+
+    Shape: explode n-grams to rows, count per (doc, gram), aggregate
+    per doc — two partial-aggregating groupBys keyed on doc_id, no
+    joins; per-doc cost is linear in document length (an array-only
+    formulation of top_frac would be quadratic for long docs).
+    Documents shorter than ``n`` tokens have no n-grams and drop out,
+    mirroring the SQL oracle's empty generate_series."""
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_ngrams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1) - F.count("*") / F.sum("c"), 4).alias("dup_frac"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_frac"),
+    )
+
+
+# PII scrubbing — deliberately simple ASCII patterns that parse the
+# same way in Java regex (Spark) and DuckDB's RE2, so the oracle can
+# mirror the scrub exactly.  Production would swap in a vetted library
+# pattern set; the operator shape (regexp_count + chained
+# regexp_replace, all JVM-side) is the deliverable.
+PII_EMAIL = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+"
+PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-document counts of each PII pattern."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(c, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(c, F.lit(PII_IPV4)),
+    }
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails → <EMAIL>, phones → <PHONE>, IPv4s → <IP>.
+    Order matters: the email pattern must run before IPv4 (a dotted
+    hostname tail could otherwise be half-eaten) — kept stable here
+    and in the SQL oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")

@@ -456,3 +456,52 @@ def simhash32(
         for i in range(1, 33)
     ]
     return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-train-document benchmark contamination: the fraction of the
+    document's distinct word ``shingle_n``-grams that appear anywhere
+    in the benchmark corpus — the standard train/eval overlap check a
+    pretraining pipeline runs before training.
+
+    Shape: inverted-index join on the shingle key (never a cross
+    join).  The benchmark side is reduced to its DISTINCT shingle set
+    and broadcast — eval suites are tiny relative to a 100 TB train
+    corpus, so every executor holds the bench set and the train corpus
+    is never shuffled; if the bench set ever outgrew broadcast, drop
+    the hint and the same plan becomes a shuffle join on the shingle
+    key.  Returns (doc_id, n_shingles, n_contaminated,
+    contamination_frac) for every train doc that has at least one
+    shingle."""
+    tr = _spread(train, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    be = (
+        bench.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(be), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
+        )
+    )

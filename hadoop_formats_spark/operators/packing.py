@@ -1,0 +1,70 @@
+"""Sequence packing for LLM pretraining: assign documents to
+fixed-token-budget training sequences (bins).
+
+The packing rule is cumulative-sum binning: within a partition key,
+documents are taken in a deterministic order and a document's bin is
+``floor(exclusive_cumsum_tokens / budget)`` — the standard streaming
+greedy packer (documents are never split; a bin may overflow by at most
+one document's tail, which the fill_frac statistics expose).  This is
+the semantics an `ORDER BY`-window can express, so the DuckDB oracle
+can mirror it bit-for-bit.
+
+Scale: the window partitions by (part_cols..., shard), where shard =
+``doc_id % n_shards``.  A window partitioned only by a low-cardinality
+key (e.g. lang) would sort each language's entire corpus inside single
+tasks — the classic global-sort bottleneck; sharding bounds every sort
+to corpus/n_shards rows while keeping assignment deterministic (each
+shard packs independently, exactly like independent writer tasks in a
+real pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    budget: int = 512,
+    part_cols: tuple[str, ...] = ("lang",),
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bin assignment: (part_cols..., shard, doc_id,
+    n_tokens, bin_id).  Token count is whitespace tokens of the
+    lowercased text (swap in ``bpe_ish_tokens`` size for a
+    BPE-tracking count)."""
+    n_tok = F.size(F.split(F.lower(F.col(text_col)), " "))
+    base = docs.select(
+        *part_cols,
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*part_cols, "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget),
+    )
+
+
+def pack_stats(
+    packed: DataFrame,
+    *,
+    budget: int,
+    part_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-bin packing statistics: (part_cols..., shard, bin_id,
+    n_docs, total_tokens, fill_frac).  fill_frac > 1 marks the bins
+    that absorbed a document's overflow tail."""
+    return packed.groupBy(*part_cols, "shard", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(budget), 4).alias("fill_frac"),
+    )

@@ -220,3 +220,202 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: repetition filtering, benchmark contamination, sequence
+# packing, PII scrubbing — the remaining pretraining-pipeline ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_metrics",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_ngrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1 - count(*) * 1.0 / sum(c), 4) AS dup_frac,
+           round(max(c) * 1.0 / sum(c), 4)       AS top_frac
+    FROM per GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style within-document repetition signals over word "
+    "bigrams (repeat fraction + top-gram coverage) — the boilerplate/"
+    "degenerate-text filter of a pretraining pipeline.  Explode + two "
+    "doc-keyed partial aggregations; linear in document length.",
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str):
+    from ..functions.text import repetition_metrics
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_metrics(d, n=2).orderBy("doc_id")
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH tr AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents WHERE doc_id % 20 <> 0),
+           UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    be AS (
+      SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+           UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    per AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM tr t LEFT JOIN be b USING (shingle)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 4) AS contamination_frac
+    FROM per
+    ORDER BY doc_id
+    """,
+    doc="Train/benchmark contamination check: fraction of each train "
+    "doc's distinct 5-gram shingles present anywhere in the held-out "
+    "benchmark slice (doc_id % 20 == 0 stands in for an eval suite).  "
+    "Inverted-index join on the shingle key with the (small) benchmark "
+    "shingle set broadcast — the train corpus is never shuffled.  "
+    "Every train doc is reported (thresholding is the consumer's "
+    "call); the near-dup-seeded corpus makes the signal bimodal.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import contamination_overlap
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    res = contamination_overlap(train, bench, shingle_n=5)
+    return res.orderBy("doc_id")
+
+
+@register(
+    "pack_sequences_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id % 8 AS shard, doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY lang, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 256) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT lang, shard, bin_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens) / 256.0, 4) AS fill_frac
+    FROM packed GROUP BY 1, 2, 3
+    ORDER BY lang, shard, bin_id
+    """,
+    doc="Sequence packing for pretraining: docs → 256-token bins via "
+    "exclusive-cumsum binning inside (lang, doc_id%8) shards — the "
+    "deterministic streaming greedy packer; sharding bounds each "
+    "window sort to corpus/8 per language instead of a global sort.  "
+    "Per-bin fill statistics (fill_frac > 1 flags overflow tails).",
+)
+def pack_sequences_stats(spark: SparkSession, sf_dir: str):
+    from ..operators.packing import pack_sequences, pack_stats
+
+    d = table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, budget=256, part_cols=("lang",), n_shards=8)
+    return pack_stats(packed, budget=256, part_cols=("lang",)).orderBy(
+        "lang", "shard", "bin_id"
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\+1-[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(
+                t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                AS BIGINT) AS n_ips,
+           CAST(len(t) - len(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+',
+                                '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+               '<IP>', 'g')) AS BIGINT) AS len_delta,
+           right(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]+',
+                                '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+               '<IP>', 'g'), 40) AS scrubbed_tail
+    FROM aug ORDER BY doc_id
+    """,
+    doc="PII scrubbing: synthetic emails/phones/IPs are deterministically "
+    "injected (the corpus is clean word-soup), counted with "
+    "regexp_count and redacted with chained regexp_replace — all "
+    "JVM-side Catalyst expressions, map-only, no shuffle.  The oracle "
+    "re-runs the identical patterns in DuckDB (RE2), proving the "
+    "patterns are engine-portable.",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str):
+    from ..functions.text import pii_counts, scrub_pii
+
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    scrubbed = scrub_pii(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_phones"].cast("bigint").alias("n_phones"),
+        counts["n_ips"].cast("bigint").alias("n_ips"),
+        (F.length("t") - F.length(scrubbed)).cast("bigint").alias("len_delta"),
+        F.right(scrubbed, F.lit(40)).alias("scrubbed_tail"),
+    ).orderBy("doc_id")

@@ -328,3 +328,76 @@ def test_kmeans_converges_to_natural_clusters(spark):
     for r in assigned.collect():
         groups.setdefault(r["centroid_id"], set()).add(r["vec_id"])
     assert sorted(map(sorted, groups.values())) == [[1, 3, 5], [2, 4, 6]]
+
+
+def test_repetition_metrics_hand_computed(spark):
+    rows = [
+        (1, "a b a b a b"),      # bigrams: ab ba ab ba ab → 5 total, 2 distinct
+        (2, "w x y z"),          # 3 distinct bigrams, no repeats
+        (3, "solo"),             # < 2 tokens → drops out
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.repetition_metrics(d, n=2).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_ngrams"], r1["n_distinct"]) == (5, 2)
+    assert r1["dup_frac"] == pytest.approx(round(1 - 2 / 5, 4))
+    assert r1["top_frac"] == pytest.approx(round(3 / 5, 4))  # 'a b' ×3
+    r2 = out[2]
+    assert (r2["n_ngrams"], r2["n_distinct"]) == (3, 3)
+    assert r2["dup_frac"] == 0.0 and r2["top_frac"] == pytest.approx(
+        round(1 / 3, 4)
+    )
+
+
+def test_contamination_overlap_exact_and_disjoint(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),        # identical → frac 1.0
+            (2, "nothing in common with that suite"),  # disjoint → frac 0.0
+            (3, "zero one two three four five end"),   # partial overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.contamination_overlap(train, bench, shingle_n=5).collect()
+    }
+    assert out[1]["contamination_frac"] == 1.0
+    assert out[2]["contamination_frac"] == 0.0
+    # doc 3: shingles at offsets 1..3; 'one two three four five' is the
+    # only one of its 3 shingles present in the bench set
+    assert out[3]["n_shingles"] == 3 and out[3]["n_contaminated"] == 1
+
+
+def test_pack_sequences_bins_and_stats(spark):
+    from hadoop_formats_spark.operators.packing import pack_sequences, pack_stats
+
+    # 4 docs of 3 tokens each in one (lang, shard) partition; budget 6
+    # → exclusive cumsums 0,3,6,9 → bins 0,0,1,1
+    rows = [(i * 8, "en", "x y z") for i in range(4)]  # doc_id % 8 == 0 ⇒ one shard
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    packed = pack_sequences(d, budget=6, part_cols=("lang",), n_shards=8)
+    bins = {r["doc_id"]: r["bin_id"] for r in packed.collect()}
+    assert bins == {0: 0, 8: 0, 16: 1, 24: 1}
+    stats = pack_stats(packed, budget=6, part_cols=("lang",)).collect()
+    assert len(stats) == 2
+    for s in stats:
+        assert s["n_docs"] == 2 and s["total_tokens"] == 6 and s["fill_frac"] == 1.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    d = spark.createDataFrame(
+        [(1, "mail me at bob.smith@corp.example.org or +1-555-0199 from 192.168.0.1")],
+        "doc_id bigint, text string",
+    )
+    counts = T.pii_counts(F.col("text"))
+    row = d.select(
+        *[c.alias(k) for k, c in counts.items()],
+        T.scrub_pii(F.col("text")).alias("scrubbed"),
+    ).collect()[0]
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (1, 1, 1)
+    assert row["scrubbed"] == "mail me at <EMAIL> or <PHONE> from <IP>"
