@@ -62,10 +62,15 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 def decode_features(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
     """Decode media → feature vector summary.
 
-    Real decode is NOT implemented in this container (no PIL/libav);
-    with ``allow_stub`` a deterministic fake (mean payload byte / 255)
-    exercises the full distributed plumbing: Arrow batches in,
-    vectorized numpy work, Arrow batches out."""
+    Capability-probed at runtime: when an image library (PIL) is
+    importable on the executors, payloads that parse as images are
+    really decoded (grayscale pixel mean / 255, pixel count); anything
+    else — including every payload in this container, where PIL is
+    absent — takes the deterministic stub (mean payload byte / 255,
+    byte count).  Both paths share FEATURE_SCHEMA, so upgrading the
+    environment upgrades the result without touching callers.  The
+    distributed plumbing (Arrow batches in, vectorized numpy work,
+    Arrow batches out) is identical either way."""
 
     try:
         import PIL.Image  # noqa: F401
@@ -84,18 +89,35 @@ def decode_features(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        try:  # probe again executor-side; workers may differ from driver
+            import io
+
+            import PIL.Image as _Image
+        except ImportError:
+            _Image = None
+
+        def one(payload: bytes) -> tuple[float, int]:
+            if _Image is not None:
+                try:
+                    img = _Image.open(io.BytesIO(payload))
+                    arr = np.asarray(img.convert("L"), dtype=np.float64)
+                    return round(float(arr.mean()) / 255.0, 6), int(arr.size)
+                except Exception:
+                    pass  # not an image payload → stub feature below
+            if not payload:
+                return 0.0, 0
+            mean = float(np.frombuffer(payload, dtype=np.uint8).mean())
+            return round(mean / 255.0, 6), len(payload)
+
         for pdf in batches:
-            payloads = pdf["media"].map(lambda b: bytes(b[4:]))
-            means = payloads.map(
-                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) / 255.0
-                if b
-                else 0.0
-            )
+            feats = [one(bytes(b)[4:]) for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "feat_mean": means.round(6),
-                    "feat_dim": payloads.map(len).astype("int32"),
+                    "feat_mean": [f for f, _ in feats],
+                    "feat_dim": pd.Series(
+                        [d for _, d in feats], dtype="int32"
+                    ),
                 }
             )
 
