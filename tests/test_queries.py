@@ -194,3 +194,43 @@ def test_binned_interval_join_equals_naive(spark, sf_dir):
         (r["l_orderkey"], r["p_partkey"]) for r in df.collect()
     )
     assert key(binned) == key(naive)
+
+
+def test_contamination_broadcasts_bench_shingles(spark, sf_dir):
+    # the train corpus must never shuffle: the benchmark shingle set is
+    # the broadcast side of the inverted-index join
+    from hadoop_formats_spark import plans
+
+    assert plans.has_broadcast_join(
+        _df(spark, sf_dir, "contamination_ngram_overlap")
+    )
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    # counts + redaction are pure projections over the scan: the only
+    # exchange is the final global orderBy
+    from hadoop_formats_spark import plans
+
+    assert (
+        plans.shuffle_count(_df(spark, sf_dir, "pii_scrub_stats")) <= 1
+    )
+
+
+def test_pack_sequences_single_shuffle_per_window(spark, sf_dir):
+    # one hash exchange on (lang, shard) feeds both the window and the
+    # bin aggregation — the partitioning is reused, not re-shuffled
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.packing import pack_sequences, pack_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(d, budget=256, part_cols=("lang",), n_shards=8)
+    stats = pack_stats(packed, budget=256, part_cols=("lang",))
+    assert plans.shuffle_count(stats) == 1
+
+
+def test_repetition_metrics_aggregates_partially(spark, sf_dir):
+    from hadoop_formats_spark import plans
+
+    assert plans.has_partial_aggregation(
+        _df(spark, sf_dir, "text_repetition_metrics")
+    )
