@@ -419,3 +419,119 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str):
         (F.length("t") - F.length(scrubbed)).cast("bigint").alias("len_delta"),
         F.right(scrubbed, F.lit(40)).alias("scrubbed_tail"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_build_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE n_chars BETWEEN 100 AND 500
+        AND len(string_split(text, ' ')) >= 15
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM quality),
+           UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(1 - count(DISTINCT gram) * 1.0 / count(*), 4) AS dup_frac
+      FROM grams GROUP BY doc_id
+    ),
+    unrepetitive AS (
+      SELECT q.* FROM quality q JOIN rep USING (doc_id)
+      WHERE rep.dup_frac <= 0.3
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        FROM unrepetitive) WHERE rn = 1
+    ),
+    tr_sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM deduped WHERE doc_id % 20 <> 0),
+           UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    be_sh AS (
+      SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+           UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    contaminated AS (
+      SELECT t.doc_id
+      FROM tr_sh t LEFT JOIN be_sh b USING (shingle)
+      GROUP BY t.doc_id
+      HAVING round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 4) >= 0.5
+    ),
+    clean AS (
+      SELECT d.doc_id, d.lang,
+             len(string_split(lower(d.text), ' ')) AS n_tokens
+      FROM deduped d
+      WHERE d.doc_id % 20 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    packed AS (
+      SELECT lang, doc_id % 8 AS shard, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 256) AS BIGINT) AS bin_id
+      FROM clean
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT (shard, bin_id)) AS BIGINT) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang ORDER BY lang
+    """,
+    doc="End-to-end corpus build composing the round-3 operators into "
+    "one declarative plan: quality gates → repetition filter "
+    "(dup_frac ≤ 0.3) → exact dedup → benchmark-contamination "
+    "excision (≥ 0.5 overlap dropped, bench slice excluded) → "
+    "256-token sequence packing → per-language corpus statistics.  "
+    "Every stage is the library operator, not a re-implementation, "
+    "so the oracle checks the composition end to end.",
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str):
+    from ..functions.text import repetition_metrics
+    from ..operators.dedup import contamination_overlap
+    from ..operators.packing import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    quality = d.filter(
+        F.col("n_chars").between(100, 500)
+        & (F.size(F.split("text", " ", -1)) >= 15)
+    )
+    rep = repetition_metrics(quality, n=2).select("doc_id", "dup_frac")
+    unrepetitive = quality.join(rep, "doc_id").filter(F.col("dup_frac") <= 0.3)
+    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    deduped = (
+        unrepetitive.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dup_frac")
+    )
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = deduped.filter(F.col("doc_id") % 20 != 0)
+    contaminated = (
+        contamination_overlap(train, bench, shingle_n=5)
+        .filter(F.col("contamination_frac") >= 0.5)
+        .select("doc_id")
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    packed = pack_sequences(clean, budget=256, part_cols=("lang",), n_shards=8)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("shard", "bin_id").cast("bigint").alias("n_bins"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
