@@ -535,3 +535,129 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             min(substr(md5('0:' || shingle), 1, 8))  AS h0,
+             min(substr(md5('0:' || shingle), 9, 8))  AS h1,
+             min(substr(md5('0:' || shingle), 17, 8)) AS h2,
+             min(substr(md5('0:' || shingle), 25, 8)) AS h3,
+             min(substr(md5('1:' || shingle), 1, 8))  AS h4,
+             min(substr(md5('1:' || shingle), 9, 8))  AS h5,
+             min(substr(md5('1:' || shingle), 17, 8)) AS h6,
+             min(substr(md5('1:' || shingle), 25, 8)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE (a.doc_id % 10 >= 8) <> (b.doc_id % 10 >= 8)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    near AS (
+      SELECT DISTINCT
+             CASE WHEN c.doc_a % 10 >= 8 THEN c.doc_a ELSE c.doc_b END AS doc_id
+      FROM cand c
+      JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sizes x ON c.doc_a = x.doc_id
+      JOIN sizes y ON c.doc_b = y.doc_id
+      WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ),
+    exact AS (
+      SELECT DISTINCT n.doc_id
+      FROM documents n JOIN documents e
+        ON md5(lower(n.text)) = md5(lower(e.text))
+       AND n.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM exact)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM exact)
+                          AND doc_id IN (SELECT doc_id FROM near)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM exact)
+                          AND doc_id NOT IN (SELECT doc_id FROM near)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents WHERE doc_id % 10 >= 8
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Incremental corpus ingestion: dedup a NEW batch (doc_id % 10 "
+    "≥ 8) against the EXISTING corpus — exact content-hash semi-join "
+    "first, then MinHash-band candidates restricted to cross-corpus "
+    "pairs and verified with exact shingle Jaccard ≥ 0.8.  Per-lang "
+    "admission stats.  The shape a nightly crawl-ingest job runs: the "
+    "existing corpus contributes only fingerprints and band keys "
+    "(both precomputable and storable), never a re-shuffle of its "
+    "text.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str):
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    # exact layer: content-hash semi-join of new against existing
+    fp = F.md5(F.lower("text"))
+    new_docs = d.filter(is_new)
+    exact_ids = (
+        new_docs.withColumn("fp", fp)
+        .join(
+            d.filter(~is_new).select(fp.alias("fp")).distinct(),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    # near layer: MinHash bands over the union, candidates crossing
+    # sides (side membership is arithmetic on doc_id, so no tag join),
+    # exact-Jaccard verify at 0.8
+    cand = D.minhash_band_pairs(d, num_hashes=8, bands=4)
+    cross = cand.filter(
+        (F.col("doc_a") % 10 >= 8) != (F.col("doc_b") % 10 >= 8)
+    )
+    verified = D.shingle_jaccard_pairs(d, threshold=0.8, candidates=cross)
+    near_ids = verified.select(
+        F.when(F.col("doc_a") % 10 >= 8, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    flags = (
+        new_docs.select("doc_id", "lang")
+        .join(exact_ids.withColumn("ex", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("nr", F.lit(1)), "doc_id", "left")
+    )
+    ex = F.col("ex").isNotNull()
+    nr = F.col("nr").isNotNull()
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            F.sum(ex.cast("int")).cast("bigint").alias("n_exact_dup"),
+            F.sum((~ex & nr).cast("int")).cast("bigint").alias("n_near_dup"),
+            F.sum((~ex & ~nr).cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
