@@ -167,6 +167,12 @@ def main() -> None:
         "embedding_quantize_int8_error",
         "curation_pipeline_docs",
         "sample_mixture_balanced",
+        # round-3 operators
+        "text_repetition_metrics",
+        "contamination_ngram_overlap",
+        "pack_sequences_stats",
+        "pii_scrub_stats",
+        "corpus_build_pipeline",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
