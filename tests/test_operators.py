@@ -401,3 +401,40 @@ def test_pii_scrub_counts_and_redaction(spark):
     ).collect()[0]
     assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (1, 1, 1)
     assert row["scrubbed"] == "mail me at <EMAIL> or <PHONE> from <IP>"
+
+
+def test_pack_sequences_invariants_random_corpus(spark):
+    # property-style invariants on a deterministic pseudo-random corpus:
+    # every doc lands in exactly one bin; within each (lang, shard) the
+    # bins are contiguous from 0; every bin except possibly the last
+    # would overflow the budget if its first doc moved one bin earlier
+    # (i.e. the packer is greedy: a bin closes only when adding the
+    # next doc crosses the budget).
+    from hadoop_formats_spark.operators.packing import pack_sequences
+
+    budget = 50
+    rows = [
+        (i, ["en", "de"][i % 2], "w " * (1 + (i * 7919) % 40))  # 1..40 tokens
+        for i in range(200)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    packed = pack_sequences(
+        d, budget=budget, part_cols=("lang",), n_shards=4
+    ).collect()
+    assert len(packed) == 200  # one row per doc
+    by_part = {}
+    for r in packed:
+        by_part.setdefault((r["lang"], r["shard"]), []).append(r)
+    for rows_ in by_part.values():
+        rows_.sort(key=lambda r: r["doc_id"])
+        bins = [r["bin_id"] for r in rows_]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:])), (
+            "bins must be contiguous"
+        )
+        # greedy property: cumulative tokens before a doc in bin b is
+        # >= b * budget (the bin opened because the budget was crossed)
+        cum = 0
+        for r in rows_:
+            assert r["bin_id"] == cum // budget
+            cum += r["n_tokens"]
