@@ -394,22 +394,29 @@ def connected_components(
         )
 
     prev_sum = None
-    for _ in range((max_iter + 1) // 2):
+    # +1: a stall can only be OBSERVED one round after it happens, so
+    # the budget reserves a confirming round beyond the max_iter hops —
+    # otherwise a component whose diameter lands exactly on the budget
+    # converges in the final round yet still raises (its sum changed
+    # during that round).  Converged hops are no-ops, so the extra
+    # round is cheap.
+    for _ in range((max_iter + 1) // 2 + 1):
         new_labels = _hop(_hop(labels)).localCheckpoint(eager=False)
-        cur_sum = int(
-            new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-        )
+        row_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
+        if row_sum is None:
+            break  # empty edge set: no labels, trivially converged
+        cur_sum = int(row_sum)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
-        # Exhausted max_iter without converging: the labels are partial
-        # (a component wider than max_iter hops still carries several
-        # labels).  Dedup built on them would under-merge, so refuse to
-        # hand them out silently.
+        # Exhausted max_iter without a confirmed stall: the labels are
+        # partial (a component wider than max_iter hops still carries
+        # several labels).  Dedup built on them would under-merge, so
+        # refuse to hand them out silently.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations (label sum still decreasing); raise max_iter "

@@ -34,7 +34,21 @@ def binned_interval_join(
     """Join rows of ``points`` to rows of ``intervals`` where
     ``lo <= point <= hi``, as an equi-join on overlap bins + exact
     refine.  Column name collisions between the two inputs are the
-    caller's problem (alias first), as with any join."""
+    caller's problem (alias first), as with any join.
+
+    ``how`` accepts inner and left(-outer) only.  Right/full outer
+    CANNOT be bolted onto the binned rewrite: the interval side is
+    exploded to one row per overlapped bin before the join, so a
+    right/full join would null-extend each unmatched bin COPY — an
+    interval spanning 3 bins with no matching point would come back 3
+    times.  (The points side is not exploded, so left is safe.)"""
+    how_norm = how.lower().replace("_", "").replace("outer", "")
+    if how_norm not in ("inner", "left"):
+        raise ValueError(
+            "binned_interval_join supports how='inner' or 'left' only: "
+            "the interval side is bin-exploded, so right/full outer "
+            f"would duplicate unmatched intervals per bin (got {how!r})"
+        )
     p = F.col(point_col) if isinstance(point_col, str) else point_col
     lo = F.col(lo_col) if isinstance(lo_col, str) else lo_col
     hi = F.col(hi_col) if isinstance(hi_col, str) else hi_col
@@ -44,7 +58,7 @@ def binned_interval_join(
         "_ibin", F.explode(F.sequence(F.floor(lo / bw), F.floor(hi / bw)))
     )
     # The exact-refine predicate lives INSIDE the join condition (not a
-    # post-join filter): for outer joins a post-join filter would drop
+    # post-join filter): for left joins a post-join filter would drop
     # the null-extended rows and silently degrade to inner semantics.
     cond = (pb["_pbin"] == ib["_ibin"]) & (p >= lo) & (p <= hi)
     return pb.join(ib, cond, how).drop("_pbin", "_ibin")

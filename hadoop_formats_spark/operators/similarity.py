@@ -246,6 +246,7 @@ def kmeans_partials(
     cents: list[tuple[int, list[float]]],
     *,
     vec_col: str = "embedding",
+    bc_out: list | None = None,
 ) -> DataFrame:
     """Per-batch k-means sufficient statistics against DRIVER-HELD
     centroids: one Arrow-batched ``mapInPandas`` pass that (a) assigns
@@ -267,6 +268,13 @@ def kmeans_partials(
     cmat = np.vstack([np.asarray(v, dtype=np.float64) for _, v in cents])
     cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     bc = corpus.sparkSession.sparkContext.broadcast((cid_arr, cunit))
+    if bc_out is not None:
+        # hand the broadcast handle to the caller: the returned
+        # DataFrame is lazy, so this function cannot know when the
+        # broadcast is safe to destroy.  An iterative caller that
+        # collects immediately (kmeans_iterations) destroys it per
+        # iteration instead of leaking one k×dim block per pass.
+        bc_out.append(bc)
 
     src = corpus.select(F.col(vec_col).alias("v"))
 
@@ -350,10 +358,17 @@ def kmeans_iterations(
             # one GEMM+partial-sum pass per iteration; ≤ k rows per
             # task reach the driver, combined here in a deterministic
             # (sorted) order so re-runs are bit-identical
-            parts = sorted(
-                kmeans_partials(src, cents, vec_col=vec_col).collect(),
-                key=lambda r: (r["centroid_id"], r["n"], tuple(r["sums"])),
-            )
+            handles: list = []
+            try:
+                parts = sorted(
+                    kmeans_partials(
+                        src, cents, vec_col=vec_col, bc_out=handles
+                    ).collect(),
+                    key=lambda r: (r["centroid_id"], r["n"], tuple(r["sums"])),
+                )
+            finally:
+                for bc in handles:  # collected above → safe to free now
+                    bc.destroy()
             acc: dict[int, tuple[int, np.ndarray]] = {}
             for r in parts:
                 n0, s0 = acc.get(r["centroid_id"], (0, np.zeros(0)))

@@ -21,15 +21,23 @@ REFERENCE_TEXT_INT = "/root/reference/tests/text-int.seq"
 _CACHE_ROOT = "/tmp/hfs_seq_cache"
 
 
-def _roundtrip_dir(spark, sf_dir: str, name: str, build) -> str:
+def _roundtrip_dir(spark, sf_dir: str, name: str, build, writer_options=None) -> str:
     """Idempotently materialize a DataFrame as a SequenceFile dir under
-    /tmp (atomic rename so concurrent runs can't see partial output)."""
+    /tmp (atomic rename so concurrent runs can't see partial output).
+    ``writer_options``: dict of DataSource writer options, or a
+    zero-arg callable returning one — called only on an actual build,
+    so options derived from Spark jobs (e.g. a count) cost nothing on
+    cache hits."""
     key = sf_dir.strip("/").replace("/", "_")
     final = os.path.join(_CACHE_ROOT, key, name)
     if os.path.isdir(final) and any(f.endswith(".seq") for f in os.listdir(final)):
         return final
     tmp = final + "." + uuid.uuid4().hex[:8]
-    build().write.format("hadoop_seq").mode("append").save(tmp)
+    opts = writer_options() if callable(writer_options) else (writer_options or {})
+    w = build().write.format("hadoop_seq").mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(tmp)
     os.makedirs(os.path.dirname(final), exist_ok=True)
     try:
         os.rename(tmp, final)
@@ -407,31 +415,19 @@ def seqfile_permissive_corrupt_tail(spark, sf_dir):
 def seqfile_metadata_roundtrip(spark, sf_dir):
     from ..seqfile.datasource import read_metadata
 
-    li = table(spark, sf_dir, "lineitem")
-    n = li.count()
-    key = sf_dir.strip("/").replace("/", "_")
-    final = os.path.join(_CACHE_ROOT, key, "lineitem_meta")
-    if not (
-        os.path.isdir(final)
-        and any(f.endswith(".seq") for f in os.listdir(final))
-    ):
-        tmp = final + "." + uuid.uuid4().hex[:8]
-        (
-            li.select(
-                F.col("l_orderkey").alias("key"),
-                F.col("l_returnflag").alias("value"),
-            )
-            .write.format("hadoop_seq")
-            .option("metadata.source", "lineitem")
-            .option("metadata.rows", str(n))
-            .mode("append")
-            .save(tmp)
+    def build():
+        return table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_returnflag").alias("value"),
         )
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    def opts():  # runs only on an actual build — no count on cache hits
+        n = table(spark, sf_dir, "lineitem").count()
+        return {"metadata.source": "lineitem", "metadata.rows": str(n)}
+
+    final = _roundtrip_dir(
+        spark, sf_dir, "lineitem_meta", build, writer_options=opts
+    )
     part = sorted(f for f in os.listdir(final) if f.endswith(".seq"))[0]
     meta = sorted(read_metadata(os.path.join(final, part)).items())
     return spark.createDataFrame(meta, "k string, v string").orderBy("k")

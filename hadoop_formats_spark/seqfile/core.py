@@ -490,7 +490,7 @@ def iter_blocks(
                     raw, header, want_keys=want_keys, want_values=want_values
                 )
             return
-        if not _enter_record_stream(f, header, start, file_end):
+        if not _enter_record_stream(f, header, start, stop, file_end):
             return
         yield from _iter_record_batches(
             f, header, stop, want_keys=want_keys, want_values=want_values
@@ -498,11 +498,18 @@ def iter_blocks(
 
 
 def _enter_record_stream(
-    f: io.BufferedIOBase, header: Header, start: int, file_end: int
+    f: io.BufferedIOBase, header: Header, start: int, stop: int, file_end: int
 ) -> bool:
     """Position ``f`` at the first record of a split of a record-oriented
-    (non-block) file.  Split 0 starts right after the header; later
-    splits resync forward."""
+    (non-block) file, or return False if this split owns no records.
+
+    Ownership rule (gives exactly-once across any split size): a sync
+    marker — and the run of records it introduces — belongs to the one
+    split whose ``[start, stop)`` contains the sync's byte position;
+    the leading run (no preceding sync) belongs to split 0.  Without
+    the ``pos >= stop`` rejection, every split smaller than the sync
+    spacing (~2 KB of records) resyncs to the SAME next sync and
+    re-emits that whole run once per split."""
     if start == 0:
         f.seek(header.header_len)
         return True
@@ -511,7 +518,7 @@ def _enter_record_stream(
     # end of the header (NOT from the start) or we'd emit duplicates
     # when a user-set split_size is smaller than the header.
     pos = _find_sync(f, header, max(start, header.header_len), file_end)
-    if pos is None:
+    if pos is None or pos >= stop:
         return False
     f.seek(pos + 20)  # consume the entry sync
     return True
@@ -688,7 +695,7 @@ def iter_block_counts(
                     f.seek(n, os.SEEK_CUR)
                 yield count
             return
-        if not _enter_record_stream(f, header, start, file_end):
+        if not _enter_record_stream(f, header, start, stop, file_end):
             return
         for block in _iter_record_batches(f, header, stop, count_only=True):
             yield block.count

@@ -499,6 +499,11 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, schema: StructType):
         # reuse the batch writer's option parsing / schema checks
         self._w = SeqFileWriter(options, schema, overwrite=False)
+        # per-query token (generated once on the driver, pickled into
+        # every task): temp names carry it so commit()'s stale-file
+        # sweep can tell THIS query's dead-task orphans apart from the
+        # live temp files of another writer targeting the same dir
+        self._token = uuid.uuid4().hex[:8]
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> "SeqCommit":
         from pyspark import TaskContext
@@ -506,7 +511,10 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         w = self._w
-        tmp = os.path.join(w.dir, f".stream-{uuid.uuid4().hex[:8]}-{pid:05d}.seq")
+        tmp = os.path.join(
+            w.dir,
+            f".stream-{self._token}-{uuid.uuid4().hex[:8]}-{pid:05d}.seq",
+        )
         rows = 0
         writer = None
         try:
@@ -549,10 +557,11 @@ class SeqFileStreamWriter(DataSourceStreamArrowWriter):
                 os.path.dirname(m.path), f"batch-{batchId:08d}-{i:05d}.seq"
             )
             os.replace(m.path, final)
-        # sweep stale temp files from tasks that died before returning a
-        # commit message (their paths never reach abort())
+        # sweep stale temp files from tasks of THIS query that died
+        # before returning a commit message (their paths never reach
+        # abort()); other writers' temp files are left alone
         for f in os.listdir(self._w.dir):
-            if f.startswith(".stream-"):
+            if f.startswith(f".stream-{self._token}-"):
                 try:
                     os.remove(os.path.join(self._w.dir, f))
                 except OSError:

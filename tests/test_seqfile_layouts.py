@@ -225,3 +225,26 @@ def test_empty_file_roundtrip(tmp_path, ctype):
     back = core.read_file(p)
     assert back.num_rows == 0 and back.schema.names == ["key", "value"]
     assert sum(core.iter_block_counts(p)) == 0
+
+
+@pytest.mark.parametrize("ctype,codec", ALL_COMBOS)
+@pytest.mark.parametrize("split_size", [28, 1000])
+def test_tiny_splits_exactly_once(tmp_path, ctype, codec, split_size):
+    """Splits far smaller than the sync spacing must still partition the
+    records exactly once: every split whose entry sync falls at/after
+    its end owns nothing (regression: such splits used to re-read the
+    whole inter-sync run, duplicating records)."""
+    t = _sample_table()
+    p = str(tmp_path / "f.seq")
+    core.write_table(p, t, compression_type=ctype, codec=codec, block_records=6000)
+    size = os.path.getsize(p)
+    seen = []
+    for s in range(0, size, split_size):
+        for b in core.iter_blocks(p, start=s, end=min(s + split_size, size)):
+            seen.extend(b.keys.to_pylist())
+    assert sorted(seen) == t.column("key").to_pylist()
+    # count fast path must agree under the same tiny splits
+    n = 0
+    for s in range(0, size, split_size):
+        n += sum(core.iter_block_counts(p, start=s, end=min(s + split_size, size)))
+    assert n == t.num_rows
