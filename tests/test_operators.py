@@ -438,3 +438,48 @@ def test_pack_sequences_invariants_random_corpus(spark):
         for r in rows_:
             assert r["bin_id"] == cum // budget
             cum += r["n_tokens"]
+
+
+def test_connected_components_empty_graph(spark):
+    # regression: sum over zero label rows is NULL; int(None) crashed
+    out = D.connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).collect()
+    assert out == []
+
+
+def test_connected_components_converges_at_budget_boundary(spark):
+    # regression: an 8-node chain converges exactly in the last allowed
+    # round; the stall is only observable one round later, which the
+    # loop budget must reserve (used to raise a spurious error)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    out = D.connected_components(pairs, max_iter=5).collect()
+    assert sorted((r["doc_id"], r["group_id"]) for r in out) == [
+        (i, 0) for i in range(8)
+    ]
+
+
+def test_connected_components_still_raises_when_unconverged(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=5).collect()
+
+
+def test_binned_interval_join_rejects_right_full(spark):
+    from hadoop_formats_spark.operators.ranges import binned_interval_join
+
+    pts = spark.createDataFrame([(5.0,)], "p double")
+    iv = spark.createDataFrame([(0.0, 30.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="inner.*or.*left"):
+        binned_interval_join(pts, iv, "p", "lo", "hi", bin_width=10.0, how="full")
+    # left outer keeps unmatched points as null-extended rows
+    pts2 = spark.createDataFrame([(5.0,), (99.0,)], "p double")
+    rows = binned_interval_join(
+        pts2, iv, "p", "lo", "hi", bin_width=10.0, how="left"
+    ).collect()
+    assert len(rows) == 2
+    assert sorted((r["p"], r["lo"]) for r in rows) == [(5.0, 0.0), (99.0, None)]
