@@ -611,3 +611,43 @@ def cosine_near_dup_pairs(
         .applyInPandas(gemm, out_schema)
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+def random_projection(
+    corpus: DataFrame,
+    *,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Deterministic Rademacher random projection R^dim → R^out_dim:
+    component j = round(Σ_d sign(j,d)·v[d] / sqrt(out_dim), 6), with
+    the same ±1 plane family as ``sign_lsh_bits`` and the same
+    strict left-to-right fold, so a SQL oracle spelling the literal
+    ``±e[1] ± e[2] …`` sum reproduces every component bit-for-bit.
+
+    This is the Johnson–Lindenstrauss workhorse of embedding
+    pipelines: distances are preserved within (1±ε) w.h.p., so ANN /
+    near-dup search in the projected space costs dim/out_dim of the
+    GEMM while the exact re-rank (on the original vectors) fixes the
+    small distortion.  Pure map-side Catalyst projection — no shuffle,
+    no Python; rounding to 6 keeps downstream rank comparisons stable
+    across engines.  Returns (id, out_col array<double>)."""
+    v = F.col(vec_col)
+    if dim is None:
+        dim = len(corpus.select(v).first()[0])
+    inv = 1.0 / float(out_dim) ** 0.5  # exact for power-of-4 out_dim
+    comps = []
+    for p in range(out_dim):
+        weights = [float(rademacher_sign(p, d)) for d in range(dim)]
+        acc = F.aggregate(
+            F.zip_with(v, F.lit(weights), lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        comps.append(F.round(acc * F.lit(inv), 6))
+    return corpus.select(
+        F.col(id_col).alias(id_col), F.array(*comps).alias(out_col)
+    )

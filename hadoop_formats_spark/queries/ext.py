@@ -973,3 +973,116 @@ def multimodal_decode_features(spark, sf_dir):
         F.round(F.avg("feat_mean"), 4).alias("avg_feat"),
         F.sum("feat_dim").alias("total_dim"),
     )
+
+
+def _proj_sql(e: str = "e", out_dim: int = 16) -> str:
+    """SQL list literal reproducing random_projection bit-for-bit:
+    component p = round((±e[1] ± e[2] …) * 0.25, 6) — 0.25 = 1/sqrt(16)
+    exactly, and the left-to-right sum matches the engine's fold."""
+    comps = []
+    for p in range(out_dim):
+        terms = []
+        for d in range(_EMB_DIM):
+            s = S.rademacher_sign(p, d)
+            if d == 0:
+                terms.append(f"{'-' if s < 0 else ''}{e}[1]")
+            else:
+                terms.append(f"{' - ' if s < 0 else ' + '}{e}[{d + 1}]")
+        comps.append(f"round(({''.join(terms)}) * 0.25, 6)")
+    return "[" + ",\n       ".join(comps) + "]"
+
+
+_PCOS = (
+    "round(list_dot_product(q.p, c.p)"
+    " / (sqrt(list_dot_product(q.p, q.p))"
+    " * sqrt(list_dot_product(c.p, c.p))), 4)"
+)
+
+
+@register(
+    "ann_projected_recall_at_3",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    proj AS (SELECT vec_id, {_proj_sql()} AS p FROM base),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rnk <= 3
+    ),
+    cand20 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_PCOS} DESC, c.vec_id) AS rnk
+        FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rnk <= 20
+    ),
+    rerank3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               row_number() OVER (PARTITION BY cd.query_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                          cd.neighbor_id) AS rnk
+        FROM cand20 cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) WHERE rnk <= 3
+    )
+    SELECT e3.query_id,
+           CAST(sum(CASE WHEN r3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched3
+    FROM exact3 e3 LEFT JOIN rerank3 r3 USING (query_id, neighbor_id)
+    GROUP BY e3.query_id ORDER BY e3.query_id
+    """,
+    doc="Project-then-rerank ANN (the production JL pipeline): generate "
+    "top-20 candidates with brute force in the 16-dim Rademacher "
+    "projection (4× cheaper GEMM), then exact-cosine re-rank the "
+    "candidates in the full 64-dim space and keep top-3; reported is "
+    "the per-probe overlap with the exact full-space top-3 — recall "
+    "measured instead of assumed.  The projection is a deterministic "
+    "map-side Catalyst fold (same ±1 plane family as sign-LSH), "
+    "bit-identical to the oracle\'s literal ±-sum.",
+)
+def ann_projected_recall_at_3(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact3 = S.brute_force_topk(e, q, k=3).select("query_id", "neighbor_id")
+    pr = S.random_projection(e, out_dim=16, dim=_EMB_DIM).withColumnRenamed(
+        "proj", "embedding"
+    )
+    prq = pr.filter(F.col("vec_id") % 100 == 0)
+    cand20 = S.brute_force_topk(pr, prq, k=20).select("query_id", "neighbor_id")
+    # exact re-rank of the projected candidates in the original space
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("query_id").orderBy(F.desc("rsim"), F.asc("neighbor_id"))
+    rerank3 = (
+        cand20.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qe"), F.col("ce")), 4).alias("rsim"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("m"))
+    )
+    return (
+        exact3.join(rerank3, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("m", F.lit(0))).cast("bigint").alias("n_matched3")
+        )
+        .orderBy("query_id")
+    )

@@ -483,3 +483,18 @@ def test_binned_interval_join_rejects_right_full(spark):
     ).collect()
     assert len(rows) == 2
     assert sorted((r["p"], r["lo"]) for r in rows) == [(5.0, 0.0), (99.0, None)]
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    dim, out_dim = 8, 4
+    vec = [float(i + 1) for i in range(dim)]
+    d = spark.createDataFrame([(1, vec)], "vec_id bigint, embedding array<double>")
+    row = S.random_projection(d, out_dim=out_dim, dim=dim).collect()[0]
+    planes = np.array(
+        [[S.rademacher_sign(p, dd) for dd in range(dim)] for p in range(out_dim)],
+        dtype=np.float64,
+    )
+    expect = np.round(planes @ np.array(vec) / np.sqrt(out_dim), 6)
+    assert row["proj"] == pytest.approx(expect.tolist())
