@@ -661,3 +661,64 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sample_token_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, doc_id % 8 AS shard,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM cum
+    WHERE cum_before < 2000
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Token-budget sampling: admit documents per (lang, doc_id%8) "
+    "shard — in deterministic md5(doc_id) order, so the sample is "
+    "uniform-ish and stable across runs/retries — until the shard's "
+    "token budget (2000 ≈ 16000/lang across 8 shards) is crossed; the "
+    "last admitted doc may overflow, exactly like sequence packing's "
+    "bin tails.  The 'give me N tokens per domain' primitive of "
+    "training-mix construction; sharding bounds each window sort, and "
+    "budget-per-shard = budget/shards keeps the global take calibrated.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        cum.filter(F.col("cum_before") < 2000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
