@@ -234,3 +234,21 @@ def test_repetition_metrics_aggregates_partially(spark, sf_dir):
     assert plans.has_partial_aggregation(
         _df(spark, sf_dir, "text_repetition_metrics")
     )
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    # the projection itself must be a pure projection over the scan:
+    # no exchange anywhere in its plan
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert plans.shuffle_count(random_projection(e, out_dim=16, dim=64)) == 0
+
+
+def test_token_budget_sampling_single_shuffle_per_window(spark, sf_dir):
+    # one (lang, shard) exchange feeds the admission window; only the
+    # final per-lang aggregation adds exchanges beyond it
+    from hadoop_formats_spark import plans
+
+    assert plans.shuffle_count(_df(spark, sf_dir, "sample_token_budget")) <= 3
