@@ -82,20 +82,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # window covers every capability family — the format layer (the actual
 # port target, including the negative paths: corruption tolerance and
 # metadata round-trip), the mandated extension operators (dedup / ANN /
-# text / multimodal, with the LSH-*blocked* embedding dedup carrying
-# the graded slot since it is the shape that survives 100 TB; the exact
-# all-pairs ground truth and the recall comparison follow right after
-# the window), streaming, and one representative per parity category —
-# rather than whichever module happened to import first.  Everything
-# else follows in registration order and is still exercised by pytest's
-# own DuckDB oracle checks and bench.py.
+# text / multimodal / curation, with the LSH-*blocked* embedding dedup
+# carrying the graded slot since it is the shape that survives 100 TB;
+# the exact all-pairs ground truth and the recall comparison follow
+# right after the window), streaming, and one representative per parity
+# category — rather than whichever module happened to import first.
+# Everything else follows in registration order and is still exercised
+# by pytest's own DuckDB oracle checks and bench.py.
+#
+# Round-4 rotation (VERDICT r3 #1): the round-3 curation operators
+# (corpus_build_pipeline, sample_token_budget, pii_scrub_stats,
+# dedup_incremental_batch, ann_projected_recall_at_3) enter the window.
+# Slots were freed by retiring entries whose machinery stays certified
+# transitively or by pytest:
+#   - seqfile_roundtrip_double_sum: R8/R12 already proven by
+#     seqfile_roundtrip_returnflag_counts + golden-fixture pytest;
+#   - seqfile_block_count_fast_path: covered by
+#     tests/test_datasource.py fast-path tests;
+#   - dedup_exact: corpus_build_pipeline's dedup stage certifies
+#     exact_dedup end-to-end against the same oracle shape;
+#   - ann_ivf_topk: ann_ivf_recall_at_3 runs ivf_topk AND the exact
+#     scan and compares them — a strictly stronger certificate;
+#   - join_interval_binned_price_band: joins keep three graded reps
+#     (inner / as-of / salted); the interval rewrite stays covered by
+#     pytest + the full-registry sweep.
 PRIORITY_ORDER = [
     # format layer (SURVEY §2.1 R1-R18 + writer + streaming source)
     "seqfile_reference_record_count",
     "seqfile_reference_first_keys",
     "seqfile_roundtrip_returnflag_counts",
-    "seqfile_roundtrip_double_sum",
-    "seqfile_block_count_fast_path",
     "seqfile_stream_source_counts",
     "seqfile_stream_sink_roundtrip",
     "seqfile_record_layout_roundtrip",
@@ -103,26 +118,28 @@ PRIORITY_ORDER = [
     "seqfile_metadata_roundtrip",
     "parquet_write_roundtrip",
     "parquet_partitioned_pruned_read",
-    # [ext] dedup / similarity / text / multimodal (SURVEY §2.3)
-    "dedup_exact",
+    # [ext] dedup / similarity / text / multimodal / curation (§2.3)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_lsh_blocked",
     "dedup_group_assignment",
+    "dedup_incremental_batch",
     "ann_brute_force_topk",
-    "ann_ivf_topk",
     "ann_ivf_recall_at_3",
+    "ann_projected_recall_at_3",
     "kmeans_cluster_profile",
     "text_lang_id_confusion",
     "text_quality_score",
     "text_token_counts",
-    "join_interval_binned_price_band",
     "text_fingerprint_dups",
     "text_tfidf_top_terms",
     "multimodal_metadata",
     "embedding_quantize_int8_error",
     "multimodal_audio_window_counts",
+    "corpus_build_pipeline",
+    "sample_token_budget",
+    "pii_scrub_stats",
     # streaming (SURVEY §2.2 last row)
     "stream_tumbling_hourly_counts",
     "sessionize_events_batch",
