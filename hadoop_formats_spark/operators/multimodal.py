@@ -59,42 +59,49 @@ def extract_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(parse, META_SCHEMA)
 
 
-def decode_features(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
+def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
     """Decode media → feature vector summary.
 
-    Capability-probed at runtime: when an image library (PIL) is
-    importable on the executors, payloads that parse as images are
-    really decoded (grayscale pixel mean / 255, pixel count); anything
-    else — including every payload in this container, where PIL is
-    absent — takes the deterministic stub (mean payload byte / 255,
-    byte count).  Both paths share FEATURE_SCHEMA, so upgrading the
-    environment upgrades the result without touching callers.  The
-    distributed plumbing (Arrow batches in, vectorized numpy work,
-    Arrow batches out) is identical either way."""
+    ``decode`` selects the path EXPLICITLY (no silent capability
+    probing — a probed path changes feat_dim semantics between
+    environments, which breaks any fixed oracle):
 
-    try:
-        import PIL.Image  # noqa: F401
+    * ``"stub"`` (default): deterministic fake decode — mean payload
+      byte / 255, byte count.  Environment-independent, so results are
+      reproducible and oracle-checkable anywhere.
+    * ``"real"``: decode payloads as images with PIL (grayscale pixel
+      mean / 255, pixel count).  Raises ``NotImplementedError`` when
+      PIL is absent — never falls back silently.  Payloads that are
+      not parseable images still take the stub feature (per-row
+      fallback is data-dependent, not environment-dependent).
 
-        have_decoder = True
-    except ImportError:
-        have_decoder = False
+    Both paths share FEATURE_SCHEMA and the same distributed plumbing
+    (Arrow batches in, vectorized numpy work, Arrow batches out)."""
+    if decode not in ("stub", "real"):
+        raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
 
-    if not have_decoder and not allow_stub:
-        raise NotImplementedError(
-            "media decode requires an image library (PIL) not present in "
-            "this environment; pass allow_stub=True for the deterministic "
-            "fake decode"
-        )
+    if decode == "real":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "decode='real' requires an image library (PIL) not "
+                "present in this environment; use decode='stub' for the "
+                "deterministic fake decode"
+            )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    want_real = decode == "real"
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        try:  # probe again executor-side; workers may differ from driver
+        _Image = None
+        if want_real:
             import io
 
-            import PIL.Image as _Image
-        except ImportError:
-            _Image = None
+            import PIL.Image as _Image  # executor must match the driver
 
         def one(payload: bytes) -> tuple[float, int]:
             if _Image is not None:
@@ -121,7 +128,7 @@ def decode_features(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(decode, FEATURE_SCHEMA)
+    return df.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
 def resize_media(df: DataFrame, *, target_len: int = 64) -> DataFrame:

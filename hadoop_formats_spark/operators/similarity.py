@@ -15,6 +15,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _infer_dim(corpus: DataFrame, vec_col) -> int:
+    """Vector width from the first corpus row.  This is a DRIVER ACTION
+    during plan construction — callers that want a fully lazy builder
+    (or an empty corpus) must pass ``dim`` explicitly."""
+    first = corpus.select(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    ).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "cannot infer embedding dim from an empty corpus (or a null "
+            "first vector); pass dim= explicitly"
+        )
+    return len(first[0])
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -45,6 +60,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    bc_out: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small, collected) query matrix
     to every corpus partition, GEMM each Arrow batch against it in
@@ -55,6 +71,14 @@ def brute_force_topk(
 
     Rounds similarity before ranking (ties broken by neighbor id) so
     rankings are reproducible across engines/float orders.
+
+    ``bc_out``: the returned DataFrame is lazy, so this function cannot
+    know when the query-matrix broadcast is safe to free.  Pass a list
+    to receive the broadcast handle and ``destroy()`` it once the
+    result has been collected/written (same contract as
+    ``kmeans_partials``); without it the handle is released when the
+    returned DataFrame is garbage-collected (ContextCleaner), which is
+    fine for one-shot queries but leaks across a long-lived loop.
     Returns (query_id, neighbor_id, sim, rnk)."""
     import numpy as np
     import pandas as pd
@@ -72,6 +96,8 @@ def brute_force_topk(
     q_ids = np.array([r["qid"] for r in qrows])
     q_mat = np.vstack([np.asarray(r["u"]) for r in qrows])  # (Q, d)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    if bc_out is not None:
+        bc_out.append(bq)
 
     unit = corpus.select(
         F.col(id_col).alias("id"), unit_normalize(F.col(vec_col)).alias("u")
@@ -444,10 +470,11 @@ def sign_lsh_buckets(
     with probability 1 - θ/π per bit, so same-bucket (or same-band)
     pairs are the candidate set for near-dup verification (block →
     verify, like MinHash+LSH for text).  Pure map-side Catalyst
-    projection — no shuffle, no Python.  Returns (id, bucket:string)."""
+    projection — no shuffle, no Python.  ``dim=None`` infers the width
+    with a driver action (see ``_infer_dim``); pass ``dim`` to keep
+    plan construction lazy.  Returns (id, bucket:string)."""
     if dim is None:
-        first = corpus.select(F.col(vec_col)).first()
-        dim = len(first[0])
+        dim = _infer_dim(corpus, vec_col)
     return corpus.select(
         F.col(id_col).alias("id"),
         sign_lsh_bits(vec_col, n_planes=n_planes, dim=dim).alias("bucket"),
@@ -488,8 +515,7 @@ def lsh_banded_near_dup_pairs(
         raise ValueError("n_planes must divide evenly into bands")
     r = n_planes // bands
     if dim is None:
-        first = corpus.select(F.col(vec_col)).first()
-        dim = len(first[0])
+        dim = _infer_dim(corpus, vec_col)
 
     bucketed = corpus.select(
         F.col(id_col).alias("doc_id"),
@@ -634,11 +660,22 @@ def random_projection(
     GEMM while the exact re-rank (on the original vectors) fixes the
     small distortion.  Pure map-side Catalyst projection — no shuffle,
     no Python; rounding to 6 keeps downstream rank comparisons stable
-    across engines.  Returns (id, out_col array<double>)."""
+    across engines.
+
+    ``dim=None`` infers the width with a driver action (see
+    ``_infer_dim``); pass ``dim`` to keep plan construction lazy.
+
+    Bit-for-bit oracle reproducibility holds for POWER-OF-4 ``out_dim``
+    (4, 16, 64, …), where 1/sqrt(out_dim) is an exact binary fraction
+    that any engine spells identically.  Other out_dims still satisfy
+    the JL guarantee, but an oracle spelling the scale constant
+    differently can diverge in the last ulp before the round(…, 6) —
+    so for those the comparison is tolerance-grade, not bit-grade.
+    Returns (id, out_col array<double>)."""
     v = F.col(vec_col)
     if dim is None:
-        dim = len(corpus.select(v).first()[0])
-    inv = 1.0 / float(out_dim) ** 0.5  # exact for power-of-4 out_dim
+        dim = _infer_dim(corpus, vec_col)
+    inv = 1.0 / float(out_dim) ** 0.5  # exact binary for power-of-4
     comps = []
     for p in range(out_dim):
         weights = [float(rademacher_sign(p, d)) for d in range(dim)]

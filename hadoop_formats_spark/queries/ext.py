@@ -960,14 +960,16 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode is stubbed (no media libs in container): rows-only
+    # rows-only: decode='stub' pins deterministic semantics in every
+    # environment, but mean-payload-byte is not SQL-expressible in DuckDB
+    oracle=None,
     doc="Media decode plumbing: binary → mapInPandas feature extraction "
-    "(stubbed decoder, real distributed shape).",
+    "(explicit decode='stub', real distributed shape).",
 )
 def multimodal_decode_features(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     packed = M.pack_binary(d, "doc_id", "text")
-    feats = M.decode_features(packed, allow_stub=True)
+    feats = M.decode_features(packed, decode="stub")
     return feats.agg(
         F.count("*").alias("n"),
         F.round(F.avg("feat_mean"), 4).alias("avg_feat"),
