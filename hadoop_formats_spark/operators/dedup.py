@@ -125,6 +125,8 @@ def band_bucket_pairs(
     band_id_col: str = "band_id",
     band_key_col: str = "band_key",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    dropped_out: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) distinct candidate pairs from banded LSH rows —
     the shared tail of every banding scheme (MinHash bands over text,
@@ -133,14 +135,32 @@ def band_bucket_pairs(
     One groupBy per band bucket, pairs expanded inside the collected
     array — computes the upstream signature pipeline ONCE (a self-join
     would recompute it per side) and shuffles only (band, id) rows.
-    Buckets are near-dup groups, so arrays stay small by construction;
-    a degenerate hot bucket (constant column ⇒ everything collides)
-    should be capped upstream the same way hot shingles are."""
+    Buckets are near-dup groups, so arrays stay small by construction —
+    EXCEPT the degenerate hot bucket (boilerplate/constant text ⇒ a
+    whole corpus slice collides in one band), whose pair expansion is
+    quadratic in the bucket.  ``max_bucket_size`` caps that failure
+    mode, mirroring ``shingle_jaccard_pairs``'s ``max_doc_freq``:
+    buckets above the cap are dropped from candidate generation (their
+    members can still pair through their other, more selective bands).
+    Pass ``dropped_out`` (a list) to receive a LAZY DataFrame
+    (band_id, band_key, bucket_size) of the dropped buckets so
+    pipelines can count/log what the cap discarded — an eager count
+    here would force the whole upstream pipeline twice."""
     buckets = (
         banded.groupBy(band_id_col, band_key_col)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        if dropped_out is not None:
+            dropped_out.append(
+                buckets.filter(F.size("ids") > max_bucket_size).select(
+                    band_id_col,
+                    band_key_col,
+                    F.size("ids").alias("bucket_size"),
+                )
+            )
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -165,12 +185,16 @@ def minhash_band_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    dropped_out: list | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 MinHash band.
 
     shingle → minhash → band → bucket-join: the join key is
     (band_id, band_key), so the shuffle is by band bucket and the pair
-    space never materializes globally.  Returns (doc_a, doc_b) distinct.
+    space never materializes globally.  ``max_bucket_size`` /
+    ``dropped_out`` pass through to ``band_bucket_pairs`` (hot-bucket
+    cap).  Returns (doc_a, doc_b) distinct.
     """
     rows = num_hashes // bands
     # explode-then-min-aggregate signatures (see minhash_signatures for
@@ -191,7 +215,9 @@ def minhash_band_pairs(
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
-    return band_bucket_pairs(banded)
+    return band_bucket_pairs(
+        banded, max_bucket_size=max_bucket_size, dropped_out=dropped_out
+    )
 
 
 def shingle_jaccard_pairs(
@@ -336,6 +362,7 @@ def connected_components(
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, group_id) — connected components over undirected dup
     pairs: the step that turns pairwise near-dup hits into dedup GROUPS
@@ -346,16 +373,31 @@ def connected_components(
     min of its own label and its neighbors' labels; rounds needed =
     component diameter, which for near-dup clusters is tiny.  Each
     round is one join + one aggregate (both shuffle on node id, so at
-    scale consecutive rounds reuse the same hash partitioning);
-    ``localCheckpoint`` truncates the growing lineage — on a real
-    cluster use ``spark.sparkContext.setCheckpointDir`` + checkpoint
-    instead so a lost executor can't force a full recompute."""
+    scale consecutive rounds reuse the same hash partitioning).
+    Lineage is truncated every round: with ``checkpoint_dir`` set, via
+    RELIABLE checkpoints written there (survives executor loss — what a
+    real cluster run wants; any Hadoop-compatible path works); without
+    it, via ``localCheckpoint`` (blocks live only on executors — fine
+    on local[N], where executor loss means the app died anyway)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            # reliable checkpoints have no lazy variant: eager=True is
+            # fine because every round's result is consumed immediately
+            # by the convergence-sum action below.
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=False)
+
     sym = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    sym = _ckpt(
+        sym.union(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     labels = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
     )
@@ -400,8 +442,9 @@ def connected_components(
     # converges in the final round yet still raises (its sum changed
     # during that round).  Converged hops are no-ops, so the extra
     # round is cheap.
-    for _ in range((max_iter + 1) // 2 + 1):
-        new_labels = _hop(_hop(labels)).localCheckpoint(eager=False)
+    n_rounds = (max_iter + 1) // 2 + 1
+    for _ in range(n_rounds):
+        new_labels = _ckpt(_hop(_hop(labels)))
         row_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
@@ -413,14 +456,15 @@ def connected_components(
             break
         prev_sum = cur_sum
     else:
-        # Exhausted max_iter without a confirmed stall: the labels are
-        # partial (a component wider than max_iter hops still carries
-        # several labels).  Dedup built on them would under-merge, so
-        # refuse to hand them out silently.
+        # Exhausted the budget without a confirmed stall: the labels
+        # are partial (a component wider than the hop budget still
+        # carries several labels).  Dedup built on them would
+        # under-merge, so refuse to hand them out silently.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "iterations (label sum still decreasing); raise max_iter "
-            "for graphs with long chains"
+            f"connected_components did not converge within "
+            f"{n_rounds} double-hop rounds ({n_rounds * 2} propagation "
+            f"hops, from max_iter={max_iter}; label sum still "
+            "decreasing); raise max_iter for graphs with long chains"
         )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("group_id")
@@ -472,6 +516,7 @@ def contamination_overlap(
     text_col: str = "text",
     *,
     shingle_n: int = 5,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-train-document benchmark contamination: the fraction of the
     document's distinct word ``shingle_n``-grams that appear anywhere
@@ -480,13 +525,14 @@ def contamination_overlap(
 
     Shape: inverted-index join on the shingle key (never a cross
     join).  The benchmark side is reduced to its DISTINCT shingle set
-    and broadcast — eval suites are tiny relative to a 100 TB train
-    corpus, so every executor holds the bench set and the train corpus
-    is never shuffled; if the bench set ever outgrew broadcast, drop
-    the hint and the same plan becomes a shuffle join on the shingle
-    key.  Returns (doc_id, n_shingles, n_contaminated,
-    contamination_frac) for every train doc that has at least one
-    shingle."""
+    and, with ``broadcast_bench=True`` (default), broadcast — eval
+    suites are tiny relative to a 100 TB train corpus, so every
+    executor holds the bench set and the train corpus is never
+    shuffled.  If the bench corpus outgrows broadcast, pass
+    ``broadcast_bench=False`` and the SAME plan degrades to a shuffle
+    join on the shingle key instead of a broadcast OOM.  Returns
+    (doc_id, n_shingles, n_contaminated, contamination_frac) for every
+    train doc that has at least one shingle."""
     tr = _spread(train, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
@@ -498,8 +544,10 @@ def contamination_overlap(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    if broadcast_bench:
+        be = F.broadcast(be)
     return (
-        tr.join(F.broadcast(be), "shingle", "left")
+        tr.join(be, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),

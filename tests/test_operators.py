@@ -498,3 +498,95 @@ def test_random_projection_matches_numpy(spark):
     )
     expect = np.round(planes @ np.array(vec) / np.sqrt(out_dim), 6)
     assert row["proj"] == pytest.approx(expect.tolist())
+
+def test_band_bucket_pairs_hot_bucket_cap(spark):
+    # degenerate corpus: constant text ⇒ every doc lands in the same
+    # bucket of every band.  Uncapped, the pair expansion is quadratic
+    # in the corpus; the cap drops the hot buckets (candidate loss
+    # only) and reports them through dropped_out.
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere always") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    uncapped = D.minhash_band_pairs(docs, num_hashes=8, bands=4)
+    assert uncapped.count() == n * (n - 1) // 2
+
+    dropped: list = []
+    capped = D.minhash_band_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=10, dropped_out=dropped
+    )
+    assert capped.count() == 0  # every bucket holds all 40 docs
+    stats = dropped[0].collect()
+    assert len(stats) == 4  # one hot bucket per band
+    assert all(r["bucket_size"] == n for r in stats)
+
+
+def test_band_bucket_pairs_cap_keeps_small_buckets(spark, docs):
+    # a generous cap must not change results on a normal corpus
+    base = {(r["doc_a"], r["doc_b"]) for r in D.minhash_band_pairs(docs).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_band_pairs(docs, max_bucket_size=100).collect()
+    }
+    assert capped == base
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches lineage truncation to RELIABLE checkpoints
+    # (what a real cluster run needs); results must be identical and the
+    # checkpoint files must actually land in the directory.
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        r["doc_id"]: r["group_id"]
+        for r in D.connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_contamination_shuffle_join_matches_broadcast(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    key = lambda rows: {  # noqa: E731
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"]) for r in rows
+    }
+    bcast = key(D.contamination_overlap(docs, bench, shingle_n=5).collect())
+    shuf = key(
+        D.contamination_overlap(
+            docs, bench, shingle_n=5, broadcast_bench=False
+        ).collect()
+    )
+    assert shuf == bcast and bcast  # same numbers, either join strategy
+
+
+def test_decode_features_real_requires_pil(spark, docs):
+    packed = M.pack_binary(docs, "doc_id", "text")
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        pytest.skip("PIL present: decode='real' is exercised elsewhere")
+    with pytest.raises(NotImplementedError, match="decode='real'"):
+        M.decode_features(packed, decode="real")
+    with pytest.raises(ValueError, match="decode must be"):
+        M.decode_features(packed, decode="auto")
+
+
+def test_dim_inference_rejects_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.random_projection(empty, out_dim=4)
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.sign_lsh_buckets(empty)
