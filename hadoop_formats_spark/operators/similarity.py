@@ -428,6 +428,22 @@ def rademacher_sign(p: int, d: int) -> int:
     return 1 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] >= "8" else -1
 
 
+def _plane_matrix(n_planes: int, dim: int):
+    """The deterministic ±1 Rademacher plane family as a numpy matrix
+    (n_planes × dim) — same ``rademacher_sign`` entries the fold path
+    spells as literals, so fold and GEMM agree except where a
+    summation-order ulp flips a near-zero sign."""
+    import numpy as np
+
+    return np.array(
+        [
+            [rademacher_sign(p, d) for d in range(dim)]
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
 def sign_lsh_bits(
     vec_col: Column | str, *, n_planes: int, dim: int
 ) -> Column:
@@ -464,21 +480,63 @@ def sign_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    method: str = "fold",
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket per vector: bit i = sign of
     the dot product with ±1 plane i.  Cosine-similar vectors collide
     with probability 1 - θ/π per bit, so same-bucket (or same-band)
     pairs are the candidate set for near-dup verification (block →
-    verify, like MinHash+LSH for text).  Pure map-side Catalyst
-    projection — no shuffle, no Python.  ``dim=None`` infers the width
+    verify, like MinHash+LSH for text).  ``dim=None`` infers the width
     with a driver action (see ``_infer_dim``); pass ``dim`` to keep
-    plan construction lazy.  Returns (id, bucket:string)."""
+    plan construction lazy.
+
+    ``method`` picks the execution shape — both map-side, no shuffle:
+
+    * ``"fold"`` (default): one Catalyst zip_with/aggregate fold per
+      plane with literal ±1 weights.  Strictly left-to-right IEEE sum →
+      bit-identical to a SQL oracle; but plan CONSTRUCTION is
+      O(n_planes·dim) py4j literal nodes (measured ~30 s at 768×64)
+      and higher-order functions evaluate interpreted.  Right for
+      oracle-checked tests and survey-scale dims.
+    * ``"gemm"``: broadcast the ±1 plane matrix, one numpy GEMM per
+      Arrow batch via ``mapInPandas`` (same shape as
+      ``kmeans_partials``).  Constant-size plan, BLAS throughput — the
+      100 TB path at production dims.  Sign bits agree with the fold
+      except where a summation-order ulp flips an exactly-boundary dot
+      product (probability ~0 for real embeddings).
+
+    Returns (id, bucket:string)."""
+    if method not in ("fold", "gemm"):
+        raise ValueError(f"method must be 'fold' or 'gemm', got {method!r}")
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
-    return corpus.select(
-        F.col(id_col).alias("id"),
-        sign_lsh_bits(vec_col, n_planes=n_planes, dim=dim).alias("bucket"),
+    if method == "fold":
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            sign_lsh_bits(vec_col, n_planes=n_planes, dim=dim).alias("bucket"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        _plane_matrix(n_planes, dim)
     )
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def buckets(batches):
+        P = bc.value  # (planes, dim)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (M @ P.T) >= 0  # (N, planes)
+            chars = np.where(bits, "1", "0")
+            yield pd.DataFrame(
+                {"id": pdf["id"], "bucket": ["".join(r) for r in chars]}
+            )
+
+    return src.mapInPandas(buckets, "id bigint, bucket string")
 
 
 def lsh_banded_near_dup_pairs(
@@ -491,9 +549,18 @@ def lsh_banded_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     round_digits: int = 4,
+    method: str = "fold",
+    max_bucket_size: int | None = None,
+    dropped_out: list | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH *banding* + exact verify —
     the scale path that replaces all-pairs ``cosine_near_dup_pairs``.
+
+    ``method`` selects the bucketing execution shape (see
+    ``sign_lsh_buckets``: "fold" = oracle-bit-exact Catalyst, "gemm" =
+    broadcast-plane numpy GEMM for production dims).
+    ``max_bucket_size`` / ``dropped_out`` cap degenerate hot band
+    buckets, passed through to ``band_bucket_pairs``.
 
     block: split the ``n_planes``-bit sketch into ``bands`` bands of
     r = n_planes/bands bits; vectors sharing any band are candidates
@@ -517,19 +584,23 @@ def lsh_banded_near_dup_pairs(
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
 
-    bucketed = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        sign_lsh_bits(vec_col, n_planes=n_planes, dim=dim).alias("bucket"),
-    )
+    bucketed = sign_lsh_buckets(
+        corpus,
+        n_planes=n_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        method=method,
+    ).select(F.col("id").alias("doc_id"), "bucket")
     band_keys = F.array(
         *[F.substring("bucket", b * r + 1, r) for b in range(bands)]
     )
     banded = bucketed.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
-    cand = band_bucket_pairs(banded).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
+    cand = band_bucket_pairs(
+        banded, max_bucket_size=max_bucket_size, dropped_out=dropped_out
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
 
     # exact-cosine verify: explode each pair into its two sides, join the
     # corpus ONCE (two aliased joins would inline the corpus scan per
@@ -647,6 +718,7 @@ def random_projection(
     vec_col: str = "embedding",
     dim: int | None = None,
     out_col: str = "proj",
+    method: str = "fold",
 ) -> DataFrame:
     """Deterministic Rademacher random projection R^dim → R^out_dim:
     component j = round(Σ_d sign(j,d)·v[d] / sqrt(out_dim), 6), with
@@ -671,11 +743,45 @@ def random_projection(
     the JL guarantee, but an oracle spelling the scale constant
     differently can diverge in the last ulp before the round(…, 6) —
     so for those the comparison is tolerance-grade, not bit-grade.
+
+    ``method="fold"`` (default) is the oracle-bit-exact Catalyst path;
+    ``method="gemm"`` broadcasts the plane matrix and runs one numpy
+    GEMM per Arrow batch — constant-size plan and BLAS throughput, the
+    production path at large dims where the fold's O(out_dim·dim)
+    literal plan costs ~seconds of py4j plan construction and
+    interpreted evaluation (see ``sign_lsh_buckets`` for the same
+    trade-off and SCALE.md for dim=768 measurements).  Components agree
+    with the fold up to summation-order ulps under the round(…, 6).
     Returns (id, out_col array<double>)."""
+    if method not in ("fold", "gemm"):
+        raise ValueError(f"method must be 'fold' or 'gemm', got {method!r}")
     v = F.col(vec_col)
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     inv = 1.0 / float(out_dim) ** 0.5  # exact binary for power-of-4
+    if method == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            _plane_matrix(out_dim, dim)
+        )
+        src = corpus.select(F.col(id_col), v.alias("v"))
+
+        def project(batches):
+            P = bc.value  # (out_dim, dim)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                S = np.round(M @ P.T * inv, 6)  # (N, out_dim)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], out_col: list(S)}
+                )
+
+        return src.mapInPandas(
+            project, f"{id_col} bigint, {out_col} array<double>"
+        )
     comps = []
     for p in range(out_dim):
         weights = [float(rademacher_sign(p, d)) for d in range(dim)]

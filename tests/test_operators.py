@@ -590,3 +590,39 @@ def test_dim_inference_rejects_empty_corpus(spark):
         S.random_projection(empty, out_dim=4)
     with pytest.raises(ValueError, match="empty corpus"):
         S.sign_lsh_buckets(empty)
+
+def test_sign_lsh_gemm_matches_fold(spark, vectors):
+    fold = {r["id"]: r["bucket"] for r in S.sign_lsh_buckets(vectors, method="fold").collect()}
+    gemm = {r["id"]: r["bucket"] for r in S.sign_lsh_buckets(vectors, method="gemm").collect()}
+    assert gemm == fold and len(fold) == 5
+    with pytest.raises(ValueError, match="method must be"):
+        S.sign_lsh_buckets(vectors, method="blas")
+
+
+def test_random_projection_gemm_matches_fold(spark, vectors):
+    fold = {r["vec_id"]: r["proj"] for r in S.random_projection(vectors, out_dim=4, dim=3).collect()}
+    gemm = {
+        r["vec_id"]: r["proj"]
+        for r in S.random_projection(vectors, out_dim=4, dim=3, method="gemm").collect()
+    }
+    for vid, pf in fold.items():
+        assert gemm[vid] == pytest.approx(pf, abs=1e-6)
+
+
+def test_lsh_banded_gemm_matches_fold(spark):
+    # a corpus with real near-dup structure: clusters around 3 axes
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = np.eye(3)
+    rows = []
+    for i in range(30):
+        v = base[i % 3] + rng.normal(scale=0.05, size=3)
+        rows.append((i, [float(x) for x in v]))
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    key = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"]): r["sim"] for r in df.collect()
+    }
+    fold = key(S.lsh_banded_near_dup_pairs(d, threshold=0.9, dim=3))
+    gemm = key(S.lsh_banded_near_dup_pairs(d, threshold=0.9, dim=3, method="gemm"))
+    assert gemm == fold and fold
