@@ -213,7 +213,12 @@ def repetition_metrics(
     formulation of top_frac would be quadratic for long docs).
     Documents shorter than ``n`` tokens have no n-grams and drop out,
     mirroring the SQL oracle's empty generate_series."""
-    grams = docs.select(
+    from ..operators.dedup import _spread
+
+    # _spread: the n-gram explode is the CPU-heavy stage; an
+    # under-partitioned source (one small parquet file) would run it on
+    # one core.  No-op when the scan already yields enough splits.
+    grams = _spread(docs, F.col(id_col)).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     )
     per = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))

@@ -259,8 +259,11 @@ def shingle_jaccard_pairs(
             "doc_b",
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
         )
+        # _spread: shingling is the CPU-heavy side of the verify join —
+        # without it an under-partitioned source (one small parquet
+        # file) serializes the whole shingle computation on one core
         shingled = sides.join(
-            docs.select(
+            _spread(docs, F.col(id_col)).select(
                 F.col(id_col).alias("doc_id"),
                 word_shingles(text_col, shingle_n).alias("shingles"),
             ),
