@@ -722,3 +722,60 @@ def sample_token_budget(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sample_domain_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             len(string_split(lower(text), ' ')) AS n_toks,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(sum(CASE WHEN rnk <= 15 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS admitted_tokens
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    doc="Per-domain quota sampling (operators/quota.py): admit at most "
+    "15 docs per source in deterministic md5(doc_id) order — the "
+    "anti-domination primitive of crawl curation (a hot domain "
+    "contributes its quota, never its crawl share).  Runs the "
+    "two-phase scale path (prefilter_safety=4): per-domain counts → "
+    "broadcast md5-threshold prefilter (map-only) → rank over "
+    "~safety·quota survivors, with the exactness guard re-ranking any "
+    "underfilled domain, so the result is bit-identical to the naive "
+    "full-domain rank the oracle computes.",
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str):
+    from ..operators.quota import domain_quota
+
+    d = table(spark, sf_dir, "documents")
+    admitted = domain_quota(
+        d, quota=15, domain_col="source", prefilter_safety=4.0
+    ).select(
+        "source", F.size(F.split(F.lower("text"), " ")).alias("n_toks")
+    )
+    totals = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total")
+    )
+    stats = admitted.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_admitted"),
+        F.sum("n_toks").cast("bigint").alias("admitted_tokens"),
+    )
+    return (
+        totals.join(stats, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("admitted_tokens", F.lit(0)).alias("admitted_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -626,3 +626,44 @@ def test_lsh_banded_gemm_matches_fold(spark):
     fold = key(S.lsh_banded_near_dup_pairs(d, threshold=0.9, dim=3))
     gemm = key(S.lsh_banded_near_dup_pairs(d, threshold=0.9, dim=3, method="gemm"))
     assert gemm == fold and fold
+
+def test_domain_quota_two_phase_matches_naive(spark):
+    from hadoop_formats_spark.operators.quota import domain_quota
+
+    rows = [(i, f"dom{i % 3}", f"text {i}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    key = lambda df: sorted(  # noqa: E731
+        (r["source"], r["doc_id"], r["admit_rank"]) for r in df.collect()
+    )
+    naive = key(domain_quota(d, quota=5))
+    fast = key(domain_quota(d, quota=5, prefilter_safety=4.0))
+    assert fast == naive
+    per_dom = {}
+    for s, _, _ in naive:
+        per_dom[s] = per_dom.get(s, 0) + 1
+    assert per_dom == {"dom0": 5, "dom1": 5, "dom2": 5}
+
+
+def test_domain_quota_fallback_guard_keeps_exactness(spark):
+    from hadoop_formats_spark.operators.quota import domain_quota
+
+    # absurdly small safety → the prefilter underfills every domain →
+    # every domain takes the full-rank fallback; result must still be
+    # exactly the naive ranking
+    rows = [(i, f"dom{i % 2}", "t") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    key = lambda df: sorted(  # noqa: E731
+        (r["source"], r["doc_id"], r["admit_rank"]) for r in df.collect()
+    )
+    assert key(domain_quota(d, quota=8, prefilter_safety=0.01)) == key(
+        domain_quota(d, quota=8)
+    )
+
+
+def test_domain_quota_small_domain_admits_all(spark):
+    from hadoop_formats_spark.operators.quota import domain_quota
+
+    rows = [(1, "a", "t"), (2, "a", "t"), (3, "b", "t")]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = domain_quota(d, quota=10, prefilter_safety=2.0).collect()
+    assert len(out) == 3  # quota above domain size admits everything
