@@ -8,10 +8,19 @@ this operator exists for the north-star curation mandate, composing the
 same deterministic-md5 admission idea as token-budget sampling
 (`queries/curation.py:sample_token_budget`).
 
-Scale design: the naive formulation — one window rank per domain — is
-exact but sorts EVERY row of a domain inside one task, and real crawls
-have billion-page hot domains.  ``prefilter_safety`` enables the
-two-phase path:
+Scale design: on Spark ≥ 3.5 the plain window-rank formulation is
+ALREADY scale-safe for count quotas — Catalyst's rank-limit pushdown
+plans a ``WindowGroupLimit [domain] row_number() quota Partial`` below
+the exchange, so every input partition keeps only a top-``quota`` heap
+per domain and the shuffle carries ≤ quota·partitions rows per domain,
+never a hot domain's full crawl (verified in
+``tests/test_queries.py::test_domain_quota_naive_plan_group_limit``).
+That makes ``prefilter_safety=None`` the default and recommended path.
+
+``prefilter_safety`` enables the explicit two-phase path for the quota
+shapes rank-limit pushdown cannot handle — weighted/token budgets
+(admission depends on a running SUM, which has no group-limit), or
+engines without WindowGroupLimit:
 
 1. per-domain counts (map-side partial aggregation, one tiny row per
    domain);
@@ -55,11 +64,12 @@ def domain_quota(
     deterministic across runs/engines).  Exactly ``min(quota, n_domain)``
     rows survive per domain.
 
-    ``prefilter_safety=None`` → single window rank per domain (exact;
-    fine when domains are known-small).  A float (≥ 2 recommended) →
-    the two-phase bounded-sort path described in the module docstring,
-    with the exactness guard making it bit-identical to the naive
-    plan."""
+    ``prefilter_safety=None`` (default) → window rank per domain,
+    which Spark ≥ 3.5 executes with map-side WindowGroupLimit pruning
+    (see module docstring) — the recommended path for count quotas.
+    A float (≥ 2 recommended) → the two-phase bounded-sort path, for
+    weighted-quota shapes or engines without rank-limit pushdown; the
+    exactness guard makes it bit-identical to the naive plan."""
     if quota < 1:
         raise ValueError("quota must be >= 1")
     from pyspark.sql import Window

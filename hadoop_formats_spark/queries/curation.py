@@ -746,20 +746,19 @@ def sample_token_budget(spark: SparkSession, sf_dir: str):
     doc="Per-domain quota sampling (operators/quota.py): admit at most "
     "15 docs per source in deterministic md5(doc_id) order — the "
     "anti-domination primitive of crawl curation (a hot domain "
-    "contributes its quota, never its crawl share).  Runs the "
-    "two-phase scale path (prefilter_safety=4): per-domain counts → "
-    "broadcast md5-threshold prefilter (map-only) → rank over "
-    "~safety·quota survivors, with the exactness guard re-ranking any "
-    "underfilled domain, so the result is bit-identical to the naive "
-    "full-domain rank the oracle computes.",
+    "contributes its quota, never its crawl share).  Uses the window "
+    "formulation, which Spark ≥ 3.5 executes with map-side "
+    "WindowGroupLimit pruning: each input partition keeps a "
+    "top-quota heap per domain, so a hot domain's crawl is never "
+    "sorted or shuffled in full (plan-asserted).  The operator's "
+    "two-phase prefilter path exists for weighted-quota shapes "
+    "rank-limit pushdown cannot handle.",
 )
 def sample_domain_quota(spark: SparkSession, sf_dir: str):
     from ..operators.quota import domain_quota
 
     d = table(spark, sf_dir, "documents")
-    admitted = domain_quota(
-        d, quota=15, domain_col="source", prefilter_safety=4.0
-    ).select(
+    admitted = domain_quota(d, quota=15, domain_col="source").select(
         "source", F.size(F.split(F.lower("text"), " ")).alias("n_toks")
     )
     totals = d.groupBy("source").agg(

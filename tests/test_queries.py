@@ -252,3 +252,48 @@ def test_token_budget_sampling_single_shuffle_per_window(spark, sf_dir):
     from hadoop_formats_spark import plans
 
     assert plans.shuffle_count(_df(spark, sf_dir, "sample_token_budget")) <= 3
+
+
+def test_domain_quota_naive_plan_group_limit(spark, sf_dir):
+    # the default path relies on Catalyst's rank-limit pushdown: a
+    # PARTIAL WindowGroupLimit below the exchange means each input
+    # partition keeps only a top-quota heap per domain — a hot domain
+    # is never sorted or shuffled in full.  One exchange total.
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.quota import domain_quota
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = domain_quota(d, quota=15)
+    plan = plans.executed_plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plans.shuffle_count(df) == 1
+
+
+def test_domain_quota_two_phase_plan_shape(spark, sf_dir):
+    # the explicit two-phase path (for weighted-quota shapes where
+    # rank-limit pushdown can't apply) must broadcast the tiny
+    # per-domain threshold / guard tables rather than shuffling the
+    # corpus against them
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.quota import domain_quota
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = domain_quota(d, quota=15, prefilter_safety=4.0)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # threshold join + guard joins
+    # exchanges here are all domain-cardinality-sized (counts / guard
+    # aggregations), never a second shuffle of the corpus itself
+    assert plans.shuffle_count(df) <= 16
+
+
+def test_gemm_projection_is_map_only(spark, sf_dir):
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert (
+        plans.shuffle_count(
+            random_projection(e, out_dim=16, dim=64, method="gemm")
+        )
+        == 0
+    )
