@@ -149,12 +149,74 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    method: str = "fold",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine, ties →
-    lowest centroid id).  Broadcast argmax folded into a map-side
-    ``max_by`` aggregation: the corpus×centroids score rows never
+    """Assign every vector to its nearest centroid (max cosine rounded
+    to 6, ties → lowest centroid id).
+
+    ``method="fold"`` (default, oracle-SQL-expressible): broadcast
+    cross join + Catalyst cosine, argmax folded into a map-side
+    ``max_by`` aggregation — the corpus×centroids score rows never
     shuffle (a window over them would shuffle the full cross product —
-    fatal at scale); only one row per vector leaves the map side."""
+    fatal at scale); only one row per vector leaves the map side.
+    The higher-order-function cosine evaluates interpreted, though —
+    k·dim multiplies per row outside codegen.
+
+    ``method="gemm"``: centroids (k rows — driver-scale by
+    construction) are collected, unit-normalized, broadcast as a numpy
+    matrix; one BLAS GEMM per Arrow batch assigns the whole batch —
+    the exact shape ``kmeans_partials`` uses, with the same rounding
+    and tie convention (round-6 then first-max = lowest centroid id).
+    Agreement with the fold is exact except where a summation-order
+    ulp straddles the round-6 boundary (same caveat as
+    ``sign_lsh_buckets``); the fold stays the oracle-checked path.
+    Zero shuffle either way; GEMM is the production path at real
+    (k, dim)."""
+    if method not in ("fold", "gemm"):
+        raise ValueError(f"method must be 'fold' or 'gemm', got {method!r}")
+    if method == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        crows = centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        ).collect()
+        if not crows:
+            raise ValueError("centroids DataFrame is empty")
+        crows.sort(key=lambda r: r["cid"])  # first-max ⇒ lowest cid ties
+        cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+        cmat = np.vstack([np.asarray(r["cvec"]) for r in crows])
+        norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat / norms))
+        src = corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+
+        def assign(batches):
+            cids_, cu = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                vn = np.linalg.norm(M, axis=1, keepdims=True)
+                vn[vn == 0.0] = 1.0
+                sims = np.round((M / vn) @ cu.T, 6)
+                best = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf["v"],
+                        "centroid_id": cids_[best],
+                    }
+                )
+
+        return src.mapInPandas(
+            assign,
+            f"{id_col} bigint, {vec_col} array<double>, centroid_id int",
+        )
+
     c = centroids.select(
         F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
@@ -182,8 +244,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    method: str = "fold",
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest clusters.
+    ``method`` selects the corpus-assignment execution shape (see
+    ``ivf_assign``); the query-side probe ranking stays Catalyst
+    (query sets are small).
 
     Approximate by construction (recall < 1 when true neighbors live in
     unprobed clusters); raising ``nprobe`` trades scan cost for recall —
@@ -193,7 +259,9 @@ def ivf_topk(
     centroids only.  Returns (query_id, neighbor_id, sim, rnk)."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, method=method
+    )
     c = centroids.select(
         F.col("centroid_id").alias("probe"), F.col(vec_col).alias("cvec")
     )

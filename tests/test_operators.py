@@ -667,3 +667,29 @@ def test_domain_quota_small_domain_admits_all(spark):
     d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
     out = domain_quota(d, quota=10, prefilter_safety=2.0).collect()
     assert len(out) == 3  # quota above domain size admits everything
+
+def test_ivf_assign_gemm_matches_fold(spark, vectors):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    key = lambda df: {  # noqa: E731
+        r["vec_id"]: r["centroid_id"] for r in df.collect()
+    }
+    fold = key(S.ivf_assign(vectors, cents))
+    gemm = key(S.ivf_assign(vectors, cents, method="gemm"))
+    assert gemm == fold and len(fold) == 5
+
+
+def test_ivf_topk_gemm_matches_fold(spark, vectors):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    q = vectors.filter(F.col("vec_id") == 1)
+    key = lambda df: [  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rnk"]) for r in df.collect()
+    ]
+    fold = key(S.ivf_topk(vectors, q, cents, k=2))
+    gemm = key(S.ivf_topk(vectors, q, cents, k=2, method="gemm"))
+    assert gemm == fold and fold
