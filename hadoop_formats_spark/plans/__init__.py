@@ -57,5 +57,26 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the plan — the metric to minimize."""
-    return executed_plan(df).count("Exchange ")
+    """Number of SHUFFLE exchanges in the plan — the metric to
+    minimize.  Counts only data shuffles (hash / range / round-robin /
+    single-partition): ``BroadcastExchange`` is deliberately excluded
+    (broadcasting a dimension is the thing we *want* instead of a
+    shuffle), as is ``ReusedExchange`` (a reuse is the absence of a new
+    shuffle).  The round-4 fix: the old substring count inflated q5's
+    broadcast-dim join tree to "14 exchanges" when it has 5 broadcasts
+    and 2 data shuffles."""
+    import re
+
+    return len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)",
+            executed_plan(df),
+        )
+    )
+
+
+def broadcast_count(df: DataFrame) -> int:
+    """Number of BroadcastExchange nodes (dimension-sized data shipped
+    to every executor instead of shuffling the fact side)."""
+    return executed_plan(df).count("BroadcastExchange ")
