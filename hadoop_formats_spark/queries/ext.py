@@ -295,6 +295,33 @@ def dedup_embedding_lsh_blocked(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_lsh_gemm",
+    oracle=f"""
+    WITH {_LSH_CAND_CTES.lstrip()}
+    SELECT id_a, id_b, sim FROM verified ORDER BY id_a, id_b
+    """,
+    doc="The SAME LSH-banded near-dup computation as "
+    "dedup_embedding_lsh_blocked, executed through the production "
+    "method='gemm' path (broadcast ±1 plane matrix, one numpy GEMM "
+    "per Arrow batch instead of interpreted Catalyst folds — see "
+    "SCALE.md dim=768 measurements).  Checked against the identical "
+    "bit-level oracle: GEMM and fold summation orders agree on this "
+    "corpus (verified, and deterministic thereafter), so the scale "
+    "path gets the same hash-match certificate as the oracle path.",
+)
+def dedup_embedding_lsh_gemm(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_banded_near_dup_pairs(
+        e,
+        threshold=0.4,
+        n_planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        dim=_EMB_DIM,
+        method="gemm",
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "dedup_embedding_lsh_recall",
     oracle=f"""
     WITH {_LSH_CAND_CTES.lstrip()},
