@@ -170,6 +170,69 @@ def dedup_group_assignment(spark, sf_dir):
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+@register(
+    "dedup_keeper_by_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+    {_JACCARD_TAIL.lstrip()},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes x ON i.doc_a = x.doc_id
+      JOIN sizes y ON i.doc_b = y.doc_id
+      WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    groups AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS group_id
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT g.group_id, g.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY g.group_id
+                                ORDER BY d.n_chars DESC, g.doc_id) AS rn
+      FROM groups g JOIN documents d USING (doc_id)
+    )
+    SELECT group_id,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(n_chars) AS BIGINT) AS keeper_chars
+    FROM ranked GROUP BY group_id ORDER BY group_id
+    """,
+    doc="Quality-aware dedup keeper: near-dup pairs → connected "
+    "components → keep the LONGEST document per group (ties → lowest "
+    "doc_id) instead of the arbitrary lowest-id member — the keeper "
+    "policy real curation pipelines use (retain the most complete "
+    "variant of a boilerplate cluster).  Spark side is a single "
+    "map-side-partial max_by over (n_chars, -doc_id) per group; "
+    "composition evidence that group assignment output feeds keeper "
+    "selection without re-shuffling the corpus.",
+)
+def dedup_keeper_by_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(d, threshold=0.8)
+    groups = D.connected_components(pairs)
+    j = groups.join(d.select("doc_id", "n_chars"), "doc_id")
+    rank = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        j.groupBy("group_id")
+        .agg(
+            F.max_by("doc_id", rank).cast("bigint").alias("keeper_id"),
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max("n_chars").cast("bigint").alias("keeper_chars"),
+        )
+        .orderBy("group_id")
+    )
+
+
 _SIMHASH_BITS_SQL = ",\n      ".join(
     "CASE WHEN sum(CASE WHEN substr(h, {i}, 1) >= '8' THEN 1 ELSE -1 END) > 0 "
     "THEN '1' ELSE '0' END".format(i=i)
