@@ -563,3 +563,78 @@ def contamination_overlap(
             F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_words: int = 3,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Span-level boilerplate removal (the line-level dedup of
+    CCNet/RefinedWeb, adapted to single-line corpora): cut each document
+    into consecutive ``chunk_words``-word spans, count each span's
+    document frequency corpus-wide, and drop spans appearing in
+    ``max_doc_freq`` or more documents (headers, footers, templated
+    text).  Returns one row per document:
+    ``(id, n_chunks, n_kept, kept_md5)`` where ``kept_md5`` is the md5
+    of the surviving spans re-joined in order ('' → md5 of empty
+    string when every span is boilerplate).
+
+    100 TB design: chunking is a pure map-side array fold (split +
+    ``transform``/``slice`` — no explode until the span rows are
+    needed); the only corpus-wide exchanges are a partial-aggregated
+    groupBy on the high-cardinality span key (doc frequency) and the
+    doc-keyed reassembly.  The span→count join shuffles on the span
+    key, which is near-unique — no skew.  A degenerate span that
+    appears everywhere ("the") costs one hot reduce key at bounded
+    width (count only), never a pair blow-up: unlike pair-generating
+    LSH, frequency counting is linear.
+
+    The reference has no corpus-wide operator at all (it is a per-file
+    decoder, src/Data/Hadoop/SequenceFile.hs:45-50); this is part of
+    the mandated curation extension surface.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    # sequence(0, -1) yields a DESCENDING ramp in Spark, not an empty
+    # array — guard the empty-document case explicitly.
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * chunk_words + F.lit(1), chunk_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = _spread(docs, F.col(id_col)).select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    doc_freq = exploded.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("chunk_df")
+    )
+    keep = F.col("chunk_df") < F.lit(max_doc_freq)
+    return (
+        exploded.join(doc_freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("pos", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )

@@ -778,3 +778,45 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_chunk_boilerplate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS chunk
+      FROM w,
+           UNNEST(generate_series(0,
+                  CAST(ceil(len(toks) / 3.0) AS INT) - 1)) AS t(i)
+      WHERE len(toks) > 0
+    ),
+    df AS (SELECT chunk, count(DISTINCT doc_id) AS chunk_df
+           FROM c GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN chunk_df < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(coalesce(
+             string_agg(CASE WHEN chunk_df < 2 THEN c.chunk END,
+                        ' ' ORDER BY c.pos), '')) AS kept_md5
+    FROM c JOIN df USING (chunk)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    doc="Span-level boilerplate dedup (line-level dedup of CCNet/"
+    "RefinedWeb adapted to single-line docs): 3-word spans whose "
+    "corpus-wide document frequency is >= 2 are dropped; per-doc "
+    "span counts plus an md5 of the surviving text certify the "
+    "reassembly end-to-end.  One high-cardinality groupBy for span "
+    "doc frequency, one span-key join, one doc-keyed reassembly — "
+    "never the O(n^2) pair space.",
+)
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import chunk_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_dedup(d, chunk_words=3, max_doc_freq=2).orderBy("doc_id")

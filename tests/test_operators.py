@@ -693,3 +693,61 @@ def test_ivf_topk_gemm_matches_fold(spark, vectors):
     fold = key(S.ivf_topk(vectors, q, cents, k=2))
     gemm = key(S.ivf_topk(vectors, q, cents, k=2, method="gemm"))
     assert gemm == fold and fold
+
+
+def test_chunk_dedup_drops_shared_spans(spark):
+    from hadoop_formats_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share their first 3-word span ("a b c"); the
+            # remainder of each is unique.
+            (1, "a b c unique one here"),
+            (2, "a b c other two there"),
+            (3, "totally different words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, chunk_words=3, max_doc_freq=2).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    # doc 3 has 4 words -> spans "totally different words", "only"
+    assert out[3]["n_chunks"] == 2 and out[3]["n_kept"] == 2
+    import hashlib
+
+    assert out[1]["kept_md5"] == hashlib.md5(b"unique one here").hexdigest()
+
+
+def test_chunk_dedup_all_boilerplate_yields_empty_hash(spark):
+    from hadoop_formats_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, chunk_words=3, max_doc_freq=2).collect()
+    }
+    import hashlib
+
+    empty = hashlib.md5(b"").hexdigest()
+    for i in (1, 2):
+        assert out[i]["n_kept"] == 0
+        assert out[i]["kept_md5"] == empty
+
+
+def test_chunk_dedup_short_tail_span(spark):
+    """Last span may be shorter than chunk_words; it still rounds trip."""
+    from hadoop_formats_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s t")], "doc_id long, text string"
+    )
+    row = chunk_dedup(docs, chunk_words=3, max_doc_freq=2).collect()[0]
+    assert row["n_chunks"] == 2 and row["n_kept"] == 2
+    import hashlib
+
+    assert row["kept_md5"] == hashlib.md5(b"p q r s t").hexdigest()
