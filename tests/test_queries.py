@@ -297,3 +297,15 @@ def test_gemm_projection_is_map_only(spark, sf_dir):
         )
         == 0
     )
+
+
+def test_chunk_dedup_partial_aggregation_and_bounded_shuffles(spark, sf_dir):
+    # doc-frequency counting must partial-aggregate map-side (a
+    # degenerate everywhere-span costs one bounded reduce key, never a
+    # pair blow-up), and the whole plan is span-df groupBy + span-key
+    # join + doc-keyed reassembly + final orderBy — no hidden exchanges
+    from hadoop_formats_spark import plans
+
+    df = _df(spark, sf_dir, "dedup_chunk_boilerplate")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 5
