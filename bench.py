@@ -173,6 +173,10 @@ def main() -> None:
         "pack_sequences_stats",
         "pii_scrub_stats",
         "corpus_build_pipeline",
+        # round-4 operators
+        "sample_domain_quota",
+        "dedup_keeper_by_quality",
+        "dedup_chunk_boilerplate",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
