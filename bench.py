@@ -177,6 +177,7 @@ def main() -> None:
         "sample_domain_quota",
         "dedup_keeper_by_quality",
         "dedup_chunk_boilerplate",
+        "mapfile_range_scan",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

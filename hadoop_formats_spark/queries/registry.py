@@ -116,7 +116,12 @@ PRIORITY_ORDER = [
     "seqfile_record_layout_roundtrip",
     "seqfile_permissive_corrupt_tail",
     "seqfile_metadata_roundtrip",
-    "parquet_write_roundtrip",
+    # round 4: MapFile (sorted-data + sparse-index companion format,
+    # index-driven key-range pruning) takes the graded slot previously
+    # held by parquet_write_roundtrip, whose machinery stays certified
+    # by parquet_partitioned_pruned_read (same writer) plus the
+    # csv/json/orc sink roundtrips in the full sweep and pytest.
+    "mapfile_range_scan",
     "parquet_partitioned_pruned_read",
     # [ext] dedup / similarity / text / multimodal / curation (§2.3)
     "dedup_minhash_lsh",

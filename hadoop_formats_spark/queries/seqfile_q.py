@@ -446,3 +446,93 @@ def seqfile_block_count_fast_path(spark, sf_dir):
         .load(REFERENCE_TEXT_INT)
     )
     return df.agg(F.sum("block_records").cast("bigint").alias("n"))
+
+
+def _mapfile_orders_dir(spark, sf_dir: str) -> str:
+    """Idempotently materialize orders (o_orderkey → o_totalprice) as
+    range-partitioned MapFile directories (the MapFileOutputFormat
+    contract: disjoint sorted maps)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "orders_mapfile")
+    if os.path.isdir(final) and any(
+        f.startswith("part-") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("long").alias("key"),
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+        .repartitionByRange(4, "key")
+        .write.format("hadoop_map")
+        .option("block_records", "1024")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
+@register(
+    "mapfile_range_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS lo,
+           CAST(max(o_orderkey) AS BIGINT) AS hi
+    FROM orders WHERE o_orderkey BETWEEN 500 AND 2500
+    """,
+    doc="MapFile (sorted data + sparse index SequenceFiles — the "
+    "classic Hadoop companion format; the reference decodes single "
+    "SequenceFiles only, SequenceFile.hs:45-50): orders written as "
+    "range-partitioned sorted maps, read back through the hadoop_map "
+    "DataSource with a pushed key range.  The index shrinks each data "
+    "file's scanned byte range BEFORE partition planning (intra-file "
+    "analog of partition pruning; plan-asserted in tests/"
+    "test_mapfile.py), then rows are exact-filtered in Arrow.",
+)
+def mapfile_range_scan(spark, sf_dir):
+    path = _mapfile_orders_dir(spark, sf_dir)
+    df = spark.read.format("hadoop_map").load(path)
+    return df.filter((F.col("key") >= 500) & (F.col("key") <= 2500)).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.min("key").alias("lo"),
+        F.max("key").alias("hi"),
+    )
+
+
+@register(
+    "mapfile_point_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS key,
+           round(o_totalprice, 2) AS value
+    FROM orders WHERE o_orderkey IN (1, 1000, 4000)
+    ORDER BY key
+    """,
+    doc="MapFile point lookups (MapFile.Reader.get semantics): "
+    "binary-search the driver-loaded sparse index, decode ONE block "
+    "range per key.  Interop with Hadoop's own MapFile.Reader is "
+    "pytest-verified both directions (tests/test_mapfile.py).",
+)
+def mapfile_point_lookup(spark, sf_dir):
+    from ..seqfile import mapfile as M
+
+    root = _mapfile_orders_dir(spark, sf_dir)
+    rows = []
+    for k in (1, 1000, 4000):
+        for part in sorted(os.listdir(root)):
+            d = os.path.join(root, part)
+            if not part.startswith("part-") or not M._is_map_dir(d):
+                continue
+            v = M.map_get(d, k)
+            if v is not None:
+                rows.append((k, round(v, 2)))
+                break
+    return spark.createDataFrame(rows, "key long, value double").orderBy("key")

@@ -458,6 +458,7 @@ def iter_blocks(
     start: int = 0,
     end: int | None = None,
     header: Header | None = None,
+    exact_start: bool = False,
 ) -> Iterator[RecordBlock]:
     """Stream columnar batches, optionally restricted to a byte-range
     split.  Dispatches on the file's layout: BLOCK-compressed files
@@ -469,6 +470,13 @@ def iter_blocks(
     ``SYNC_ESCAPE + sync`` pattern at/after ``start``, and reads until
     it meets a sync at/after ``end`` (the reference never splits —
     ``SequenceFile.hs:81-89`` — this is our 100 TB requirement).
+
+    ``exact_start=True`` declares ``start`` a known record/block
+    boundary (a MapFile index position): the reader seeks straight to
+    it instead of resyncing.  Hadoop's record-layout MapFile indexes
+    point at plain record boundaries with no sync in front — resync
+    semantics would silently drop every record between the boundary
+    and the next sync marker.
     """
     with open(path, "rb") as f:
         if header is None:
@@ -477,7 +485,7 @@ def iter_blocks(
         stop = file_end if end is None else min(end, file_end)
         if header.block_compression:
             pos = max(start, header.header_len)
-            if start > 0:
+            if start > 0 and not exact_start:
                 pos = _find_sync(f, header, start, file_end)
                 if pos is None:
                     return
@@ -490,7 +498,9 @@ def iter_blocks(
                     raw, header, want_keys=want_keys, want_values=want_values
                 )
             return
-        if not _enter_record_stream(f, header, start, stop, file_end):
+        if exact_start and start > 0:
+            f.seek(max(start, header.header_len))
+        elif not _enter_record_stream(f, header, start, stop, file_end):
             return
         yield from _iter_record_batches(
             f, header, stop, want_keys=want_keys, want_values=want_values

@@ -128,9 +128,15 @@ class SeqSplit(InputPartition):
     """One input partition = a list of (path, start, end) byte ranges.
     Large files are split into ranges (readers resync on the sync
     marker); small files are bin-packed together so a directory of many
-    part files doesn't pay one Python-worker round-trip per file."""
+    part files doesn't pay one Python-worker round-trip per file.
+
+    ``exact``: (path, start) pairs whose start is a KNOWN record/block
+    boundary (a MapFile index position) — those ranges seek directly
+    instead of resyncing, because a pruned span may not begin at a sync
+    (Hadoop-written record-layout indexes)."""
 
     ranges: tuple[tuple[str, int, int], ...]
+    exact: tuple[tuple[str, int], ...] = ()
 
 
 class SeqFileDataSource(DataSource):
@@ -240,6 +246,11 @@ class SeqFileReader(DataSourceReader):
         self.block_counts = opts.get("block_counts", "").lower() == "true"
         self._arrow_filter = None
 
+    def _file_span(self, path: str, size: int) -> tuple[int, int]:
+        """Byte range of ``path`` worth scanning; (0, size) unless a
+        subclass can prune (MapFile key-range index)."""
+        return (0, size)
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept what we can evaluate in Arrow; Spark keeps them too
         (we return only the ones we could NOT handle; handled ones cut
@@ -273,37 +284,55 @@ class SeqFileReader(DataSourceReader):
                 DEFAULT_SPLIT_SIZE, max(1024 * 1024, total // (2 * cores))
             )
         ranges: list[tuple[str, int, int]] = []
+        exact: set[tuple[str, int]] = set()
         for path in self.paths:
             size = sizes[path]
             if size == 0:
                 continue
-            nsplits = max(1, size // split_size)
-            step = (size + nsplits - 1) // nsplits
-            for start in range(0, size, step):
-                ranges.append((path, start, min(start + step, size)))
+            # _file_span lets format-aware subclasses restrict the scan
+            # to a byte range before splitting (MapFile index pruning)
+            lo, hi = self._file_span(path, size)
+            if hi <= lo:
+                continue
+            if lo > 0:
+                # a span start from _file_span is an exact boundary;
+                # interior split starts still resync as usual
+                exact.add((path, lo))
+            span = hi - lo
+            nsplits = max(1, span // split_size)
+            step = (span + nsplits - 1) // nsplits
+            for start in range(lo, hi, step):
+                ranges.append((path, start, min(start + step, hi)))
         # first-fit bin-pack ranges into ~split_size partitions
         splits: list[SeqSplit] = []
         bin_ranges: list[tuple[str, int, int]] = []
         bin_bytes = 0
+        def _mk(rs: list[tuple[str, int, int]]) -> SeqSplit:
+            ex = tuple((p2, s2) for p2, s2, _ in rs if (p2, s2) in exact)
+            return SeqSplit(tuple(rs), ex)
+
         for r in ranges:
             r_bytes = r[2] - r[1]
             if bin_ranges and bin_bytes + r_bytes > split_size:
-                splits.append(SeqSplit(tuple(bin_ranges)))
+                splits.append(_mk(bin_ranges))
                 bin_ranges, bin_bytes = [], 0
             bin_ranges.append(r)
             bin_bytes += r_bytes
         if bin_ranges:
-            splits.append(SeqSplit(tuple(bin_ranges)))
+            splits.append(_mk(bin_ranges))
         if not splits:  # Spark requires ≥1 partition
             splits.append(SeqSplit(((self.paths[0], 0, 0),)))
         return splits
 
     def read(self, split: SeqSplit) -> Iterator[pa.RecordBatch]:
+        exact = set(split.exact)
         for path, start, end in split.ranges:
-            yield from self._read_range(path, start, end)
+            yield from self._read_range(
+                path, start, end, exact=(path, start) in exact
+            )
 
     def _read_range(
-        self, path: str, start: int, end: int
+        self, path: str, start: int, end: int, exact: bool = False
     ) -> Iterator[pa.RecordBatch]:
         if end <= start:
             return
@@ -321,6 +350,7 @@ class SeqFileReader(DataSourceReader):
             want_values=want_values,
             start=start,
             end=end,
+            exact_start=exact,
         )
         while True:
             try:

@@ -53,9 +53,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     from .seqfile.datasource import register
+    from .seqfile.map_datasource import register as register_map
 
-    try:
-        register(spark)
-    except Exception:
-        pass  # already registered in this JVM
+    for reg in (register, register_map):
+        try:
+            reg(spark)
+        except Exception:
+            pass  # already registered in this JVM
     return spark

@@ -1,0 +1,252 @@
+"""MapFile tests: core write/read/get with index-driven range pruning,
+both JVM interop directions (our files ← MapFile.Reader, Hadoop-written
+files → our reader), and the ``hadoop_map`` Spark DataSource.
+
+The reference stops at single SequenceFiles (SequenceFile.hs:45-50);
+MapFile is the companion format built from the same bytes, so its
+members double as extra reference-free interop coverage for the
+seqfile core."""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_formats_spark.seqfile import core, mapfile as M
+
+
+def _mk_table(n=5000, prefix="k"):
+    return pa.table(
+        {
+            "key": [f"{prefix}{i:05d}" for i in range(n)],
+            "value": [i * 3 for i in range(n)],
+        }
+    )
+
+
+def _shuffled(t):
+    # deterministic permutation; proves the writer sorts
+    idx = sorted(range(t.num_rows), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    return t.take(idx)
+
+
+@pytest.fixture(scope="module", params=["block", "record", "none"])
+def map_dir(request, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mf") / request.param)
+    M.write_map_dir(
+        d, _shuffled(_mk_table()), block_records=512,
+        compression_type=request.param,
+    )
+    return d
+
+
+def test_full_read_sorted(map_dir):
+    t = M.read_map_dir(map_dir)
+    keys = t.column("key").to_pylist()
+    assert t.num_rows == 5000
+    assert keys == sorted(keys)
+    assert t.column("value")[0].as_py() == 0
+
+
+def test_range_read_exact_bounds(map_dir):
+    t = M.read_map_dir(map_dir, key_lower="k01000", key_upper="k01099")
+    keys = t.column("key").to_pylist()
+    assert keys == [f"k{i:05d}" for i in range(1000, 1100)]
+    assert t.column("value").to_pylist() == [i * 3 for i in range(1000, 1100)]
+
+
+def test_range_prunes_bytes(map_dir):
+    idx = M.read_index(map_dir)
+    s, e = idx.range_bounds("k01000", "k01099")
+    # 100 of 5000 records in blocks of 512 → at most 2 blocks ≈ 2/~10
+    # of the file; assert we scan well under half
+    assert 0 < e - s < idx.data_size / 2
+
+
+def test_range_outside_keyspace_empty(map_dir):
+    assert M.read_map_dir(map_dir, key_lower="zzz").num_rows == 0
+    assert M.read_map_dir(map_dir, key_upper="a").num_rows == 0
+
+
+def test_point_get(map_dir):
+    assert M.map_get(map_dir, "k04321") == 4321 * 3
+    assert M.map_get(map_dir, "k00000") == 0
+    assert M.map_get(map_dir, "k04999") == 4999 * 3
+    assert M.map_get(map_dir, "nope") is None
+
+
+def test_unsorted_assume_sorted_refused(tmp_path):
+    t = pa.table({"key": ["b", "a"], "value": [1, 2]})
+    with pytest.raises(core.SeqFileError, match="not ascending"):
+        M.write_map_dir(str(tmp_path / "m"), t, assume_sorted=True)
+
+
+def test_null_keys_refused(tmp_path):
+    t = pa.table({"key": ["a", None], "value": [1, 2]})
+    with pytest.raises(core.SeqFileError, match="non-null"):
+        M.write_map_dir(str(tmp_path / "m"), t)
+
+
+def test_long_keys_range(tmp_path):
+    t = pa.table({"key": list(range(0, 10000, 2)), "value": [float(i) for i in range(5000)]})
+    d = str(tmp_path / "longs")
+    M.write_map_dir(d, t, block_records=256)
+    r = M.read_map_dir(d, key_lower=100, key_upper=200)
+    assert r.column("key").to_pylist() == list(range(100, 201, 2))
+    assert M.map_get(d, 4000) == 2000.0
+
+
+def test_jvm_mapfile_reader_reads_ours(spark, map_dir):
+    """Hadoop's own MapFile.Reader must binary-search our index and get
+    exact values, for every layout we write."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    reader = jvm.org.apache.hadoop.io.MapFile.Reader(fs, map_dir, conf)
+    Text = jvm.org.apache.hadoop.io.Text
+    LW = jvm.org.apache.hadoop.io.LongWritable
+    val = LW()
+    assert reader.get(Text("k04321"), val) is not None
+    assert val.get() == 4321 * 3
+    assert reader.get(Text("missing"), val) is None
+    closest = reader.getClosest(Text("k00150x"), val)
+    assert str(closest) == "k00151"
+    # fresh cursor → full iteration sees every record
+    reader.close()
+    reader = jvm.org.apache.hadoop.io.MapFile.Reader(fs, map_dir, conf)
+    k, n = Text(), 0
+    while reader.next(k, val):
+        n += 1
+    assert n == 5000
+    reader.close()
+
+
+@pytest.fixture(scope="module")
+def jvm_map_dir(spark, tmp_path_factory):
+    """A MapFile written by Hadoop itself (record-layout data + its
+    sparse every-128-records index pointing at RECORD boundaries, not
+    syncs — the layout that requires exact_start seeks)."""
+    d = str(tmp_path_factory.mktemp("jvmmf") / "m")
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    conf = spark._jsc.hadoopConfiguration()
+    MapFile = jvm.org.apache.hadoop.io.MapFile
+    SFW = jvm.org.apache.hadoop.io.SequenceFile.Writer
+    kcls = jvm.java.lang.Class.forName("org.apache.hadoop.io.Text")
+    vcls = jvm.java.lang.Class.forName("org.apache.hadoop.io.LongWritable")
+    opts = gw.new_array(jvm.org.apache.hadoop.io.SequenceFile.Writer.Option, 2)
+    opts[0] = MapFile.Writer.keyClass(kcls)
+    opts[1] = SFW.valueClass(vcls)
+    w = MapFile.Writer(conf, jvm.org.apache.hadoop.fs.Path(d), opts)
+    Text = jvm.org.apache.hadoop.io.Text
+    LW = jvm.org.apache.hadoop.io.LongWritable
+    for i in range(3000):
+        w.append(Text("j%05d" % i), LW(i * 7))
+    w.close()
+    return d
+
+
+def test_read_hadoop_written_mapfile(jvm_map_dir):
+    full = M.read_map_dir(jvm_map_dir)
+    assert full.num_rows == 3000
+    r = M.read_map_dir(jvm_map_dir, key_lower="j01000", key_upper="j01099")
+    assert r.column("key").to_pylist() == [f"j{i:05d}" for i in range(1000, 1100)]
+    assert r.column("value").to_pylist() == [i * 7 for i in range(1000, 1100)]
+    assert M.map_get(jvm_map_dir, "j02999") == 2999 * 7
+    # Hadoop indexes record boundaries: pruning must still be real
+    idx = M.read_index(jvm_map_dir)
+    s, e = idx.range_bounds("j01000", "j01099")
+    assert 0 < e - s < idx.data_size / 2
+
+
+def test_spark_read_hadoop_written_pruned(spark, jvm_map_dir):
+    df = spark.read.format("hadoop_map").load(jvm_map_dir)
+    assert df.count() == 3000
+    flt = df.filter((F.col("key") >= "j01000") & (F.col("key") <= "j01099"))
+    assert flt.count() == 100
+    assert flt.agg(F.sum("value")).first()[0] == sum(i * 7 for i in range(1000, 1100))
+
+
+def test_spark_write_read_range_partitioned(spark, tmp_path):
+    out = str(tmp_path / "maps")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_totalprice").cast("double").alias("value"),
+    )
+    o.repartitionByRange(3, "key").write.format("hadoop_map").mode(
+        "overwrite"
+    ).save(out)
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 3
+    df = spark.read.format("hadoop_map").load(out)
+    assert df.count() == o.count()
+    lo, hi = 500, 1500
+    got = (
+        df.filter((F.col("key") >= lo) & (F.col("key") <= hi))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .first()
+    )
+    exp = (
+        o.filter((F.col("key") >= lo) & (F.col("key") <= hi))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .first()
+    )
+    assert (got["n"], got["s"]) == (exp["n"], exp["s"])
+
+
+def test_reader_plans_pruned_partitions(spark, tmp_path):
+    """The pushed key range must shrink the planned byte ranges BEFORE
+    execution (the point of the index), not just filter rows after."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    from hadoop_formats_spark.seqfile.map_datasource import (
+        MapFileDataSource,
+        MapFileReader,
+    )
+
+    d = str(tmp_path / "m")
+    M.write_map_dir(d, _mk_table(20000), block_records=512)
+    src = MapFileDataSource(options={"path": d})
+    schema = src.schema()
+    full_reader = MapFileDataSource(options={"path": d}).reader(schema)
+    full_bytes = sum(
+        e - s for sp in full_reader.partitions() for _, s, e in sp.ranges
+    )
+    reader = MapFileReader(src, schema)
+    leftovers = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("key",), "k01000"),
+                LessThanOrEqual(("key",), "k01099"),
+            ]
+        )
+    )
+    pruned_bytes = sum(
+        e - s for sp in reader.partitions() for _, s, e in sp.ranges
+    )
+    assert pruned_bytes < full_bytes / 10
+    # pruning is block-granular, so exact row filtering must still
+    # happen: the base reader accepted both bounds into its Arrow
+    # filter (no leftovers returned to Spark)
+    assert reader._arrow_filter is not None and not leftovers
+
+
+def test_option_bounds_equal_filter_bounds(spark, tmp_path):
+    d = str(tmp_path / "m")
+    M.write_map_dir(d, _mk_table(2000), block_records=128)
+    via_opt = (
+        spark.read.format("hadoop_map")
+        .option("key_lower", "k00500")
+        .option("key_upper", "k00599")
+        .load(d)
+    )
+    via_filter = (
+        spark.read.format("hadoop_map")
+        .load(d)
+        .filter((F.col("key") >= "k00500") & (F.col("key") <= "k00599"))
+    )
+    assert via_opt.count() == via_filter.count() == 100
+    assert sorted(r["key"] for r in via_opt.collect()) == sorted(
+        r["key"] for r in via_filter.collect()
+    )
