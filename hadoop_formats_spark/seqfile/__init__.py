@@ -10,3 +10,5 @@ from .core import (  # noqa: F401
     read_header,
     write_table,
 )
+from . import mapfile  # noqa: F401  (MapFile companion format)
+from .mapfile import map_get, read_map_dir, write_map_dir  # noqa: F401
