@@ -43,6 +43,21 @@ from . import core
 DATA_FILE = "data"
 INDEX_FILE = "index"
 LONG_WRITABLE = "org.apache.hadoop.io.LongWritable"
+# data-header metadata key recording the file's MAX key.  The sparse
+# index stores block FIRST keys only, so without this a range query
+# must scan the final block of every file wholly below the range
+# (Hadoop has the same blind spot).  Hadoop readers ignore unknown
+# metadata pairs, so interop is unaffected.
+LAST_KEY_META = "hfs.mapfile.last.key"
+
+
+def _key_from_str(raw: str, arrow_type: pa.DataType):
+    """Inverse of str() for the key types we write (int/float/string)."""
+    if pa.types.is_integer(arrow_type):
+        return int(raw)
+    if pa.types.is_floating(arrow_type):
+        return float(raw)
+    return raw
 
 
 def _is_map_dir(path: str) -> bool:
@@ -91,10 +106,15 @@ def write_map_dir(
     os.makedirs(path, exist_ok=True)
     index_keys: list = []
     index_pos: list[int] = []
+    last_key_meta = (
+        [] if table.num_rows == 0
+        else [(LAST_KEY_META, str(table.column(0)[-1].as_py()))]
+    )
     with core.SeqFileWriter(
         os.path.join(path, DATA_FILE),
         kc,
         vc,
+        metadata=last_key_meta,
         block_records=block_records,
         compression_type=compression_type,
         codec=codec,
@@ -140,11 +160,14 @@ def write_map_dir(
 @dataclass(frozen=True)
 class MapIndex:
     """Driver-side view of a MapFile's index: block first-keys and the
-    byte position of each block, both ascending."""
+    byte position of each block, both ascending.  ``last_key`` comes
+    from the data header's ``hfs.mapfile.last.key`` metadata pair when
+    present (files we wrote); None for Hadoop-written files."""
 
     keys: list
     positions: list[int]
     data_size: int
+    last_key: object | None = None
 
     def range_bounds(self, lower=None, upper=None) -> tuple[int, int]:
         """Byte range [start, end) of ``data`` covering every record
@@ -153,6 +176,8 @@ class MapIndex:
         superset of an exclusive bound is the same block set)."""
         if not self.positions:
             return (0, 0)
+        if lower is not None and self.last_key is not None and self.last_key < lower:
+            return (0, 0)  # whole file below the range: full prune
         start = 0
         if lower is not None:
             # last block whose first key <= lower still may hold lower
@@ -170,11 +195,20 @@ class MapIndex:
 
 
 def read_index(path: str) -> MapIndex:
+    data = os.path.join(path, DATA_FILE)
     t = core.read_file(os.path.join(path, INDEX_FILE))
+    header = core.read_header(data)
+    raw = dict(header.metadata).get(LAST_KEY_META)
+    last_key = (
+        _key_from_str(raw, core.WRITABLES[header.key_class][0])
+        if raw is not None
+        else None
+    )
     return MapIndex(
         keys=t.column(0).to_pylist(),
         positions=t.column(1).to_pylist(),
-        data_size=os.path.getsize(os.path.join(path, DATA_FILE)),
+        data_size=os.path.getsize(data),
+        last_key=last_key,
     )
 
 
@@ -249,6 +283,8 @@ def map_get(path: str, key):
     idx = read_index(path)
     if not idx.positions:
         return None
+    if idx.last_key is not None and key > idx.last_key:
+        return None  # beyond this file's keyspace: no block decode
     i = bisect_right(idx.keys, key) - 1
     if i < 0:
         return None

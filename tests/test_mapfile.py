@@ -250,3 +250,24 @@ def test_option_bounds_equal_filter_bounds(spark, tmp_path):
     assert sorted(r["key"] for r in via_opt.collect()) == sorted(
         r["key"] for r in via_filter.collect()
     )
+
+
+def test_last_key_metadata_full_prune(tmp_path):
+    """Files wholly below a range prune to ZERO bytes via the
+    last-key header metadata (the sparse index alone can't — it only
+    stores block first keys)."""
+    d = str(tmp_path / "m")
+    M.write_map_dir(d, _mk_table(1000), block_records=128)
+    idx = M.read_index(d)
+    assert idx.last_key == "k00999"
+    assert idx.range_bounds("k01500", "k02000") == (0, 0)  # fully below
+    # lookup beyond the keyspace decodes nothing either
+    assert M.map_get(d, "k99999") is None
+    # in-range behavior unchanged
+    s, e = idx.range_bounds("k00990", None)
+    assert 0 < e - s < idx.data_size / 2
+
+
+def test_hadoop_written_files_have_no_last_key(jvm_map_dir):
+    idx = M.read_index(jvm_map_dir)
+    assert idx.last_key is None  # graceful: falls back to final-block scan
