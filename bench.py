@@ -178,6 +178,7 @@ def main() -> None:
         "dedup_keeper_by_quality",
         "dedup_chunk_boilerplate",
         "mapfile_range_scan",
+        "bloommap_probe_batch",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

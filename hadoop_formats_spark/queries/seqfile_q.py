@@ -536,3 +536,66 @@ def mapfile_point_lookup(spark, sf_dir):
                 rows.append((k, round(v, 2)))
                 break
     return spark.createDataFrame(rows, "key long, value double").orderBy("key")
+
+
+def _bloommap_even_orders_dir(spark, sf_dir: str) -> str:
+    """Bloom-augmented MapFile of the EVEN-keyed half of orders — the
+    shape of an incremental-ingest dedup corpus that a new batch
+    probes for membership."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "orders_bloommap")
+    if os.path.isdir(final) and any(
+        f.startswith("part-") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").cast("long").alias("key"),
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+        .repartitionByRange(4, "key")
+        .write.format("hadoop_map")
+        .option("bloom", "true")
+        .option("block_records", "1024")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
+@register(
+    "bloommap_probe_batch",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_found,
+           round(sum(o_totalprice), 2) AS sum_found,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey BETWEEN 1 AND 400
+    """,
+    doc="BloomMapFile membership probe (Hadoop BloomMapFile semantics, "
+    "bit-compatible DynamicBloomFilter + Hadoop's signed-byte Murmur2 "
+    "— both JVM-interop-verified in tests/test_bloom.py): the "
+    "even-keyed half of orders is a bloom-augmented sorted map; a "
+    "probe batch (keys 1..400, half certainly absent) is pushed as an "
+    "IN filter, so part files whose bloom rejects every probe prune "
+    "to zero bytes before planning and the rest shrink to the index "
+    "range — the incremental-ingest dedup probe shape at 100 TB.",
+)
+def bloommap_probe_batch(spark, sf_dir):
+    path = _bloommap_even_orders_dir(spark, sf_dir)
+    df = spark.read.format("hadoop_map").load(path)
+    return df.filter(F.col("key").isin(list(range(1, 401)))).agg(
+        F.count("*").alias("n_found"),
+        F.round(F.sum("value"), 2).alias("sum_found"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
+    )

@@ -12,3 +12,5 @@ from .core import (  # noqa: F401
 )
 from . import mapfile  # noqa: F401  (MapFile companion format)
 from .mapfile import map_get, read_map_dir, write_map_dir  # noqa: F401
+from . import bloom  # noqa: F401  (BloomMapFile support)
+from .bloom import bloom_map_get, write_bloom_map_dir  # noqa: F401

@@ -226,7 +226,8 @@ def _filter_to_arrow(f: Filter):
             }
             return ops[type(f)](col, f.value)
         if isinstance(f, In):
-            return pc.field(f.attribute[0]).isin(list(f.values))
+            # the Spark filter dataclass calls the tuple ``value``
+            return pc.field(f.attribute[0]).isin(list(f.value))
         if isinstance(f, IsNull):
             return pc.field(f.attribute[0]).is_null()
         if isinstance(f, IsNotNull):

@@ -76,7 +76,9 @@ class MapFileDataSource(SeqFileDataSource):
     """Reader options: those of ``hadoop_seq`` plus ``key_lower`` /
     ``key_upper`` (inclusive bounds, applied like pushed filters).
     Writer options: ``block_records`` (doubles as the index interval),
-    ``compression_type``, ``codec``, ``assume_sorted``."""
+    ``compression_type``, ``codec``, ``assume_sorted``, ``bloom``
+    ("true" → write a BloomMapFile: adds a ``bloom`` member that lets
+    equality probes skip whole part files) and ``bloom_error_rate``."""
 
     @classmethod
     def name(cls) -> str:
@@ -140,6 +142,13 @@ class MapFileReader(SeqFileReader):
                 expr if self._arrow_filter is None else self._arrow_filter & expr
             )
 
+    # equality probes (EqualTo / In on key) additionally consult each
+    # file's bloom member when present: a BloomMapFile part whose
+    # filter rejects every probed key prunes to zero bytes without a
+    # single block decode — the per-file analog of probablyHasKey.
+    _eq_keys: frozenset | None = None
+    _has_range_filter: bool = False
+
     def _tighten(self, lower=None, upper=None) -> None:
         if lower is not None and (
             self._key_lower is None or lower > self._key_lower
@@ -158,18 +167,44 @@ class MapFileReader(SeqFileReader):
                 # boundary rows — pruning is a superset by design
                 if isinstance(f, EqualTo):
                     self._tighten(lower=f.value, upper=f.value)
+                    self._merge_eq({f.value})
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     self._tighten(lower=f.value)
+                    self._has_range_filter = True
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
                     self._tighten(upper=f.value)
-                elif isinstance(f, In) and f.values:
-                    self._tighten(lower=min(f.values), upper=max(f.values))
+                    self._has_range_filter = True
+                elif isinstance(f, In) and f.value:
+                    self._tighten(lower=min(f.value), upper=max(f.value))
+                    self._merge_eq(set(f.value))
         yield from super().pushFilters(filters)
+
+    def _merge_eq(self, keys: set) -> None:
+        # conjunction of equality filters: intersect candidate sets
+        self._eq_keys = (
+            frozenset(keys)
+            if self._eq_keys is None
+            else self._eq_keys & frozenset(keys)
+        )
 
     def _file_span(self, path: str, size: int) -> tuple[int, int]:
         if self._key_lower is None and self._key_upper is None:
             return (0, size)
-        idx = mapfile.read_index(os.path.dirname(path))
+        map_dir = os.path.dirname(path)
+        if self._eq_keys is not None and not self._has_range_filter:
+            from . import bloom as _bloom
+
+            if os.path.isfile(os.path.join(map_dir, _bloom.BLOOM_FILE)):
+                header = core.read_header(path)
+                bl = _bloom.read_bloom(map_dir)
+                if not any(
+                    bl.might_contain(
+                        _bloom.serialize_key(k, header.key_class)
+                    )
+                    for k in self._eq_keys
+                ):
+                    return (0, 0)
+        idx = mapfile.read_index(map_dir)
         return idx.range_bounds(self._key_lower, self._key_upper)
 
 
@@ -210,6 +245,8 @@ class MapFileWriter(DataSourceArrowWriter):
         }
         self.codec = short.get(codec.lower(), codec)
         self.assume_sorted = options.get("assume_sorted", "").lower() == "true"
+        self.bloom = options.get("bloom", "").lower() == "true"
+        self.bloom_error_rate = float(options.get("bloom_error_rate", 0.005))
         if overwrite and os.path.isdir(self.dir):
             import shutil
 
@@ -230,14 +267,20 @@ class MapFileWriter(DataSourceArrowWriter):
         if rows == 0:
             return MapCommit("", 0)
         table = pa.Table.from_batches(batches)
-        mapfile.write_map_dir(
-            tmp,
-            table,
+        opts = dict(
             block_records=self.block_records,
             compression_type=self.compression_type,
             codec=self.codec,
             assume_sorted=self.assume_sorted,
         )
+        if self.bloom:
+            from . import bloom as _bloom
+
+            _bloom.write_bloom_map_dir(
+                tmp, table, error_rate=self.bloom_error_rate, **opts
+            )
+        else:
+            mapfile.write_map_dir(tmp, table, **opts)
         final = os.path.join(self.dir, name)
         os.rename(tmp, final)
         return MapCommit(final, rows)
