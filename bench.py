@@ -179,6 +179,7 @@ def main() -> None:
         "dedup_chunk_boilerplate",
         "mapfile_range_scan",
         "bloommap_probe_batch",
+        "setfile_dedup_ledger",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -599,3 +599,84 @@ def bloommap_probe_batch(spark, sf_dir):
         F.min("key").alias("first_key"),
         F.max("key").alias("last_key"),
     )
+
+
+def _setfile_ledger_dir(spark, sf_dir: str) -> str:
+    """SetFile-shaped dedup ledger: the distinct fingerprints of the
+    already-ingested corpus slice (doc_id % 3 != 0) as sorted
+    NullWritable-valued maps — what an incremental pipeline keeps
+    between batches."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "fingerprint_setfile")
+    if os.path.isdir(final) and any(
+        f.startswith("part-") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    from ..functions.text import fingerprint
+
+    (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(fingerprint(F.col("text")).alias("key"))
+        .distinct()
+        .select("key", F.lit(None).alias("value"))
+        .repartitionByRange(2, "key")
+        .write.format("hadoop_map")
+        .option("block_records", "512")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
+@register(
+    "setfile_dedup_ledger",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    ledger AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN l.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_known,
+           CAST(sum(CASE WHEN l.fp IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new
+    FROM fps b LEFT JOIN ledger l ON b.fp = l.fp
+    """,
+    doc="SetFile dedup ledger (the incremental-ingest shape): the "
+    "already-ingested slice's document fingerprints live as sorted "
+    "NullWritable-valued maps (Hadoop SetFile semantics; JVM SetFile."
+    "Reader interop in tests/test_setfile.py); a new batch joins "
+    "against the ledger keys to split known vs new.  At 100 TB the "
+    "ledger stays sorted on disk, the probe is a key join — or, for "
+    "point probes, set_contains/bloom with zero block decodes.",
+)
+def setfile_dedup_ledger(spark, sf_dir):
+    from ..functions.text import fingerprint
+
+    path = _setfile_ledger_dir(spark, sf_dir)
+    ledger = (
+        spark.read.format("hadoop_map")
+        .option("columns", "key")
+        .load(path)
+        .select(F.col("key").alias("fp"), F.lit(1).alias("known"))
+    )
+    batch = table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    j = batch.join(ledger, "fp", "left")
+    return j.agg(
+        F.count("*").alias("n_batch"),
+        F.coalesce(F.sum("known"), F.lit(0)).cast("long").alias("n_known"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
