@@ -341,27 +341,41 @@ def kmeans_partials(
     *,
     vec_col: str = "embedding",
     bc_out: list | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Per-batch k-means sufficient statistics against DRIVER-HELD
     centroids: one Arrow-batched ``mapInPandas`` pass that (a) assigns
     every vector to its nearest centroid (numpy GEMM over the
-    broadcast k×dim matrix; cosine rounded to 6, ties → lowest
+    broadcast k×dim matrix; the distance rounded to 6, ties → lowest
     centroid id, matching ``ivf_assign``) and (b) partial-aggregates
-    (count, per-dimension sum of the RAW vectors) per centroid inside
-    the batch.  Emits ≤ k rows per batch — the corpus never shuffles
-    and nothing but k×(dim+2) numbers leave each task, the map-side
-    combine a 100 TB k-means needs.  (The pure-Catalyst formulation —
-    cosine as ``aggregate``/``zip_with`` folds — is interpreted
-    per-element [higher-order functions are CodegenFallback] and
-    measured ~5× slower; the GEMM batch path is the same shape
-    ``brute_force_topk`` uses.)  Returns (centroid_id, n, sums)."""
+    (count, per-dimension sum of the RAW vectors, and the summed
+    assignment distance) per centroid inside the batch.  Emits ≤ k
+    rows per batch — the corpus never shuffles and nothing but
+    k×(dim+3) numbers leave each task, the map-side combine a 100 TB
+    k-means needs.  (The pure-Catalyst formulation — cosine as
+    ``aggregate``/``zip_with`` folds — is interpreted per-element
+    [higher-order functions are CodegenFallback] and measured ~5×
+    slower; the GEMM batch path is the same shape ``brute_force_topk``
+    uses.)
+
+    ``metric``: ``"cosine"`` (max rounded cosine; ``d_sum`` sums
+    ``round(1 - cos, 6)``) or ``"l2"`` (min rounded squared euclidean,
+    spelled ``v·v - 2·v·c + c·c`` exactly as a SQL oracle would, so the
+    two agree to the last ulp before the round; ``d_sum`` sums the
+    rounded squared distance — the inertia statistic product
+    quantization reports).  Returns (centroid_id, n, sums, d_sum)."""
     import numpy as np
     import pandas as pd
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
     cmat = np.vstack([np.asarray(v, dtype=np.float64) for _, v in cents])
-    cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((cid_arr, cunit))
+    if metric == "cosine":
+        cref = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    else:
+        cref = cmat
+    bc = corpus.sparkSession.sparkContext.broadcast((cid_arr, cref))
     if bc_out is not None:
         # hand the broadcast handle to the caller: the returned
         # DataFrame is lazy, so this function cannot know when the
@@ -378,27 +392,44 @@ def kmeans_partials(
             if pdf.empty:
                 continue
             M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # (N, d)
-            norms = np.linalg.norm(M, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            sims = np.round((M / norms) @ cu.T, 6)  # (N, k)
-            # argmax returns the FIRST max → lowest index → lowest
-            # centroid id (cents are sorted), matching ivf_assign ties
-            best = np.argmax(sims, axis=1)
+            if metric == "cosine":
+                norms = np.linalg.norm(M, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                sims = np.round((M / norms) @ cu.T, 6)  # (N, k)
+                # argmax returns the FIRST max → lowest index → lowest
+                # centroid id (cents are sorted), matching ivf_assign
+                # ties
+                best = np.argmax(sims, axis=1)
+                dists = np.round(1.0 - sims, 6)
+            else:
+                # squared L2 spelled term-by-term — (v·v - 2 v·c) + c·c
+                # left-to-right, the same association a SQL oracle's
+                # ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` produces
+                vv = np.einsum("ij,ij->i", M, M)[:, None]
+                cc = np.einsum("ij,ij->i", cu, cu)[None, :]
+                dists = np.round(vv - 2.0 * (M @ cu.T) + cc, 6)  # (N, k)
+                # argmin returns the FIRST min → lowest centroid id
+                best = np.argmin(dists, axis=1)
             rows = []
             for j in range(len(cids)):
                 mask = best == j
                 n = int(mask.sum())
                 if n:
                     rows.append(
-                        (int(cids[j]), n, M[mask].sum(axis=0).tolist())
+                        (
+                            int(cids[j]),
+                            n,
+                            M[mask].sum(axis=0).tolist(),
+                            float(dists[mask, j].sum()),
+                        )
                     )
             if rows:
                 yield pd.DataFrame(
-                    rows, columns=["centroid_id", "n", "sums"]
+                    rows, columns=["centroid_id", "n", "sums", "d_sum"]
                 )
 
     return src.mapInPandas(
-        stats, "centroid_id int, n long, sums array<double>"
+        stats, "centroid_id int, n long, sums array<double>, d_sum double"
     )
 
 
@@ -409,9 +440,13 @@ def kmeans_iterations(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Lloyd's k-means (cosine assignment, elementwise-mean update) —
-    the step that trains real IVF centroids instead of sampling them.
+    """Lloyd's k-means (cosine or squared-L2 assignment, elementwise-
+    mean update) — the step that trains real IVF centroids instead of
+    sampling them; with ``metric="l2"`` it is the textbook Lloyd
+    iteration product quantization trains its per-subspace codebooks
+    with.
 
     Deterministic by construction so a SQL oracle can unroll it: init =
     the ``k`` lowest-id vectors; assignment = ``ivf_assign``'s rounded
@@ -456,7 +491,11 @@ def kmeans_iterations(
             try:
                 parts = sorted(
                     kmeans_partials(
-                        src, cents, vec_col=vec_col, bc_out=handles
+                        src,
+                        cents,
+                        vec_col=vec_col,
+                        bc_out=handles,
+                        metric=metric,
                     ).collect(),
                     key=lambda r: (r["centroid_id"], r["n"], tuple(r["sums"])),
                 )
@@ -862,3 +901,95 @@ def random_projection(
     return corpus.select(
         F.col(id_col).alias(id_col), F.array(*comps).alias(out_col)
     )
+
+
+def pq_encode_stats(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split each ``dim``-vector
+    into ``m`` contiguous subvectors of ``dim//m`` dims, train an
+    independent k-means codebook (``metric="l2"``, ``iters`` Lloyd
+    rounds, deterministic lowest-id init) per subspace, then encode
+    every vector as its nearest code per subspace.  Returns the
+    per-(subspace, code) encoding profile — cell population and mean
+    rounded squared reconstruction error (the inertia each code cell
+    contributes):
+
+        (subspace int, code int, n_vectors long, avg_sqdist double)
+
+    Scale shape: codebooks are tiny (m·k·(dim/m) doubles) and live on
+    the driver exactly like ``kmeans_iterations``; training + encoding
+    are ``kmeans_partials`` GEMM passes, so the corpus never shuffles
+    and ≤ m·k stat rows leave each task.  At 100 TB the m subspace
+    loops share the persisted source scan.  PQ is the standard
+    memory-reduction path for billion-scale ANN: dim float32 → m bytes
+    per vector (here 64·4 B → 4 B, 64×), with asymmetric distance
+    computed against the driver-held codebooks.  The int8 path
+    (``quantize_int8``) is the orthogonal per-dimension variant.
+
+    Extends the reference's columnar decode surface (no vector ops
+    exist there: src/Data/Hadoop/Writable.hs implements only scalar
+    SerDes); mandated by the north-star similarity-search list.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    spark = corpus.sparkSession
+    src = corpus.select(id_col, vec_col).persist()
+    outs = []
+    try:
+        for s in range(m):
+            sub_df = src.select(
+                F.col(id_col),
+                F.slice(
+                    F.col(vec_col).cast("array<double>"), s * sub + 1, sub
+                ).alias(vec_col),
+            )
+            cent = kmeans_iterations(
+                sub_df,
+                k=k,
+                iters=iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                metric="l2",
+            )
+            cents = sorted(
+                (r["centroid_id"], list(r[vec_col])) for r in cent.collect()
+            )
+            stats = (
+                kmeans_partials(sub_df, cents, vec_col=vec_col, metric="l2")
+                .groupBy("centroid_id")
+                .agg(
+                    F.sum("n").alias("n_vectors"),
+                    F.sum("d_sum").alias("ds"),
+                )
+            )
+            outs.append(
+                stats.select(
+                    F.lit(s).alias("subspace"),
+                    F.col("centroid_id").alias("code"),
+                    "n_vectors",
+                    F.round(F.col("ds") / F.col("n_vectors"), 4).alias(
+                        "avg_sqdist"
+                    ),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
+        # the union is of ≤ m·k pre-aggregated rows — orderBy cost is nil
+        return out.orderBy("subspace", "code")
+    finally:
+        # persist() is lazy and every returned plan re-reads src; the
+        # encode stats force it once per subspace.  Unpersist is safe
+        # here only because callers consume the returned DataFrame —
+        # blocking=False keeps the handle valid until evaluation.
+        src.unpersist(blocking=False)

@@ -748,6 +748,93 @@ def kmeans_cluster_profile(spark, sf_dir):
     )
 
 
+# Product quantization oracle: per subspace, unroll the L2 Lloyd
+# iterations exactly like the kmeans oracle above, but with squared
+# euclidean assignment (ASC, lowest-centroid tiebreak) on the
+# list-sliced subvector.  The dist expression is spelled
+# ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` — the same term order and
+# association the numpy path uses, so both engines agree to the last
+# ulp before the round(…, 6).
+_PQ_ASSIGN = """
+      SELECT vec_id, emb, centroid_id, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist ASC, centroid_id) AS rn
+        FROM (
+          SELECT v.vec_id, v.emb, c.centroid_id,
+                 round(list_dot_product(v.emb, v.emb)
+                       - 2*list_dot_product(v.emb, c.emb)
+                       + list_dot_product(c.emb, c.emb), 6) AS dist
+          FROM {src} v CROSS JOIN {cent} c
+        )
+      ) WHERE rn = 1
+"""
+
+_PQ_UPDATE = """
+      SELECT centroid_id, list(mu ORDER BY pos) AS emb FROM (
+        SELECT centroid_id, i AS pos, avg(emb_i) AS mu FROM (
+          SELECT a.centroid_id, i, CAST(a.emb[i] AS DOUBLE) AS emb_i
+          FROM {assign} a, UNNEST(generate_series(1, len(a.emb))) AS t(i)
+        ) GROUP BY centroid_id, i
+      ) GROUP BY centroid_id
+"""
+
+
+def _pq_oracle(m: int, k: int, sub: int, iters: int) -> str:
+    ctes: list[str] = []
+    selects: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(
+            f"src{s} AS (SELECT vec_id, "
+            f"CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS emb FROM embeddings)"
+        )
+        ctes.append(
+            f"cent{s}_0 AS (SELECT centroid_id, emb FROM ("
+            f"SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,"
+            f" emb FROM src{s}) WHERE centroid_id < {k})"
+        )
+        prev = f"cent{s}_0"
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"assign{s}_{it} AS "
+                f"({_PQ_ASSIGN.format(src=f'src{s}', cent=prev)})"
+            )
+            ctes.append(
+                f"cent{s}_{it} AS "
+                f"({_PQ_UPDATE.format(assign=f'assign{s}_{it}')})"
+            )
+            prev = f"cent{s}_{it}"
+        ctes.append(
+            f"final{s} AS ({_PQ_ASSIGN.format(src=f'src{s}', cent=prev)})"
+        )
+        selects.append(
+            f"SELECT {s} AS subspace, centroid_id AS code, "
+            f"CAST(count(*) AS BIGINT) AS n_vectors, "
+            f"round(sum(dist)/count(*), 4) AS avg_sqdist "
+            f"FROM final{s} GROUP BY centroid_id"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(f"({q})" for q in selects)
+        + ") ORDER BY subspace, code"
+    )
+
+
+@register(
+    "pq_encode_stats",
+    oracle=_pq_oracle(m=4, k=4, sub=16, iters=2),
+    doc="Product quantization (m=4 subspaces × k=4 L2 codebooks, 2 "
+    "Lloyd rounds, deterministic lowest-id init): per-(subspace, code) "
+    "cell sizes and mean squared reconstruction error.  The oracle "
+    "unrolls all 4 independent subspace trainings in SQL.",
+)
+def pq_encode_stats(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return S.pq_encode_stats(e, dim=64, m=4, k=4, iters=2)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

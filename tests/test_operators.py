@@ -330,6 +330,46 @@ def test_kmeans_converges_to_natural_clusters(spark):
     assert sorted(map(sorted, groups.values())) == [[1, 3, 5], [2, 4, 6]]
 
 
+def test_kmeans_l2_metric_separates_by_magnitude(spark):
+    # cosine can't tell [1,1] from [10,10] (same direction); L2 must.
+    rows = [
+        (1, [1.0, 1.0]), (3, [1.1, 0.9]), (5, [0.9, 1.1]),
+        (2, [10.0, 10.0]), (4, [10.1, 9.9]), (6, [9.9, 10.1]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = S.kmeans_iterations(e, k=2, iters=2, metric="l2")
+    cents = sorted(
+        (r["centroid_id"], list(r["embedding"])) for r in cent.collect()
+    )
+    parts = S.kmeans_partials(e, cents, metric="l2").collect()
+    groups = {}
+    for r in parts:
+        n0, d0 = groups.get(r["centroid_id"], (0, 0.0))
+        groups[r["centroid_id"]] = (n0 + r["n"], d0 + r["d_sum"])
+    assert {cid: g[0] for cid, g in groups.items()} == {0: 3, 1: 3}
+    # inertia of a tight cluster around its own mean is small
+    assert all(d / n < 0.1 for n, d in groups.values())
+
+
+def test_pq_encode_stats_partitions_all_vectors(spark):
+    # 8 vectors, dim=4, m=2 subspaces, k=2 codes: every subspace must
+    # account for every vector exactly once, errors non-negative
+    rows = [
+        (i, [float(i % 2), float(i % 3), float(i % 5), float(i)])
+        for i in range(8)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = S.pq_encode_stats(e, dim=4, m=2, k=2, iters=2).collect()
+    per_sub = {}
+    for r in out:
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_vectors"]
+        assert r["avg_sqdist"] >= 0.0
+        assert 0 <= r["code"] < 2
+    assert per_sub == {0: 8, 1: 8}
+    with pytest.raises(ValueError):
+        S.pq_encode_stats(e, dim=4, m=3)
+
+
 def test_repetition_metrics_hand_computed(spark):
     rows = [
         (1, "a b a b a b"),      # bigrams: ab ba ab ba ab → 5 total, 2 distinct
