@@ -820,3 +820,50 @@ def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str):
 
     d = table(spark, sf_dir, "documents")
     return chunk_dedup(d, chunk_words=3, max_doc_freq=2).orderBy("doc_id")
+
+
+@register(
+    "split_train_holdout",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(lower(trim(text))) AS fp,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT CASE WHEN substr(md5(fp), 1, 2) < '1a'
+                THEN 'holdout' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM fp
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Leakage-safe train/holdout split: the split key is the md5 "
+    "CONTENT fingerprint (lower+trim), not the doc id, so byte-equal "
+    "duplicates can never straddle the boundary — the held-out set "
+    "stays uncontaminated even before dedup runs.  ~10% holdout "
+    "(hex prefix < '1a' = 26/256).  Map-only split assignment (no "
+    "shuffle, stable under task retries); one grouped pass certifies "
+    "sizes, distinct-text counts, and token totals per side.",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    toks = F.size(F.split(F.lower(F.col("text")), " "))
+    return (
+        d.select(
+            F.when(F.substring(F.md5(fp), 1, 2) < "1a", "holdout")
+            .otherwise("train")
+            .alias("split"),
+            fp.alias("fp"),
+            toks.alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_texts"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
