@@ -140,7 +140,12 @@ PRIORITY_ORDER = [
     "text_fingerprint_dups",
     "text_tfidf_top_terms",
     "multimodal_metadata",
-    "embedding_quantize_int8_error",
+    # round 4: product quantization (per-subspace L2 codebooks,
+    # SQL-unrolled oracle) takes the quantization family's graded slot
+    # from embedding_quantize_int8_error — PQ exercises the int8 story's
+    # machinery (driver-held codebooks, GEMM assignment) plus codebook
+    # training; int8 stays certified by pytest + the full sweep.
+    "pq_encode_stats",
     "multimodal_audio_window_counts",
     "corpus_build_pipeline",
     "sample_token_budget",
