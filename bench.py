@@ -180,6 +180,8 @@ def main() -> None:
         "mapfile_range_scan",
         "bloommap_probe_batch",
         "setfile_dedup_ledger",
+        "pq_encode_stats",
+        "split_train_holdout",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

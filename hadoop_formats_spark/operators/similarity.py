@@ -903,6 +903,79 @@ def random_projection(
     )
 
 
+def pq_partials(
+    corpus: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
+    *,
+    sub: int,
+    vec_col: str = "embedding",
+    bc_out: list | None = None,
+) -> DataFrame:
+    """One corpus scan that assigns EVERY subspace's code and emits the
+    per-(subspace, centroid) sufficient statistics — ``kmeans_partials``
+    (metric="l2") generalized so all ``m`` product-quantization
+    codebooks train from the same pass.  ``books`` maps subspace →
+    sorted [(centroid_id, subvector)]; subspace ``s`` scores columns
+    ``[s·sub, (s+1)·sub)``.  Per batch and subspace: squared L2 spelled
+    ``(v·v - 2 v·c) + c·c`` (same association as a SQL oracle's
+    ``dot(v,v) - 2*dot(v,c) + dot(c,c)``), rounded to 6, first-min =
+    lowest-centroid tiebreak.  ≤ Σ_s k_s rows leave each task:
+    (subspace, centroid_id, n, sums, d_sum)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = {
+        s: (
+            np.array([c for c, _ in cents], dtype=np.int64),
+            np.vstack([np.asarray(v, dtype=np.float64) for _, v in cents]),
+        )
+        for s, cents in books.items()
+    }
+    bc = corpus.sparkSession.sparkContext.broadcast(mats)
+    if bc_out is not None:
+        bc_out.append(bc)
+
+    src = corpus.select(F.col(vec_col).alias("v"))
+
+    def stats(batches):
+        mats_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            rows = []
+            for s, (cids, cmat) in mats_.items():
+                Ms = M[:, s * sub : (s + 1) * sub]
+                vv = np.einsum("ij,ij->i", Ms, Ms)[:, None]
+                cc = np.einsum("ij,ij->i", cmat, cmat)[None, :]
+                dists = np.round(vv - 2.0 * (Ms @ cmat.T) + cc, 6)
+                best = np.argmin(dists, axis=1)
+                for j in range(len(cids)):
+                    mask = best == j
+                    n = int(mask.sum())
+                    if n:
+                        rows.append(
+                            (
+                                s,
+                                int(cids[j]),
+                                n,
+                                Ms[mask].sum(axis=0).tolist(),
+                                float(dists[mask, j].sum()),
+                            )
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["subspace", "centroid_id", "n", "sums", "d_sum"],
+                )
+
+    return src.mapInPandas(
+        stats,
+        "subspace int, centroid_id int, n long, "
+        "sums array<double>, d_sum double",
+    )
+
+
 def pq_encode_stats(
     corpus: DataFrame,
     *,
@@ -916,9 +989,9 @@ def pq_encode_stats(
     """Product quantization (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011): split each ``dim``-vector
     into ``m`` contiguous subvectors of ``dim//m`` dims, train an
-    independent k-means codebook (``metric="l2"``, ``iters`` Lloyd
-    rounds, deterministic lowest-id init) per subspace, then encode
-    every vector as its nearest code per subspace.  Returns the
+    independent k-means codebook (squared-L2 Lloyd, ``iters`` rounds,
+    deterministic lowest-id init) per subspace, then encode every
+    vector as its nearest code per subspace.  Returns the
     per-(subspace, code) encoding profile — cell population and mean
     rounded squared reconstruction error (the inertia each code cell
     contributes):
@@ -926,10 +999,14 @@ def pq_encode_stats(
         (subspace int, code int, n_vectors long, avg_sqdist double)
 
     Scale shape: codebooks are tiny (m·k·(dim/m) doubles) and live on
-    the driver exactly like ``kmeans_iterations``; training + encoding
-    are ``kmeans_partials`` GEMM passes, so the corpus never shuffles
-    and ≤ m·k stat rows leave each task.  At 100 TB the m subspace
-    loops share the persisted source scan.  PQ is the standard
+    the driver exactly like ``kmeans_iterations``; each Lloyd round is
+    ONE ``pq_partials`` GEMM scan that updates all ``m`` codebooks
+    together (iters+1 corpus scans total, independent of m — the
+    per-subspace-loop formulation would pay 3·m), the corpus never
+    shuffles, and ≤ m·k stat rows leave each task.  Assignment math is
+    identical to ``kmeans_iterations(metric="l2")`` on the sliced
+    subvector — the subspace trainings are independent, so fusing
+    their scans changes no values.  PQ is the standard
     memory-reduction path for billion-scale ANN: dim float32 → m bytes
     per vector (here 64·4 B → 4 B, 64×), with asymmetric distance
     computed against the driver-held codebooks.  The int8 path
@@ -939,57 +1016,69 @@ def pq_encode_stats(
     exist there: src/Data/Hadoop/Writable.hs implements only scalar
     SerDes); mandated by the north-star similarity-search list.
     """
+    import numpy as np
+
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    spark = corpus.sparkSession
-    src = corpus.select(id_col, vec_col).persist()
-    outs = []
+    src = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()
     try:
-        for s in range(m):
-            sub_df = src.select(
-                F.col(id_col),
-                F.slice(
-                    F.col(vec_col).cast("array<double>"), s * sub + 1, sub
-                ).alias(vec_col),
-            )
-            cent = kmeans_iterations(
-                sub_df,
-                k=k,
-                iters=iters,
-                id_col=id_col,
-                vec_col=vec_col,
-                metric="l2",
-            )
-            cents = sorted(
-                (r["centroid_id"], list(r[vec_col])) for r in cent.collect()
-            )
-            stats = (
-                kmeans_partials(sub_df, cents, vec_col=vec_col, metric="l2")
-                .groupBy("centroid_id")
-                .agg(
-                    F.sum("n").alias("n_vectors"),
-                    F.sum("d_sum").alias("ds"),
-                )
-            )
-            outs.append(
-                stats.select(
-                    F.lit(s).alias("subspace"),
-                    F.col("centroid_id").alias("code"),
-                    "n_vectors",
-                    F.round(F.col("ds") / F.col("n_vectors"), 4).alias(
-                        "avg_sqdist"
+        # init: the k lowest-id FULL vectors, sliced per subspace — the
+        # same k rows kmeans_iterations takes on each sub_df (slicing
+        # commutes with the id ordering), fetched in one TakeOrdered
+        init = src.orderBy(id_col).limit(k).select("v").collect()
+        books = {
+            s: [
+                (i, list(r["v"][s * sub : (s + 1) * sub]))
+                for i, r in enumerate(init)
+            ]
+            for s in range(m)
+        }
+        for _ in range(iters):
+            handles: list = []
+            try:
+                parts = sorted(
+                    pq_partials(
+                        src, books, sub=sub, vec_col="v", bc_out=handles
+                    ).collect(),
+                    key=lambda r: (
+                        r["subspace"],
+                        r["centroid_id"],
+                        r["n"],
+                        tuple(r["sums"]),
                     ),
                 )
+            finally:
+                for h in handles:
+                    h.destroy()
+            acc: dict[tuple[int, int], tuple[int, np.ndarray]] = {}
+            for r in parts:
+                key = (r["subspace"], r["centroid_id"])
+                n0, s0 = acc.get(key, (0, np.zeros(0)))
+                sm = np.asarray(r["sums"], dtype=np.float64)
+                acc[key] = (n0 + r["n"], sm if s0.size == 0 else s0 + sm)
+            books = {s: [] for s in range(m)}
+            for (s, cid), (n, sm) in sorted(acc.items()):
+                books[s].append((cid, (sm / n).tolist()))
+        final = pq_partials(src, books, sub=sub, vec_col="v")
+        return (
+            final.groupBy("subspace", "centroid_id")
+            .agg(F.sum("n").alias("n_vectors"), F.sum("d_sum").alias("ds"))
+            .select(
+                "subspace",
+                F.col("centroid_id").alias("code"),
+                "n_vectors",
+                F.round(F.col("ds") / F.col("n_vectors"), 4).alias(
+                    "avg_sqdist"
+                ),
             )
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionAll(o)
-        # the union is of ≤ m·k pre-aggregated rows — orderBy cost is nil
-        return out.orderBy("subspace", "code")
+            .orderBy("subspace", "code")
+        )
     finally:
-        # persist() is lazy and every returned plan re-reads src; the
-        # encode stats force it once per subspace.  Unpersist is safe
-        # here only because callers consume the returned DataFrame —
-        # blocking=False keeps the handle valid until evaluation.
+        # persist() is lazy; the training collects force it.  Unpersist
+        # with blocking=False keeps the blocks valid while the caller
+        # evaluates the returned (lazy) stats plan.
         src.unpersist(blocking=False)
