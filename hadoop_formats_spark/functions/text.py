@@ -164,6 +164,51 @@ def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text", k: int
     )
 
 
+def unigram_surprisal(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    broadcast_vocab: bool = False,
+):
+    """(doc_id, n_tokens, avg_surprisal) — mean token surprisal in nats
+    under a unigram LM fit on the corpus itself: −ln(count(tok)/N),
+    averaged per document.  This is the degenerate (order-0) form of
+    CCNet/Gopher-style LM-perplexity quality filtering: documents full
+    of corpus-typical tokens score low, gibberish and outliers score
+    high — and unlike a real LM it needs no model artifact, stays fully
+    deterministic, and is SQL-oracle-checkable.
+
+    Scale shape: the vocabulary count table comes from one partial-agg
+    friendly groupBy on token; the score join is token-keyed.  With
+    ``broadcast_vocab=True`` the count table broadcasts (right only
+    when the vocab fits in an executor — web-scale corpora have 10⁷⁺
+    distinct tokens, so the default is the shuffle join, where hot
+    stopword keys are exactly the skew AQE's skew-join splitting
+    handles).  The corpus total N rides as a broadcast 1-row cross
+    join, same as ``tfidf_top_terms``."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    if broadcast_vocab:
+        cnt = F.broadcast(cnt)
+    n = tok.select(F.count("*").alias("n_total"))
+    return (
+        tok.join(cnt, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("c") / F.col("n_total")))
+                / F.count("*"),
+                4,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
 ROLLING_MOD = 1_000_003  # prime; keeps acc*31+c inside BIGINT
 
 

@@ -1265,3 +1265,32 @@ def ann_projected_recall_at_3(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(-ln(c / n_total)) / count(*), 4) AS avg_surprisal
+    FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Mean token surprisal (nats) per document under a corpus-fit "
+    "unigram LM -- the order-0, model-free form of CCNet-style "
+    "LM-perplexity quality filtering.  Vocab counts stay distributed "
+    "(one partial-agg groupBy + token-keyed join); N broadcasts as a "
+    "1-row cross join.",
+)
+def text_unigram_surprisal(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.unigram_surprisal(d).orderBy("doc_id")
