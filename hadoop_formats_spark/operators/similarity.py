@@ -976,7 +976,7 @@ def pq_partials(
     )
 
 
-def pq_encode_stats(
+def pq_train(
     corpus: DataFrame,
     *,
     dim: int,
@@ -985,37 +985,14 @@ def pq_encode_stats(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Product quantization (Jégou et al., "Product Quantization for
-    Nearest Neighbor Search", TPAMI 2011): split each ``dim``-vector
-    into ``m`` contiguous subvectors of ``dim//m`` dims, train an
-    independent k-means codebook (squared-L2 Lloyd, ``iters`` rounds,
-    deterministic lowest-id init) per subspace, then encode every
-    vector as its nearest code per subspace.  Returns the
-    per-(subspace, code) encoding profile — cell population and mean
-    rounded squared reconstruction error (the inertia each code cell
-    contributes):
-
-        (subspace int, code int, n_vectors long, avg_sqdist double)
-
-    Scale shape: codebooks are tiny (m·k·(dim/m) doubles) and live on
-    the driver exactly like ``kmeans_iterations``; each Lloyd round is
-    ONE ``pq_partials`` GEMM scan that updates all ``m`` codebooks
-    together (iters+1 corpus scans total, independent of m — the
-    per-subspace-loop formulation would pay 3·m), the corpus never
-    shuffles, and ≤ m·k stat rows leave each task.  Assignment math is
-    identical to ``kmeans_iterations(metric="l2")`` on the sliced
-    subvector — the subspace trainings are independent, so fusing
-    their scans changes no values.  PQ is the standard
-    memory-reduction path for billion-scale ANN: dim float32 → m bytes
-    per vector (here 64·4 B → 4 B, 64×), with asymmetric distance
-    computed against the driver-held codebooks.  The int8 path
-    (``quantize_int8``) is the orthogonal per-dimension variant.
-
-    Extends the reference's columnar decode surface (no vector ops
-    exist there: src/Data/Hadoop/Writable.hs implements only scalar
-    SerDes); mandated by the north-star similarity-search list.
-    """
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Train the ``m`` product-quantization codebooks: squared-L2 Lloyd
+    (``iters`` rounds, deterministic lowest-id init = the k lowest-id
+    full vectors sliced per subspace), all subspaces updated from ONE
+    ``pq_partials`` scan per round.  Returns subspace → sorted
+    [(centroid_id, subvector)] — driver-held, m·k·(dim/m) doubles.
+    This is a DRIVER ACTION (runs iters+1 Spark jobs), same contract
+    as ``kmeans_iterations``; empty clusters drop per subspace."""
     import numpy as np
 
     if dim % m != 0:
@@ -1026,9 +1003,6 @@ def pq_encode_stats(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).persist()
     try:
-        # init: the k lowest-id FULL vectors, sliced per subspace — the
-        # same k rows kmeans_iterations takes on each sub_df (slicing
-        # commutes with the id ordering), fetched in one TakeOrdered
         init = src.orderBy(id_col).limit(k).select("v").collect()
         books = {
             s: [
@@ -1063,22 +1037,236 @@ def pq_encode_stats(
             books = {s: [] for s in range(m)}
             for (s, cid), (n, sm) in sorted(acc.items()):
                 books[s].append((cid, (sm / n).tolist()))
-        final = pq_partials(src, books, sub=sub, vec_col="v")
-        return (
-            final.groupBy("subspace", "centroid_id")
-            .agg(F.sum("n").alias("n_vectors"), F.sum("d_sum").alias("ds"))
-            .select(
-                "subspace",
-                F.col("centroid_id").alias("code"),
-                "n_vectors",
-                F.round(F.col("ds") / F.col("n_vectors"), 4).alias(
-                    "avg_sqdist"
-                ),
-            )
-            .orderBy("subspace", "code")
-        )
+        return books
     finally:
-        # persist() is lazy; the training collects force it.  Unpersist
-        # with blocking=False keeps the blocks valid while the caller
-        # evaluates the returned (lazy) stats plan.
         src.unpersist(blocking=False)
+
+
+def pq_encode_stats(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split each ``dim``-vector
+    into ``m`` contiguous subvectors of ``dim//m`` dims, train an
+    independent k-means codebook (squared-L2 Lloyd, ``iters`` rounds,
+    deterministic lowest-id init) per subspace (``pq_train``), then
+    encode every vector as its nearest code per subspace.  Returns the
+    per-(subspace, code) encoding profile — cell population and mean
+    rounded squared reconstruction error (the inertia each code cell
+    contributes):
+
+        (subspace int, code int, n_vectors long, avg_sqdist double)
+
+    Scale shape: codebooks are tiny and live on the driver exactly
+    like ``kmeans_iterations``; each Lloyd round is ONE ``pq_partials``
+    GEMM scan that updates all ``m`` codebooks together (iters+1
+    corpus scans total, independent of m — the per-subspace-loop
+    formulation would pay 3·m), the corpus never shuffles, and ≤ m·k
+    stat rows leave each task.  Assignment math is identical to
+    ``kmeans_iterations(metric="l2")`` on the sliced subvector — the
+    subspace trainings are independent, so fusing their scans changes
+    no values.  PQ is the standard memory-reduction path for
+    billion-scale ANN: dim float32 → m bytes per vector (here
+    64·4 B → 4 B, 64×), with asymmetric distance computed against the
+    driver-held codebooks (``pq_adc_topk``).  The int8 path
+    (``quantize_int8``) is the orthogonal per-dimension variant.
+
+    Extends the reference's columnar decode surface (no vector ops
+    exist there: src/Data/Hadoop/Writable.hs implements only scalar
+    SerDes); mandated by the north-star similarity-search list.
+    """
+    sub = dim // m
+    books = pq_train(
+        corpus, dim=dim, m=m, k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    src = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    final = pq_partials(src, books, sub=sub, vec_col="v")
+    return (
+        final.groupBy("subspace", "centroid_id")
+        .agg(F.sum("n").alias("n_vectors"), F.sum("d_sum").alias("ds"))
+        .select(
+            "subspace",
+            F.col("centroid_id").alias("code"),
+            "n_vectors",
+            F.round(F.col("ds") / F.col("n_vectors"), 4).alias(
+                "avg_sqdist"
+            ),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
+    *,
+    sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bc_out: list | None = None,
+) -> DataFrame:
+    """Encode every vector as its m PQ codes: (id, codes array<int>)
+    where codes[s] is the centroid_id of the nearest subspace-s
+    codeword (rounded squared L2, first-min = lowest centroid id —
+    the exact assignment ``pq_partials`` aggregates).  One GEMM
+    mapInPandas pass, broadcast codebooks, no shuffle: this is the
+    dim·4 bytes → m bytes compression step itself."""
+    import numpy as np
+    import pandas as pd
+
+    mats = {
+        s: (
+            np.array([c for c, _ in cents], dtype=np.int64),
+            np.vstack([np.asarray(v, dtype=np.float64) for _, v in cents]),
+        )
+        for s, cents in books.items()
+    }
+    bc = corpus.sparkSession.sparkContext.broadcast(mats)
+    if bc_out is not None:
+        bc_out.append(bc)
+    src = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def encode(batches):
+        mats_ = bc.value
+        order = sorted(mats_)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cols = []
+            for s in order:
+                cids, cmat = mats_[s]
+                Ms = M[:, s * sub : (s + 1) * sub]
+                vv = np.einsum("ij,ij->i", Ms, Ms)[:, None]
+                cc = np.einsum("ij,ij->i", cmat, cmat)[None, :]
+                dists = np.round(vv - 2.0 * (Ms @ cmat.T) + cc, 6)
+                cols.append(cids[np.argmin(dists, axis=1)])
+            codes = np.stack(cols, axis=1)  # (N, m)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "codes": list(codes)}
+            )
+
+    return src.mapInPandas(
+        encode, f"id bigint, codes array<int>"
+    ).withColumnRenamed("id", id_col)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    books: dict[int, list[tuple[int, list[float]]]],
+    queries: DataFrame,
+    *,
+    sub: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bc_out: list | None = None,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    (small, collected) query set becomes a per-query lookup table
+    LUT[q][s][code] = round(‖q_s − c‖², 6) against the driver-held
+    codebooks; one mapInPandas pass over the ENCODED corpus sums the m
+    table entries per candidate (left-to-right, so the float result is
+    engine-reproducible) and keeps a partition-local top-k per query;
+    a tiny window resolves the global top-k (ASC distance, ties →
+    lowest neighbor id; the query's own id is excluded).
+
+    This is how PQ search actually runs at billion scale: the corpus
+    is m bytes/vector, candidates never touch the original embeddings,
+    and the scan is table lookups + adds — no GEMM, no shuffle of the
+    corpus.  Returns (query_id, neighbor_id, adc_dist, rnk)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    order = sorted(books)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if not qrows:
+        return encoded.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_dist double, rnk int"
+        )
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    # LUT per subspace: (n_queries, max_centroid_id+1), indexed by the
+    # centroid_id codes pq_encode emitted (empty clusters leave unused
+    # slots — harmless, they are never referenced)
+    luts = {}
+    for s in order:
+        cids = np.array([c for c, _ in books[s]], dtype=np.int64)
+        cmat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for _, v in books[s]]
+        )
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        vv = np.einsum("ij,ij->i", Qs, Qs)[:, None]
+        cc = np.einsum("ij,ij->i", cmat, cmat)[None, :]
+        d = np.round(vv - 2.0 * (Qs @ cmat.T) + cc, 6)  # (Q, kk)
+        lut = np.full((len(q_ids), int(cids.max()) + 1), np.inf)
+        lut[:, cids] = d
+        luts[s] = lut
+    bc = encoded.sparkSession.sparkContext.broadcast((q_ids, luts))
+    if bc_out is not None:
+        bc_out.append(bc)
+
+    src = encoded.select(F.col(id_col).alias("id"), "codes")
+
+    def scan(batches):
+        q_ids_, luts_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())  # (N, m)
+            # left-to-right accumulation: 0 + a_0 + a_1 + … matches the
+            # oracle's literal a_0 + a_1 + … (0 + x is IEEE-exact)
+            D = np.zeros((len(ids), len(q_ids_)))
+            for pos, s in enumerate(sorted(luts_)):
+                D = D + luts_[s][:, codes[:, pos]].T  # (N, Q)
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(q_ids_)):
+                col = D[:, j]
+                mask = ids != q_ids_[j]
+                cid, cd = ids[mask], col[mask]
+                if len(cid) > k:
+                    order_ = np.lexsort((cid, cd))[:k]
+                else:
+                    order_ = np.argsort(cid)
+                out_q.append(np.full(len(order_), q_ids_[j]))
+                out_n.append(cid[order_])
+                out_d.append(cd[order_])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    cand = src.mapInPandas(
+        scan, "query_id bigint, neighbor_id bigint, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -779,9 +779,12 @@ _PQ_UPDATE = """
 """
 
 
-def _pq_oracle(m: int, k: int, sub: int, iters: int) -> str:
+def _pq_ctes(m: int, k: int, sub: int, iters: int) -> list[str]:
+    """The unrolled per-subspace Lloyd training as CTEs: for each
+    subspace s, ``src{s}`` (sliced subvectors), ``cent{s}_{iters}``
+    (final codebook) and ``final{s}`` (per-vector assignment + rounded
+    squared distance)."""
     ctes: list[str] = []
-    selects: list[str] = []
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         ctes.append(
@@ -807,15 +810,20 @@ def _pq_oracle(m: int, k: int, sub: int, iters: int) -> str:
         ctes.append(
             f"final{s} AS ({_PQ_ASSIGN.format(src=f'src{s}', cent=prev)})"
         )
-        selects.append(
-            f"SELECT {s} AS subspace, centroid_id AS code, "
-            f"CAST(count(*) AS BIGINT) AS n_vectors, "
-            f"round(sum(dist)/count(*), 4) AS avg_sqdist "
-            f"FROM final{s} GROUP BY centroid_id"
-        )
+    return ctes
+
+
+def _pq_oracle(m: int, k: int, sub: int, iters: int) -> str:
+    selects = [
+        f"SELECT {s} AS subspace, centroid_id AS code, "
+        f"CAST(count(*) AS BIGINT) AS n_vectors, "
+        f"round(sum(dist)/count(*), 4) AS avg_sqdist "
+        f"FROM final{s} GROUP BY centroid_id"
+        for s in range(m)
+    ]
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_pq_ctes(m, k, sub, iters))
         + "\nSELECT * FROM ("
         + " UNION ALL ".join(f"({q})" for q in selects)
         + ") ORDER BY subspace, code"
@@ -1294,3 +1302,130 @@ def ann_projected_recall_at_3(spark, sf_dir):
 def text_unigram_surprisal(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return T.unigram_surprisal(d).orderBy("doc_id")
+
+
+def _pq_adc_oracle(m: int, k: int, sub: int, iters: int) -> str:
+    """ADC recall oracle: unrolled PQ training (``_pq_ctes``) → encoded
+    corpus (one code per subspace from final{s}) → per-(query, vector)
+    asymmetric distance = left-to-right sum of the m rounded subspace
+    LUT entries → top-20 candidates → exact-cosine rerank top-3 →
+    overlap with the exact full-space top-3."""
+    qs_cols = ", ".join(
+        f"CAST(embedding AS DOUBLE[])[{s * sub + 1}:{(s + 1) * sub}] AS s{s}"
+        for s in range(m)
+    )
+    enc_joins = " ".join(
+        f"JOIN final{s} f{s} USING (vec_id)" if s else "FROM final0 f0"
+        for s in range(m)
+    )
+    enc_cols = ", ".join(f"f{s}.centroid_id AS c{s}" for s in range(m))
+    adc_terms = "\n         + ".join(
+        f"round(list_dot_product(q.s{s}, q.s{s})"
+        f" - 2*list_dot_product(q.s{s}, k{s}.emb)"
+        f" + list_dot_product(k{s}.emb, k{s}.emb), 6)"
+        for s in range(m)
+    )
+    cent_joins = " ".join(
+        f"JOIN cent{s}_{iters} k{s} ON k{s}.centroid_id = e.c{s}"
+        for s in range(m)
+    )
+    cos = _COS_SQL.replace("a.embedding", "q.embedding").replace(
+        "b.embedding", "c.embedding"
+    )
+    ctes = ",\n    ".join(_pq_ctes(m, k, sub, iters))
+    return f"""
+    WITH {ctes},
+    enc AS (
+      SELECT f0.vec_id, {enc_cols} {enc_joins}
+    ),
+    qs AS (
+      SELECT vec_id, {qs_cols}
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {adc_terms} AS d
+      FROM qs q CROSS JOIN enc e {cent_joins}
+      WHERE e.vec_id <> q.vec_id
+    ),
+    cand20 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, neighbor_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= 20
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rnk <= 3
+    ),
+    rerank3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               row_number() OVER (PARTITION BY cd.query_id
+                 ORDER BY {cos} DESC, cd.neighbor_id) AS rnk
+        FROM cand20 cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings c ON c.vec_id = cd.neighbor_id
+      ) WHERE rnk <= 3
+    )
+    SELECT e3.query_id,
+           CAST(sum(CASE WHEN r3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched3
+    FROM exact3 e3 LEFT JOIN rerank3 r3 USING (query_id, neighbor_id)
+    GROUP BY e3.query_id ORDER BY e3.query_id
+    """
+
+
+@register(
+    "ann_pq_adc_recall_at_3",
+    oracle=_pq_adc_oracle(m=4, k=16, sub=16, iters=2),
+    doc="PQ search end-to-end: train 4x16 subspace codebooks, encode "
+    "the corpus to 4 codes/vector, generate top-20 candidates by "
+    "asymmetric distance computation (per-query LUT over driver-held "
+    "codebooks; the scan touches only the m-byte codes, never the "
+    "embeddings), exact-cosine rerank to top-3, and report per-probe "
+    "overlap with the exact full-space top-3 -- recall measured, not "
+    "assumed.  The oracle unrolls training, encoding, ADC, and both "
+    "rankings in SQL.",
+)
+def ann_pq_adc_recall_at_3(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact3 = S.brute_force_topk(e, q, k=3).select("query_id", "neighbor_id")
+    books = S.pq_train(e, dim=_EMB_DIM, m=4, k=16, iters=2)
+    enc = S.pq_encode(e, books, sub=16)
+    cand20 = S.pq_adc_topk(enc, books, q, sub=16, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("query_id").orderBy(F.desc("rsim"), F.asc("neighbor_id"))
+    rerank3 = (
+        cand20.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qe"), F.col("ce")), 4).alias("rsim"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("m"))
+    )
+    return (
+        exact3.join(rerank3, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("m", F.lit(0))).cast("bigint").alias("n_matched3")
+        )
+        .orderBy("query_id")
+    )

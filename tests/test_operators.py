@@ -370,6 +370,28 @@ def test_pq_encode_stats_partitions_all_vectors(spark):
         S.pq_encode_stats(e, dim=4, m=3)
 
 
+def test_pq_encode_and_adc_find_true_neighbor(spark):
+    # dim=4, m=2: two clean clusters per subspace; after training,
+    # encoding must split them and ADC must rank the same-cluster
+    # vector first for each probe
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [10.0, 10.0, 0.0, 0.0]),
+        (2, [0.1, 0.1, 10.1, 9.9]),   # near vec 0 in both subspaces
+        (3, [9.9, 10.1, 0.1, 0.1]),   # near vec 1 in both subspaces
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = S.pq_train(e, dim=4, m=2, k=2, iters=2)
+    enc = {r["vec_id"]: list(r["codes"]) for r in
+           S.pq_encode(e, books, sub=2).collect()}
+    assert enc[0] == enc[2] and enc[1] == enc[3] and enc[0] != enc[1]
+    q = e.filter(F.col("vec_id") < 2)
+    top1 = S.pq_adc_topk(S.pq_encode(e, books, sub=2), books, q,
+                         sub=2, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top1}
+    assert got == {0: 2, 1: 3}
+
+
 def test_repetition_metrics_hand_computed(spark):
     rows = [
         (1, "a b a b a b"),      # bigrams: ab ba ab ba ab → 5 total, 2 distinct
