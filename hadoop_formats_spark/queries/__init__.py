@@ -6,3 +6,4 @@ from . import seqfile_q  # noqa: F401
 from . import tpch  # noqa: F401
 from . import curation  # noqa: F401
 from . import sources  # noqa: F401
+from . import stats  # noqa: F401
