@@ -182,6 +182,9 @@ def main() -> None:
         "setfile_dedup_ledger",
         "pq_encode_stats",
         "split_train_holdout",
+        "ann_pq_adc_recall_at_3",
+        "text_unigram_surprisal",
+        "stats_join_key_skew",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
