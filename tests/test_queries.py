@@ -309,3 +309,19 @@ def test_chunk_dedup_partial_aggregation_and_bounded_shuffles(spark, sf_dir):
     df = _df(spark, sf_dir, "dedup_chunk_boilerplate")
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 5
+
+
+def test_split_train_holdout_plan_is_map_then_one_agg(spark, sf_dir):
+    # split assignment must be map-side (no pre-agg shuffle); budget =
+    # one exchange for the 2-group aggregate + one for the tiny sort
+    df = _df(spark, sf_dir, "split_train_holdout")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 3  # agg + countDistinct expand + sort
+
+
+def test_stats_skew_profile_aggregates_partially(spark, sf_dir):
+    df = _df(spark, sf_dir, "stats_join_key_skew")
+    assert plans.has_partial_aggregation(df)
+    # freq groupBy + scalar profile + top-5 + tiny cross join/sort —
+    # the per-key frequency table itself must not be collected
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
