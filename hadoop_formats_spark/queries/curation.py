@@ -867,3 +867,53 @@ def split_train_holdout(spark: SparkSession, sf_dir: str):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_mixture_epochs",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM per_lang)
+    SELECT lang, n_tokens,
+           round(sqrt(n_tokens) / z, 4) AS weight,
+           CAST(floor(sqrt(n_tokens) / z * 1000000) AS BIGINT)
+             AS target_tokens,
+           round(floor(sqrt(n_tokens) / z * 1000000) / n_tokens, 4)
+             AS epochs
+    FROM per_lang CROSS JOIN tot
+    ORDER BY lang
+    """,
+    doc="Temperature-weighted mixture planning (alpha=0.5, the "
+    "multilingual-LM convention): per-language sampling weight "
+    "proportional to sqrt(available tokens), target token allocation "
+    "for a 1M-token budget, and the repeat factor (epochs) each "
+    "language needs to fill its allocation -- epochs > 1 means "
+    "upsampling low-resource strata.  One partial-agg groupBy; the "
+    "normalizer is a broadcast 1-row cross join.  Downstream, "
+    "sample_token_budget admits documents against exactly these "
+    "per-stratum token targets.",
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("n_tokens")
+    )
+    tot = per_lang.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("z"))
+    w = F.sqrt(F.col("n_tokens")) / F.col("z")
+    target = F.floor(w * F.lit(1000000)).cast("bigint")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(w, 4).alias("weight"),
+            target.alias("target_tokens"),
+            F.round(target / F.col("n_tokens"), 4).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
