@@ -744,6 +744,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 4,
     blocks: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, exact,
     via blocked GEMM.
@@ -755,7 +756,14 @@ def cosine_near_dup_pairs(
     volume is blocks·n·d (each vector is replicated once per partner
     block); parallelism is blocks·(blocks+1)/2 tasks.  At 100 TB size
     ``blocks`` ~ sqrt(cores) and/or pre-prune with ``ivf_assign`` /
-    sign-LSH so only same-bucket block pairs are formed."""
+    sign-LSH so only same-bucket block pairs are formed.
+
+    ``group_col``: optional blocking column already present on
+    ``corpus`` — pairs are only formed WITHIN equal values (the key
+    becomes (group, ka, kb)).  This is how ``semdedup`` bounds the
+    pair space to k-means clusters: with groups of size c the work is
+    Σ c_i² instead of n², and each group's GEMM tiles stay
+    ``blocks``-way parallel."""
     import pandas as pd
 
     b = F.lit(blocks)
@@ -765,20 +773,29 @@ def cosine_near_dup_pairs(
     # side's non-key columns out of the pdf handed to Python.
     # plain (ka, kb) key columns, not aliased grouping expressions, for
     # the same reason.
+    # the group column must be RE-ALIASED per side like every other
+    # column — passing it through unaliased would reuse one expression
+    # id on both cogroup branches and trip the ambiguous-self-join check
+    gcols = ["g"] if group_col else []
+
     def unit() -> DataFrame:
+        extra = [F.col(group_col).alias("g")] if group_col else []
         return corpus.select(
+            *extra,
             F.col(id_col).alias("id"),
             unit_normalize(F.col(vec_col)).alias("u"),
             F.pmod(F.col(id_col), b).cast("int").alias("blk"),
         )
 
     left = unit().select(
+        *gcols,
         "id",
         "u",
         F.col("blk").alias("ka"),
         F.explode(F.sequence(F.col("blk"), b - 1)).alias("kb"),
     )
     right = unit().select(
+        *gcols,
         "id",
         "u",
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ka"),
@@ -789,7 +806,7 @@ def cosine_near_dup_pairs(
     def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        bi, bj = key
+        bi, bj = key[-2], key[-1]
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
         A = np.vstack(lpdf["u"].to_numpy())
@@ -809,12 +826,81 @@ def cosine_near_dup_pairs(
             xa, xb = lo, hi
         return pd.DataFrame({"id_a": xa, "id_b": xb, "sim": sv})
 
+    keys = gcols + ["ka", "kb"]
     pairs = (
-        left.groupBy("ka", "kb")
-        .cogroup(right.groupBy("ka", "kb"))
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
         .applyInPandas(gemm, out_schema)
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means clustering bounds
+    the pair space, exact cosine runs only WITHIN each cluster.
+
+    Pipeline (all stages reuse the library's scale-shaped primitives):
+
+    1. centroids = ``kmeans_iterations`` (deterministic lowest-id init,
+       driver-held k·dim centroids, one GEMM-partials scan per Lloyd
+       round);
+    2. ``ivf_assign`` labels every vector map-side (broadcast
+       centroids, zero shuffle of the corpus);
+    3. ``cosine_near_dup_pairs(group_col="centroid_id")`` forms exact
+       pairs inside clusters only — Σ c_i² work instead of n², each
+       cluster GEMM-tiled ``blocks`` ways;
+    4. a vector is REMOVED iff some same-cluster neighbor with a
+       smaller id has cosine ≥ ``tau`` (deterministic min-id keeper —
+       the paper keeps one representative per ε-group; lowest id is
+       the reproducible stand-in for its random choice).
+
+    Returns one row per vector: (id_col, cluster_id, keep).  At 100 TB
+    use k ≈ √n (the paper's regime) so expected cluster size — and
+    with it the per-cluster quadratic term — stays constant as the
+    corpus grows; no stage here materializes anything larger than
+    O(n·blocks) rows."""
+    cents = kmeans_iterations(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    pairs = cosine_near_dup_pairs(
+        assigned,
+        threshold=tau,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        blocks=blocks,
+        group_col="centroid_id",
+    )
+    # the rejoin is a second reference to ``assigned`` (the first is the
+    # cogroup self-pairing inside cosine_near_dup_pairs), so qualify
+    # both sides explicitly to keep Spark's ambiguous-self-join check
+    # satisfied
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+        .alias("rm")
+    )
+    av = assigned.alias("av")
+    return av.join(
+        removed, F.col(f"av.{id_col}") == F.col(f"rm.{id_col}"), "left"
+    ).select(
+        F.col(f"av.{id_col}").alias(id_col),
+        F.col("av.centroid_id").alias("cluster_id"),
+        F.col("rm._rm").isNull().alias("keep"),
+    )
 
 
 def random_projection(

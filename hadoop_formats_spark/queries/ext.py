@@ -748,6 +748,54 @@ def kmeans_cluster_profile(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT centroid_id, CAST(embedding AS DOUBLE[]) AS emb FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding
+        FROM embeddings
+      ) WHERE centroid_id < 4
+    ),
+    assign1 AS ({_KMEANS_ASSIGN.format(cent="cent0")}),
+    cent1 AS ({_KMEANS_UPDATE.format(assign="assign1")}),
+    assign2 AS ({_KMEANS_ASSIGN.format(cent="cent1")}),
+    cent2 AS ({_KMEANS_UPDATE.format(assign="assign2")}),
+    final AS ({_KMEANS_ASSIGN.format(cent="cent2")}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM final a JOIN final b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.4
+    ),
+    removed AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT f.centroid_id AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(r.id_b) AS BIGINT) AS n_removed
+    FROM final f LEFT JOIN removed r ON f.vec_id = r.id_b
+    GROUP BY f.centroid_id ORDER BY cluster_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup = k-means "
+    "blocking (k=4, 2 Lloyd rounds, deterministic lowest-id init) + "
+    "exact cosine ≥ 0.4 WITHIN clusters only + min-id keeper.  Output "
+    "= per-cluster member/removed counts.  The oracle unrolls the "
+    "training and replays the within-cluster pair filter in SQL; the "
+    "Spark path is the scale shape — Σ c_i² pair work instead of n², "
+    "zero corpus shuffle for assignment.",
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    sd = S.semdedup(e, k=4, iters=2, tau=0.4)
+    return (
+        sd.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # Product quantization oracle: per subspace, unroll the L2 Lloyd
 # iterations exactly like the kmeans oracle above, but with squared
 # euclidean assignment (ASC, lowest-centroid tiebreak) on the

@@ -813,3 +813,47 @@ def test_chunk_dedup_short_tail_span(spark):
     import hashlib
 
     assert row["kept_md5"] == hashlib.md5(b"p q r s t").hexdigest()
+
+
+def test_cosine_pairs_group_col_blocks_cross_group(spark):
+    """group_col restricts pairs to equal group values: three identical
+    vectors, but one lives in another group — only the within-group
+    pair survives."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [1.0, 0.0], "a"),
+            (3, [1.0, 0.0], "b"),
+        ],
+        "vec_id bigint, embedding array<double>, grp string",
+    )
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(
+            df, threshold=0.99, blocks=2, group_col="grp"
+        ).collect()
+    }
+    assert out == {(1, 2)}
+
+
+def test_semdedup_min_id_keeper_within_clusters(spark):
+    """SemDeDup end-to-end on a two-cluster corpus: duplicates are
+    removed per cluster, the lowest id survives, cross-cluster
+    similarity is never consulted."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),      # dup of 0 → removed
+            (3, [0.0, 1.0]),      # dup of 1 → removed
+            (4, [0.9, 0.1]),      # near-dup of 0 (cos ≈ .9939) → removed
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in S.semdedup(df, k=2, iters=2, tau=0.95).collect()}
+    assert len(rows) == 5
+    assert {i for i, r in rows.items() if r["keep"]} == {0, 1}
+    # both dup pairs landed in their own cluster
+    assert rows[0]["cluster_id"] == rows[2]["cluster_id"] == rows[4]["cluster_id"]
+    assert rows[1]["cluster_id"] == rows[3]["cluster_id"]
+    assert rows[0]["cluster_id"] != rows[1]["cluster_id"]
