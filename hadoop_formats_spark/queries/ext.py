@@ -453,6 +453,35 @@ def ann_brute_force_topk(spark, sf_dir):
 
 
 @register(
+    "ann_filtered_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                                         c.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0 AND c.label = 1
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="FILTERED vector search: exact cosine top-5 restricted to "
+    "corpus rows with label = 1 (pre-filter semantics — the predicate "
+    "is applied BEFORE ranking, so every query still gets k results "
+    "from the eligible subset; post-filtering a plain top-k would "
+    "under-fill).  The label predicate sits on the corpus scan, so "
+    "Catalyst pushes it into the parquet reader and the GEMM scan "
+    "never sees ineligible vectors — the shape metadata-filtered ANN "
+    "must take at 100 TB.",
+)
+def ann_filtered_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk(e.filter(F.col("label") == 1), q, k=5)
+
+
+@register(
     "ann_ivf_topk",
     oracle=f"""
     WITH centroids AS (

@@ -325,3 +325,20 @@ def test_stats_skew_profile_aggregates_partially(spark, sf_dir):
     # freq groupBy + scalar profile + top-5 + tiny cross join/sort —
     # the per-key frequency table itself must not be collected
     assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_filtered_ann_pushes_label_predicate_to_scan(spark, sf_dir):
+    """Pre-filter ANN: the label predicate must reach the corpus
+    parquet scan (pushed filter), so ineligible vectors never enter
+    the GEMM scan."""
+    scans = plans.parquet_scans(_df(spark, sf_dir, "ann_filtered_topk"))
+    assert scans and any(s.pushed_filters for s in scans)
+
+
+def test_semdedup_bounded_shuffles(spark, sf_dir):
+    """SemDeDup's plan: centroid assignment is map-side (broadcast
+    centroids), so the only data shuffles are the within-cluster
+    cogroup (both sides), the removed-set distinct, the rejoin, and
+    the final per-cluster aggregate — a constant count independent of
+    corpus size."""
+    assert plans.shuffle_count(_df(spark, sf_dir, "dedup_semantic_semdedup")) <= 8
