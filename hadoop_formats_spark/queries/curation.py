@@ -917,3 +917,128 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+# Synthetic-URL construction shared by url_canonical_dedup's Spark and
+# SQL sides: documents carry no URL column, so both engines derive the
+# SAME messy crawl-style URL per doc (case noise, default ports,
+# tracking params in shuffled order, fragments) and the query proves
+# the canonicalizer merges exactly the variants that denote one page.
+_URL_SQL = """
+      concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END,
+        source, '.',
+        CASE WHEN doc_id % 5 = 0 THEN 'co.UK' ELSE 'COM' END,
+        CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+        '/Page/', doc_id % 40,
+        CASE WHEN doc_id % 2 = 0
+             THEN concat('?id=', doc_id % 20, '&utm_source=feed&b=1')
+             ELSE concat('?b=1&id=', doc_id % 20, '&gclid=x') END,
+        CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT {_URL_SQL} AS url FROM documents
+    ),
+    p AS (
+      SELECT url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM u
+    ),
+    c AS (
+      SELECT
+        regexp_replace(hostport, ':[0-9]+$', '') AS host,
+        concat(
+          scheme, '://', regexp_replace(hostport, ':[0-9]+$', ''),
+          CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) NOT IN
+                    ('', CASE WHEN scheme = 'http' THEN '80'
+                              WHEN scheme = 'https' THEN '443' ELSE '' END)
+               THEN concat(':', regexp_extract(hostport, ':([0-9]+)$', 1))
+               ELSE '' END,
+          CASE WHEN path = '' THEN '/' ELSE path END,
+          CASE WHEN array_to_string(list_sort(list_filter(str_split(qs, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') <> ''
+               THEN concat('?', array_to_string(list_sort(list_filter(str_split(qs, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&'))
+               ELSE '' END) AS canon
+      FROM p
+    ),
+    d AS (
+      SELECT canon,
+        CASE WHEN len(str_split(host, '.')) <= 2 THEN host
+             WHEN str_split(host, '.')[-2] IN
+                  ('co','com','org','net','ac','gov','edu')
+                  AND len(str_split(host, '.')) >= 3
+             THEN concat(str_split(host, '.')[-3], '.',
+                         str_split(host, '.')[-2], '.',
+                         str_split(host, '.')[-1])
+             ELSE concat(str_split(host, '.')[-2], '.',
+                         str_split(host, '.')[-1]) END AS domain
+      FROM c
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           min(canon) AS first_canonical
+    FROM d GROUP BY domain ORDER BY domain
+    """,
+    doc="URL canonicalization + dedup accounting: messy crawl-style "
+    "URLs (case noise, default ports, tracking params, reordered query "
+    "strings, fragments) collapse to canonical page keys "
+    "(functions/url.py — pure Catalyst, no UDF), grouped by "
+    "registrable domain (eTLD+1 heuristic incl. co.uk-style suffixes). "
+    "Output per domain: raw URL count, distinct canonical pages, first "
+    "canonical key.  Map-side expressions + one aggregate — full scan "
+    "speed on a 100 TB crawl.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str):
+    from ..functions import url as U
+
+    d = table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+
+    def pick(mod: int, eq, a: str, b: str):
+        return F.when(doc % mod == eq, F.lit(a)).otherwise(F.lit(b))
+
+    url = F.concat(
+        pick(2, 0, "https", "HTTPS"),
+        F.lit("://"),
+        pick(3, 0, "WWW.", "www."),
+        F.col("source"),
+        F.lit("."),
+        pick(5, 0, "co.UK", "COM"),
+        pick(4, 0, ":443", ""),
+        F.lit("/Page/"),
+        (doc % 40).cast("string"),
+        F.when(
+            doc % 2 == 0,
+            F.concat(F.lit("?id="), (doc % 20).cast("string"),
+                     F.lit("&utm_source=feed&b=1")),
+        ).otherwise(
+            F.concat(F.lit("?b=1&id="), (doc % 20).cast("string"),
+                     F.lit("&gclid=x")),
+        ),
+        pick(7, 0, "#frag", ""),
+    )
+    canon = U.canonicalize_url(url)
+    dom = U.registrable_domain(U.url_host(url))
+    return (
+        d.select(canon.alias("canon"), dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("canon").alias("n_canonical"),
+            F.min("canon").alias("first_canonical"),
+        )
+        .orderBy("domain")
+    )

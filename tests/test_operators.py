@@ -857,3 +857,37 @@ def test_semdedup_min_id_keeper_within_clusters(spark):
     assert rows[0]["cluster_id"] == rows[2]["cluster_id"] == rows[4]["cluster_id"]
     assert rows[1]["cluster_id"] == rows[3]["cluster_id"]
     assert rows[0]["cluster_id"] != rows[1]["cluster_id"]
+
+
+def test_url_canonicalize_edge_cases(spark):
+    from hadoop_formats_spark.functions import url as U
+
+    cases = [
+        # mixed case + default port + tracking + reorder + fragment
+        ("HTTPS://WWW.Ex.COM:443/Page?b=2&utm_source=f&a=1#x",
+         "https://www.ex.com/Page?a=1&b=2"),
+        # non-default port kept; empty path → '/'
+        ("http://ex.com:8080", "http://ex.com:8080/"),
+        # http default port dropped; only tracking params → no query
+        ("http://ex.com:80/p?gclid=z&utm_medium=m", "http://ex.com/p"),
+        # path case and trailing slash preserved
+        ("https://ex.com/A/B/", "https://ex.com/A/B/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(U.canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_registrable_domain(spark):
+    from hadoop_formats_spark.functions import url as U
+
+    cases = [
+        ("www.news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in df.select(U.registrable_domain("host").alias("d")).collect()]
+    assert got == [want for _, want in cases]
