@@ -185,6 +185,9 @@ def main() -> None:
         "ann_pq_adc_recall_at_3",
         "text_unigram_surprisal",
         "stats_join_key_skew",
+        "dedup_semantic_semdedup",
+        "ann_filtered_topk",
+        "url_canonical_dedup",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

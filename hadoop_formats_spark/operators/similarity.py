@@ -845,10 +845,16 @@ def semdedup(
     vec_col: str = "embedding",
     blocks: int = 4,
     round_digits: int = 4,
+    assign_method: str = "fold",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — k-means clustering bounds
     the pair space, exact cosine runs only WITHIN each cluster.
+
+    ``assign_method`` passes through to ``ivf_assign``: "fold" is the
+    oracle-SQL-expressible Catalyst path; "gemm" is the production
+    shape at real (k, dim) — broadcast centroid matrix, one BLAS GEMM
+    per Arrow batch, zero corpus shuffle for the labeling step.
 
     Pipeline (all stages reuse the library's scale-shaped primitives):
 
@@ -873,7 +879,9 @@ def semdedup(
     cents = kmeans_iterations(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, method=assign_method
+    )
     pairs = cosine_near_dup_pairs(
         assigned,
         threshold=tau,

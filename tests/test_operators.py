@@ -891,3 +891,26 @@ def test_url_registrable_domain(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
     got = [r["d"] for r in df.select(U.registrable_domain("host").alias("d")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_semdedup_gemm_assign_matches_fold(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]),
+            (4, [0.9, 0.1]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    fold = sorted(map(tuple, S.semdedup(df, k=2, iters=2, tau=0.95).collect()))
+    gemm = sorted(
+        map(
+            tuple,
+            S.semdedup(
+                df, k=2, iters=2, tau=0.95, assign_method="gemm"
+            ).collect(),
+        )
+    )
+    assert fold == gemm
