@@ -126,18 +126,36 @@ PRIORITY_ORDER = [
     # [ext] dedup / similarity / text / multimodal / curation (§2.3)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # round 4 (this session): SemDeDup takes the near-dup family's
+    # fourth graded slot from dedup_simhash — semantic (embedding)
+    # dedup is a distinct capability family (k-means blocking +
+    # within-cluster cosine + keeper policy, transitively certifying
+    # kmeans_iterations/ivf_assign/grouped cosine pairs in one row),
+    # while SimHash is a third text-near-dup variant whose machinery
+    # (md5-nibble hashing, token weighting) stays certified by
+    # dedup_minhash_lsh + pytest + the full sweep.
+    "dedup_semantic_semdedup",
     "dedup_embedding_lsh_blocked",
     "dedup_group_assignment",
     "dedup_incremental_batch",
-    "ann_brute_force_topk",
+    # round 4 (this session): filtered top-k replaces the plain
+    # brute-force slot — it runs the SAME brute_force_topk operator
+    # (broadcast query GEMM + window resolve) on a predicate-filtered
+    # corpus, so it certifies everything the old row did PLUS
+    # pre-filter semantics and scan-level pushdown (plan-asserted).
+    "ann_filtered_topk",
     "ann_ivf_recall_at_3",
     "ann_projected_recall_at_3",
     "kmeans_cluster_profile",
     "text_lang_id_confusion",
     "text_quality_score",
     "text_token_counts",
-    "text_fingerprint_dups",
+    # round 4 (this session): URL canonicalization + per-domain dedup
+    # accounting takes text_fingerprint_dups' slot — md5/rolling
+    # fingerprint machinery stays certified by split_train_holdout
+    # (fingerprint-keyed) and corpus_build_pipeline's dedup stage plus
+    # the full sweep; URL-level dedup is an uncovered curation signal.
+    "url_canonical_dedup",
     "text_tfidf_top_terms",
     "multimodal_metadata",
     # round 4: product quantization (per-subspace L2 codebooks,
