@@ -188,6 +188,7 @@ def main() -> None:
         "dedup_semantic_semdedup",
         "ann_filtered_topk",
         "url_canonical_dedup",
+        "text_pmi_collocations",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -304,3 +304,66 @@ def scrub_pii(text: Column | str) -> Column:
     out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
     return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+def pmi_collocations(
+    docs,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_n: int = 20,
+):
+    """(w1, w2, n_pair, pmi) — top collocations by pointwise mutual
+    information over ADJACENT token pairs:
+    pmi = ln((c_ab/M) / ((c_a/N)·(c_b/N))), with N total tokens and M
+    total adjacent pairs.  The classic corpus-linguistics signal for
+    multiword expressions ("new york"), used in curation to build
+    phrase vocabularies and to spot templated/boilerplate corpora
+    (a few pairs with huge PMI mass).
+
+    Scale shape: pair and unigram counts are partial-agg groupBys on
+    the exploded streams; the two score joins are token-keyed (hot
+    stopword keys are AQE-skew territory, same as unigram_surprisal);
+    N and M ride as a broadcast 1-row cross join; the final top-n is a
+    rounded-score TakeOrderedAndProject.  Ranking orders by the
+    ROUNDED pmi (ties → pair lexicographic) so engines agree."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    w = docs.select(toks.alias("w")).filter(F.size("w") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = docs.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    totals = pairs.agg(F.count("*").alias("m_pairs")).crossJoin(
+        docs.select(F.explode(toks).alias("t")).agg(
+            F.count("*").alias("n_toks")
+        )
+    )
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        (F.col("n_pair") / F.col("m_pairs"))
+        / ((F.col("c1") / F.col("n_toks")) * (F.col("c2") / F.col("n_toks")))
+    )
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.log(pmi), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_n)
+    )

@@ -1381,6 +1381,49 @@ def text_unigram_surprisal(spark, sf_dir):
     return T.unigram_surprisal(d).orderBy("doc_id")
 
 
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH wt AS (
+      SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM wt, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS tok FROM wt) GROUP BY tok
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM pairs) AS m_pairs,
+             (SELECT count(*) FROM (SELECT unnest(w) FROM wt)) AS n_toks
+    )
+    SELECT w1, w2, n_pair,
+           round(ln((n_pair / m_pairs)
+                    / ((c1.c / n_toks) * (c2.c / n_toks))), 4) AS pmi
+    FROM pc JOIN uni c1 ON pc.w1 = c1.tok
+            JOIN uni c2 ON pc.w2 = c2.tok, tot
+    WHERE n_pair >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="Top-20 collocations by pointwise mutual information over "
+    "adjacent token pairs (pairs seen ≥ 5 times): the corpus-"
+    "linguistics phrase signal, also the boilerplate tell (few pairs "
+    "with huge PMI mass).  Pair/unigram counts are partial-agg "
+    "groupBys; score joins are token-keyed; N and M broadcast.",
+)
+def text_pmi_collocations(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.pmi_collocations(d, min_count=5, top_n=20)
+
+
 def _pq_adc_oracle(m: int, k: int, sub: int, iters: int) -> str:
     """ADC recall oracle: unrolled PQ training (``_pq_ctes``) → encoded
     corpus (one code per subspace from final{s}) → per-(query, vector)

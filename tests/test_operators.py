@@ -914,3 +914,17 @@ def test_semdedup_gemm_assign_matches_fold(spark):
         )
     )
     assert fold == gemm
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """doc1 = 'a b a b', doc2 = 'a b c': N=7 tokens (a:3,b:3,c:1),
+    M=5 adjacent pairs, c(a,b)=3 → pmi = ln((3/5)/((3/7)(3/7)))."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = T.pmi_collocations(docs, min_count=2, top_n=10).collect()
+    assert [(r["w1"], r["w2"], r["n_pair"]) for r in out] == [("a", "b", 3)]
+    want = round(math.log((3 / 5) / ((3 / 7) * (3 / 7))), 4)
+    assert out[0]["pmi"] == want
