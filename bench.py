@@ -189,6 +189,7 @@ def main() -> None:
         "ann_filtered_topk",
         "url_canonical_dedup",
         "text_pmi_collocations",
+        "compact_small_files",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

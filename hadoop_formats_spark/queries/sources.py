@@ -150,3 +150,58 @@ def orc_write_roundtrip(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum("s_acctbal").alias("bal"))
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+    SELECT CAST(16 AS BIGINT) AS n_files_before,
+           CAST(ceil(count(*) / 20000.0) AS BIGINT) AS n_files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem
+    """,
+    doc="Small-files compaction — the table-maintenance job every "
+    "long-lived 100 TB dataset needs: a 16-part fragmented copy of "
+    "lineitem keys is rewritten into ceil(rows/20k) right-sized files "
+    "(explicit repartition: balanced output even when input files are "
+    "skewed; coalesce would avoid the shuffle but cannot split or "
+    "balance).  Output: file counts before/after plus a row-count and "
+    "key-checksum proof that compaction lost nothing.  File counts "
+    "come from distinct input_file_name() — measured, not assumed.  "
+    "The driver-side row count that sizes the rewrite is the "
+    "maintenance job's planning step, not a hot-path collect; at "
+    "scale, spark.sql.files.maxRecordsPerFile is the streaming-write "
+    "alternative.",
+)
+def compact_small_files(spark, sf_dir):
+    import math
+
+    target_rows = 20_000
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    small = _materialize(
+        sf_dir,
+        "li_small16",
+        lambda p: li.repartition(16).write.parquet(p),
+    )
+    before = spark.read.parquet(small)
+    n = before.count()
+    n_after = max(1, math.ceil(n / target_rows))
+    compacted = _materialize(
+        sf_dir,
+        "li_compacted",
+        lambda p: spark.read.parquet(small).repartition(n_after).write.parquet(p),
+    )
+    after = spark.read.parquet(compacted)
+    files_b = (
+        before.select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f").alias("n_files_before"))
+    )
+    files_a = (
+        after.select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f").alias("n_files_after"))
+    )
+    stats = after.agg(
+        F.count("*").alias("n_rows"), F.sum("l_orderkey").alias("key_sum")
+    )
+    return files_b.crossJoin(files_a).crossJoin(stats)
