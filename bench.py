@@ -190,6 +190,7 @@ def main() -> None:
         "url_canonical_dedup",
         "text_pmi_collocations",
         "compact_small_files",
+        "filter_length_percentile",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -1042,3 +1042,53 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str):
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "filter_length_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars BETWEEN q.lo AND q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(any_value(q.lo), 2) AS lo,
+           round(any_value(q.hi), 2) AS hi
+    FROM documents d JOIN q USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Corpus-ADAPTIVE length filter: keep documents inside the "
+    "exact per-language [p5, p95] length band (absolute thresholds a "
+    "la Gopher assume one language/domain; adaptive percentiles track "
+    "each slice's own distribution).  Exact percentile_cont on both "
+    "engines — identical interpolation arithmetic, so the BETWEEN "
+    "decisions agree bit-for-bit.  Scale shape: one partial-agg "
+    "percentile pass per lang, thresholds broadcast back (lang "
+    "cardinality is tiny), filter is map-side.",
+)
+def filter_length_percentile(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    q = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(q), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+            F.round(F.first("lo"), 2).alias("lo"),
+            F.round(F.first("hi"), 2).alias("hi"),
+        )
+        .orderBy("lang")
+    )
