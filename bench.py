@@ -191,6 +191,7 @@ def main() -> None:
         "text_pmi_collocations",
         "compact_small_files",
         "filter_length_percentile",
+        "stream_minhash_band_dedup",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -71,6 +71,35 @@ def events_path(sf_dir: str) -> str:
     return final
 
 
+_DOCS_STREAM_CACHE = "/tmp/hfs_docs_streamdir"
+
+
+def docs_stream_dir(sf_dir: str) -> str:
+    """File-stream sources need a DIRECTORY; the testdata tables are
+    single parquet files.  Materialize a one-file directory copy once
+    per sf dir (hardlink when possible, atomic rename)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_DOCS_STREAM_CACHE, key)
+    if os.path.isdir(final) and any(
+        f.endswith(".parquet") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    src = f"{sf_dir}/documents.parquet"
+    dst = os.path.join(tmp, "part-0.parquet")
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return spark.read.parquet(events_path(sf_dir))

@@ -247,3 +247,129 @@ def stream_late_data_drop(spark, sf_dir):
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
     ).orderBy("window_start")
+
+
+# Streaming near-dup dedup: the band-registry service shape.  The
+# stateful operator maintains min(doc_id) per MinHash band key — min is
+# ORDER-INSENSITIVE, so the registry converges to the same owners no
+# matter how the stream is micro-batched or reordered (the property a
+# distributed ingestion dedup service actually needs; "first writer
+# wins" is not reproducible, "lowest id wins" is).  A document survives
+# iff it owns at least one of its bands; every non-survivor shares each
+# of its bands with a lower-id near-duplicate.  The SQL constants are
+# shared verbatim with the batch MinHash queries (queries/ext.py).
+
+
+def _minhash_banded(df: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) via PROJECTION-only signatures
+    (8 md5-slice hashes -> 4 bands x 2): streams cannot run the batch
+    explode+min-aggregate signature shape before a second stateful
+    agg, so the per-row formulation is load-bearing here, not a
+    CollapseProject accident (see minhash_signatures' docstring)."""
+    from ..operators.dedup import minhash_hash_concat, word_shingles
+
+    sh = word_shingles("text", 3)
+    src = df.filter(F.size(sh) > 0).select(
+        "doc_id", minhash_hash_concat(sh, 8).alias("hm")
+    )
+    # NB: the lambda must be UNARY — pyspark's transform() inspects
+    # arity and would pass the array index into a second parameter
+    # (clobbering a `j=j` default-arg closure)
+    def _slice_at(j: int):
+        return lambda m: F.substring(m, j * 8 + 1, 8)
+
+    sigs = [
+        F.array_min(F.transform(F.col("hm"), _slice_at(j))) for j in range(8)
+    ]
+    keys = F.array(
+        *[
+            F.concat(sigs[2 * b], F.lit("|"), sigs[2 * b + 1])
+            for b in range(4)
+        ]
+    )
+    return src.select(
+        "doc_id", F.posexplode(keys).alias("band_id", "band_key")
+    )
+
+
+@register(
+    "stream_minhash_band_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    sig AS (
+      SELECT doc_id, """
+    + ",\n    ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(8)
+    )
+    + """
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+    ),
+    owners AS (
+      SELECT band_id, band_key, min(doc_id) AS owner
+      FROM bands GROUP BY band_id, band_key
+    ),
+    own AS (
+      SELECT b.doc_id,
+             max(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) AS is_owner
+      FROM bands b JOIN owners o
+        ON b.band_id = o.band_id AND b.band_key = o.band_key
+      GROUP BY b.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(own.is_owner) AS BIGINT) AS n_survivors
+    FROM own JOIN documents d ON own.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="STREAMING near-dup dedup: documents replayed as a file "
+    "stream; a stateful aggregation maintains min(doc_id) per MinHash "
+    "band key (4 bands x 2 of 8 md5-slice hashes) — the band-registry "
+    "an ingestion dedup service keeps.  min is order-insensitive, so "
+    "the registry converges identically under ANY micro-batching or "
+    "arrival order (reproducible where first-writer-wins is not).  "
+    "Survivors = documents owning >= 1 of their bands; output = "
+    "per-language totals vs survivors.  Oracle replays the identical "
+    "signature/banding pipeline in batch SQL.",
+)
+def stream_minhash_band_dedup(spark, sf_dir):
+    from .registry import docs_stream_dir, table
+
+    stream = parquet_replay_stream(spark, docs_stream_dir(sf_dir))
+    owners = _run_to_memory(
+        _minhash_banded(stream)
+        .groupBy("band_id", "band_key")
+        .agg(F.min("doc_id").alias("owner")),
+        spark,
+        state_partitions=2,
+    )
+    d = table(spark, sf_dir, "documents")
+    own = (
+        _minhash_banded(d)
+        .join(owners, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                (F.col("owner") == F.col("doc_id")).cast("int")
+            ).alias("is_owner")
+        )
+    )
+    return (
+        own.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_owner").alias("n_survivors"),
+        )
+        .orderBy("lang")
+    )

@@ -143,3 +143,63 @@ def test_tws_operator_gated_on_protobuf(spark, tmp_path):
         got = {r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
                for r in spark.table(name).collect()}
         assert got == {1: (2, 10.0, 20.0), 2: (1, 5.0, 5.0)}
+
+
+def test_stream_band_registry_order_insensitive(spark, tmp_path):
+    """The streaming MinHash band registry must converge to the SAME
+    owners under any micro-batching: replay the same docs as 3 files
+    in two different orders (maxFilesPerTrigger=1 → 3 micro-batches)
+    and compare the final registries with each other and with batch."""
+    from hadoop_formats_spark.queries.streaming_q import _minhash_banded
+    from hadoop_formats_spark.streaming import run_available_now
+
+    docs = [
+        (1, "spark scans the table fast and loose"),
+        (2, "spark scans the table fast and loose"),       # dup of 1
+        (3, "rows merge into wide batches during the scan"),
+        (4, "rows merge into wide batches during the scan honest"),
+        (5, "completely unrelated text about window functions here"),
+    ]
+    schema = "doc_id long, text string"
+
+    def replay(order):
+        d = str(tmp_path / ("replay_" + uuid.uuid4().hex[:6]))
+        import os
+
+        os.makedirs(d)
+        for i, row in enumerate(order):
+            spark.createDataFrame([row], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        s = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        owners = run_available_now(
+            _minhash_banded(s)
+            .groupBy("band_id", "band_key")
+            .agg(F.min("doc_id").alias("owner")),
+            spark,
+            output_mode="complete",
+            state_partitions=2,
+        )
+        return sorted(map(tuple, owners.collect()))
+
+    fwd = replay(docs)
+    rev = replay(list(reversed(docs)))
+    batch = sorted(
+        map(
+            tuple,
+            _minhash_banded(spark.createDataFrame(docs, schema))
+            .groupBy("band_id", "band_key")
+            .agg(F.min("doc_id").alias("owner"))
+            .collect(),
+        )
+    )
+    assert fwd == rev == batch
+    owners_of = {}
+    for _, key, owner in fwd:
+        owners_of.setdefault(owner, 0)
+        owners_of[owner] += 1
+    assert 2 not in owners_of  # the dup owns nothing — doc 1 holds its bands
