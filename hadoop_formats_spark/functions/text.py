@@ -342,10 +342,12 @@ def pmi_collocations(
         F.count("*").alias("c")
     )
     pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
-    totals = pairs.agg(F.count("*").alias("m_pairs")).crossJoin(
-        docs.select(F.explode(toks).alias("t")).agg(
-            F.count("*").alias("n_toks")
-        )
+    # totals derive from the two aggregates ALREADY built (N = Σ uni.c,
+    # M = Σ pc.n_pair, summed BEFORE the min_count filter): the shared
+    # groupBy exchanges are reused (ReusedExchange), so the corpus is
+    # tokenized/exploded once per stream instead of twice
+    totals = pc.agg(F.sum("n_pair").alias("m_pairs")).crossJoin(
+        uni.agg(F.sum("c").alias("n_toks"))
     )
     c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))

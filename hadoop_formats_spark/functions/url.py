@@ -66,8 +66,12 @@ def url_path(url: Column | str) -> Column:
 
 
 def url_query(url: Column | str) -> Column:
-    """Query string without the leading '?' ('' when absent)."""
-    return F.regexp_extract(_c(url), r"\?([^#]*)", 1)
+    """Query string without the leading '?' ('' when absent).  The
+    match is anchored past the first '#': a '?' occurring inside the
+    fragment ('#sec?x=1', text-fragment links) is NOT a query — an
+    unanchored match would resurrect fragment text as query params and
+    merge distinct pages."""
+    return F.regexp_extract(_c(url), r"^[^#?]*\?([^#]*)", 1)
 
 
 def canonical_query(url: Column | str) -> Column:

@@ -745,6 +745,7 @@ def cosine_near_dup_pairs(
     round_digits: int = 4,
     blocks: int = 8,
     group_col: str | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, exact,
     via blocked GEMM.
@@ -832,7 +833,10 @@ def cosine_near_dup_pairs(
         .cogroup(right.groupBy(*keys))
         .applyInPandas(gemm, out_schema)
     )
-    return pairs.orderBy("id_a", "id_b")
+    # sort=False skips the trailing global sort — a full range-partition
+    # exchange of the pair set, pure waste for consumers that aggregate
+    # or distinct the pairs (semdedup)
+    return pairs.orderBy("id_a", "id_b") if sort else pairs
 
 
 def semdedup(
@@ -890,6 +894,7 @@ def semdedup(
         round_digits=round_digits,
         blocks=blocks,
         group_col="centroid_id",
+        sort=False,  # pairs feed a distinct + join: ordering is wasted
     )
     # the rejoin is a second reference to ``assigned`` (the first is the
     # cogroup self-pairing inside cosine_near_dup_pairs), so qualify

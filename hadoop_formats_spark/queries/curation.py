@@ -950,7 +950,7 @@ _URL_SQL = """
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-        regexp_extract(url, '\\?([^#]*)', 1) AS qs
+        regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS qs
       FROM u
     ),
     c AS (

@@ -339,7 +339,9 @@ def _minhash_banded(df: DataFrame) -> DataFrame:
     "the registry converges identically under ANY micro-batching or "
     "arrival order (reproducible where first-writer-wins is not).  "
     "Survivors = documents owning >= 1 of their bands; output = "
-    "per-language totals vs survivors.  Oracle replays the identical "
+    "per-language totals vs survivors over SHINGLE-BEARING docs "
+    "(>= 3 tokens — shorter docs have no MinHash identity and pass "
+    "through unexamined on both engines).  Oracle replays the identical "
     "signature/banding pipeline in batch SQL.",
 )
 def stream_minhash_band_dedup(spark, sf_dir):

@@ -872,6 +872,8 @@ def test_url_canonicalize_edge_cases(spark):
         ("http://ex.com:80/p?gclid=z&utm_medium=m", "http://ex.com/p"),
         # path case and trailing slash preserved
         ("https://ex.com/A/B/", "https://ex.com/A/B/"),
+        # '?' INSIDE the fragment is not a query (anchored extraction)
+        ("https://ex.com/p#sec?x=1", "https://ex.com/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(U.canonicalize_url("url").alias("c")).collect()]
