@@ -192,6 +192,7 @@ def main() -> None:
         "compact_small_files",
         "filter_length_percentile",
         "stream_minhash_band_dedup",
+        "sample_weighted_quality",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -1092,3 +1092,65 @@ def filter_length_percentile(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+def _register_weighted_sample():
+    """Registered via a deferred import of ext.QUALITY_SQL (module
+    import order between curation and ext is not guaranteed)."""
+    from .ext import QUALITY_SQL
+
+    @register(
+        "sample_weighted_quality",
+        oracle=f"""
+        WITH s AS (
+          SELECT doc_id, lang, {QUALITY_SQL} AS q,
+                 round(
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                      / 4294967296.0)
+                   / greatest({QUALITY_SQL}, 0.0001), 6) AS k
+          FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               round(avg(q), 4) AS avg_quality
+        FROM (SELECT * FROM s ORDER BY k DESC, doc_id LIMIT 100)
+        GROUP BY lang ORDER BY lang
+        """,
+        doc="DETERMINISTIC weighted sampling (Efraimidis-Spirakis A-ES): "
+        "each doc draws a reproducible uniform u from md5(doc_id) and "
+        "competes with key ln(u)/w, w = quality score — one global "
+        "top-100 selects a quality-weighted sample that is identical "
+        "across runs, engines, and task retries (the property rand()-"
+        "based weighted sampling cannot give).  Plan: map-side key "
+        "computation + TakeOrderedAndProject; no shuffle of the corpus. "
+        "Output: per-language sample sizes and mean quality (higher-"
+        "quality languages oversample, by design).",
+    )
+    def sample_weighted_quality(spark: SparkSession, sf_dir: str):
+        from ..functions import text as T
+
+        d = table(spark, sf_dir, "documents")
+        q = T.quality_score(F.col("text"))
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("double")
+            + 1
+        ) / F.lit(4294967296.0)
+        k = F.round(F.log(u) / F.greatest(q, F.lit(0.0001)), 6)
+        sample = (
+            d.select("doc_id", "lang", q.alias("q"), k.alias("k"))
+            .orderBy(F.desc("k"), "doc_id")
+            .limit(100)
+        )
+        return (
+            sample.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_sampled"),
+                F.round(F.avg("q"), 4).alias("avg_quality"),
+            )
+            .orderBy("lang")
+        )
+
+
+_register_weighted_sample()

@@ -972,16 +972,20 @@ _ALL_STOP_SQL = ", ".join(
     "'" + w + "'" for w in sorted({w for ws in T.LANG_STOPWORDS.values() for w in ws})
 )
 
-@register(
-    "text_quality_score",
-    oracle=f"""
-    SELECT doc_id,
-           round(0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
+# the quality_score expression in SQL, shared by every oracle that
+# consumes the score (text_quality_score, sample_weighted_quality)
+QUALITY_SQL = f"""round(0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
                + 0.3 * (len(list_filter(string_split(lower(text), ' '),
                               t -> list_contains([{_ALL_STOP_SQL}], t)))
                         * 1.0 / greatest(len(string_split(lower(text), ' ')), 1))
                + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                        * 1.0 / greatest(length(text), 1)), 4) AS quality
+                        * 1.0 / greatest(length(text), 1)), 4)"""
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, {QUALITY_SQL} AS quality
     FROM documents ORDER BY doc_id
     """,
     doc="Heuristic quality score: length + stopword ratio + alpha ratio.",
