@@ -193,6 +193,7 @@ def main() -> None:
         "filter_length_percentile",
         "stream_minhash_band_dedup",
         "sample_weighted_quality",
+        "sketch_count_min_heavy_hitters",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -1553,3 +1553,71 @@ def ann_pq_adc_recall_at_3(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sketch_count_min_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+    ),
+    top AS (SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+    cells AS (
+      SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT i AS row_i,
+               ('0x' || substr(md5('cm' || i || ':' || tok), 1, 8))::BIGINT
+                 % 1024 AS bucket
+        FROM toks, UNNEST([0,1,2,3]) AS t(i)
+      ) GROUP BY row_i, bucket
+    ),
+    probes AS (
+      SELECT tok, i AS row_i,
+             ('0x' || substr(md5('cm' || i || ':' || tok), 1, 8))::BIGINT
+               % 1024 AS bucket
+      FROM top, UNNEST([0,1,2,3]) AS t(i)
+    ),
+    est AS (
+      SELECT p.tok, min(c.c) AS cm_est
+      FROM probes p JOIN cells c
+        ON p.row_i = c.row_i AND p.bucket = c.bucket
+      GROUP BY p.tok
+    )
+    SELECT t.tok, t.exact_n, e.cm_est, e.cm_est - t.exact_n AS overcount
+    FROM top t JOIN est e ON t.tok = e.tok
+    ORDER BY t.exact_n DESC, t.tok
+    """,
+    doc="Count-Min sketch heavy hitters (4 md5-salted hash rows x 1024 "
+    "buckets): the sketch builds in ONE partial-agg groupBy over the "
+    "exploded token stream (<= 4096 cells leave the map side no matter "
+    "the corpus size), then the exact top-20 tokens are point-estimated "
+    "from it — cm_est >= exact_n ALWAYS (collisions only add), and the "
+    "overcount column shows the error the epsilon-bound promises.  The "
+    "finished sketch is a few KB that merges across corpora cell-wise; "
+    "oracle replays the identical sketch in SQL.",
+)
+def sketch_count_min_heavy_hitters(spark, sf_dir):
+    from ..operators import sketch as SK
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sk = SK.count_min_sketch(toks, token_col="tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(20)
+    est = SK.cm_estimate(sk, top.select("tok"), token_col="tok")
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "tok")
+    )

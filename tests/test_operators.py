@@ -930,3 +930,21 @@ def test_pmi_collocations_hand_computed(spark):
     assert [(r["w1"], r["w2"], r["n_pair"]) for r in out] == [("a", "b", 3)]
     want = round(math.log((3 / 5) / ((3 / 7) * (3 / 7))), 4)
     assert out[0]["pmi"] == want
+
+
+def test_count_min_estimate_never_undercounts(spark):
+    """CM guarantee: est >= exact for EVERY token; a deliberately tiny
+    sketch (w=8) forces collisions so some estimate must overcount."""
+    from hadoop_formats_spark.operators import sketch as SK
+
+    rows = [(w,) for w in ("a b c a b a x y z q r s t u v w".split())]
+    toks = spark.createDataFrame(rows, "tok string")
+    sk = SK.count_min_sketch(toks, depth=2, width=8)
+    exact = {r["tok"]: r["n"] for r in toks.groupBy("tok").agg(
+        F.count("*").alias("n")).collect()}
+    cand = toks.select("tok").distinct()
+    est = {r["tok"]: r["cm_est"] for r in SK.cm_estimate(
+        sk, cand, depth=2, width=8).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    assert sum(est[t] - exact[t] for t in exact) > 0  # w=8 must collide
