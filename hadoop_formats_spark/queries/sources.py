@@ -205,3 +205,54 @@ def compact_small_files(spark, sf_dir):
         F.count("*").alias("n_rows"), F.sum("l_orderkey").alias("key_sum")
     )
     return files_b.crossJoin(files_a).crossJoin(stats)
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey < 1000 THEN 'MISSING'
+                ELSE o_orderstatus END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1 ORDER BY status
+    """,
+    doc="Schema evolution across parquet file generations: generation 1 "
+    "lacks the o_orderstatus column, generation 2 adds it; "
+    "mergeSchema=true reads both with the union schema (gen-1 rows "
+    "surface NULL status → 'MISSING').  The long-lived-dataset concern "
+    "every 100 TB lake hits — columns arrive mid-history and old files "
+    "must stay readable without rewrite.  mergeSchema costs a footer "
+    "read per file, so production pins the merged schema in a "
+    "catalog; the capability under test is mixed-schema scan "
+    "correctness.",
+)
+def parquet_schema_evolution(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    path = _materialize(
+        sf_dir,
+        "orders_evolved",
+        lambda p: (
+            o.filter(F.col("o_orderkey") < 1000)
+            .select("o_orderkey", "o_totalprice")
+            .write.parquet(f"{p}/gen=1"),
+            o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.parquet(f"{p}/gen=2"),
+        )[-1],
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("MISSING")).alias("status"),
+            "o_totalprice",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
