@@ -162,6 +162,22 @@ def main() -> None:
 
     spark.range(0, 3200, 1, 32).mapInPandas(_noop, "id long").count()
 
+    # parallel calibration: a fixed 32-way JVM reduction.  The
+    # single-thread probe (_calibrate) stays flat during ambient
+    # windows that only throttle PARALLEL work (shared L3 / memory
+    # bandwidth under co-tenant load) — this one inflates with the
+    # queries, so its min over (start, end) normalizes runs against
+    # each other.  ~1s nominal on a quiet box.
+    def _par_cal() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1_500_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _par_cal()  # JIT warm
+    par_cal_start = _par_cal()
+
     timings: dict[str, float] = {}
     flagged: list[str] = []
     for name in HEADLINE:
@@ -312,6 +328,12 @@ def main() -> None:
                 "cal_ms": round(
                     getattr(timed_best, "cal_best", 0.0) * 1000, 1
                 ),
+                # fixed 32-way JVM reduction, min of start/end runs:
+                # inflates with ambient parallel-throughput loss that
+                # neither steal nor the single-thread probe sees —
+                # divide headline values by (par_cal_s / quiet-box
+                # par_cal_s) to compare runs fairly
+                "par_cal_s": round(min(par_cal_start, _par_cal()), 3),
             }
         )
     )
