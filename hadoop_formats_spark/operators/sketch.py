@@ -75,3 +75,71 @@ def cm_estimate(
         .groupBy(token_col)
         .agg(F.min("c").alias("cm_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_hash(item: Column, *, salt: str = "kmv:") -> Column:
+    """32-bit item hash: first 8 md5 hex chars of the salted item —
+    uniform on [0, 2^32), deterministic, bit-reproducible in SQL (the
+    same convention the Count-Min / MinHash family uses)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), item)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    items: DataFrame,
+    *,
+    group_col: str = "grp",
+    hash_col: str = "h",
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch (Bar-Yossef et al. 2002): the ``k``
+    smallest DISTINCT hashes of the group's items — rows
+    ``(group, h)``, ≤ k per group.
+
+    ``items`` carries a precomputed hash column (see :func:`kmv_hash`)
+    so the same function condenses raw items AND merges finished
+    sketches: the k smallest of a union of per-corpus k-smallest sets
+    is exactly the k smallest of the union, so merging = union the
+    sketch rows and re-apply.  Scale shape: the distinct step is a
+    partial-aggregating groupBy (map-side combine collapses repeats
+    before the shuffle) and the top-k is ``row_number() <= k``, which
+    Spark ≥ 3.5 executes with a map-side WindowGroupLimit heap — each
+    task forwards at most k rows per group, so a 100 TB corpus emits a
+    few-KB sketch without any corpus-sized sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(hash_col)
+    return (
+        items.select(group_col, hash_col)
+        .distinct()
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select(group_col, hash_col)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    group_col: str = "grp",
+    hash_col: str = "h",
+    k: int = 64,
+    est_col: str = "kmv_est",
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: with fewer
+    than k hashes the sketch IS the distinct set (exact count);
+    otherwise the unbiased estimator (k-1)/U(k) where U(k) is the kth
+    smallest hash normalized to (0,1) — here (k-1)·2^32 / max(h).
+    Touches only the sketch (≤ k rows/group); the corpus is never
+    rescanned."""
+    return sketch.groupBy(group_col).agg(
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.lit(float(k - 1) * 4294967296.0) / F.max(hash_col))
+        .alias(est_col)
+    )

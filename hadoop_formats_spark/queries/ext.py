@@ -1621,3 +1621,133 @@ def sketch_count_min_heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.desc("exact_n"), "tok")
     )
+
+
+@register(
+    "sketch_kmv_distinct_union",
+    oracle="""
+    WITH items AS (
+      SELECT l_returnflag AS rf, l_orderkey % 2 AS half,
+             ('0x' || substr(md5('kmv:' || l_partkey || ':' || l_suppkey),
+                             1, 8))::BIGINT AS h
+      FROM lineitem
+    ),
+    whole AS (
+      SELECT rf, h FROM (
+        SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h) AS rnk
+        FROM (SELECT DISTINCT rf, h FROM items)
+      ) WHERE rnk <= 64
+    ),
+    ha AS (
+      SELECT rf, h FROM (
+        SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h) AS rnk
+        FROM (SELECT DISTINCT rf, h FROM items WHERE half = 0)
+      ) WHERE rnk <= 64
+    ),
+    hb AS (
+      SELECT rf, h FROM (
+        SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h) AS rnk
+        FROM (SELECT DISTINCT rf, h FROM items WHERE half = 1)
+      ) WHERE rnk <= 64
+    ),
+    merged AS (
+      SELECT rf, h FROM (
+        SELECT rf, h, row_number() OVER (PARTITION BY rf ORDER BY h) AS rnk
+        FROM (SELECT rf, h FROM ha UNION SELECT rf, h FROM hb)
+      ) WHERE rnk <= 64
+    ),
+    est_w AS (
+      SELECT rf, CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 63.0 * 4294967296.0 / max(h) END AS est,
+             count(*) AS n, max(h) AS mx
+      FROM whole GROUP BY rf
+    ),
+    est_m AS (
+      SELECT rf, CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 63.0 * 4294967296.0 / max(h) END AS est,
+             count(*) AS n, max(h) AS mx
+      FROM merged GROUP BY rf
+    ),
+    exact AS (
+      SELECT l_returnflag AS rf,
+             CAST(count(DISTINCT l_partkey * 1000000 + l_suppkey) AS BIGINT)
+               AS exact_distinct
+      FROM lineitem GROUP BY rf
+    )
+    SELECT x.rf AS l_returnflag, x.exact_distinct,
+           round(w.est, 2) AS kmv_est,
+           round(m.est, 2) AS kmv_est_merged,
+           (w.n = m.n AND w.mx = m.mx) AS merge_exact
+    FROM exact x JOIN est_w w ON x.rf = w.rf JOIN est_m m ON x.rf = m.rf
+    ORDER BY l_returnflag
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch with lossless "
+    "merge: per returnflag, the 64 smallest md5 hashes of the distinct "
+    "(partkey, suppkey) pairs estimate the pair cardinality as "
+    "(k-1)*2^32/max(h).  The corpus is sketched twice — whole, and as "
+    "two halves whose sketches are MERGED (union + re-take-k: the "
+    "closure property that makes KMV a one-pass, few-KB, cross-corpus "
+    "mergeable summary at 100 TB) — and merge_exact proves the merged "
+    "sketch is IDENTICAL to the whole-corpus sketch.  Build shape: "
+    "partial-agg distinct + map-side WindowGroupLimit top-k per group; "
+    "estimates never rescan the corpus.  Oracle replays the identical "
+    "sketch in SQL.",
+)
+def sketch_kmv_distinct_union(spark, sf_dir):
+    from ..operators import sketch as SK
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_returnflag").alias("rf"),
+        (F.col("l_orderkey") % 2).alias("half"),
+        SK.kmv_hash(
+            F.concat(
+                F.col("l_partkey").cast("string"),
+                F.lit(":"),
+                F.col("l_suppkey").cast("string"),
+            )
+        ).alias("h"),
+    )
+    whole = SK.kmv_sketch(items, group_col="rf")
+    ha = SK.kmv_sketch(items.filter(F.col("half") == 0), group_col="rf")
+    hb = SK.kmv_sketch(items.filter(F.col("half") == 1), group_col="rf")
+    merged = SK.kmv_sketch(ha.unionByName(hb), group_col="rf")
+
+    def est_stats(sk):
+        return sk.groupBy("rf").agg(
+            F.when(F.count("*") < 64, F.count("*").cast("double"))
+            .otherwise(F.lit(63.0 * 4294967296.0) / F.max("h"))
+            .alias("est"),
+            F.count("*").alias("n"),
+            F.max("h").alias("mx"),
+        )
+
+    ew = est_stats(whole)
+    em = est_stats(merged)
+    exact = li.groupBy(F.col("l_returnflag")).agg(
+        F.countDistinct(
+            F.col("l_partkey") * 1000000 + F.col("l_suppkey")
+        ).alias("exact_distinct")
+    )
+    return (
+        exact.join(ew.withColumnRenamed("rf", "l_returnflag"), "l_returnflag")
+        .join(
+            em.selectExpr(
+                "rf AS l_returnflag",
+                "est AS m_est",
+                "n AS m_n",
+                "mx AS m_mx",
+            ),
+            "l_returnflag",
+        )
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            F.round("est", 2).alias("kmv_est"),
+            F.round("m_est", 2).alias("kmv_est_merged"),
+            ((F.col("n") == F.col("m_n")) & (F.col("mx") == F.col("m_mx"))).alias(
+                "merge_exact"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -342,3 +342,24 @@ def test_semdedup_bounded_shuffles(spark, sf_dir):
     the final per-cluster aggregate — a constant count independent of
     corpus size."""
     assert plans.shuffle_count(_df(spark, sf_dir, "dedup_semantic_semdedup")) <= 8
+
+
+def test_kmv_sketch_plan_group_limit_and_partial_distinct(spark, sf_dir):
+    """KMV build shape: the distinct step partial-aggregates map-side
+    and the per-group top-k executes as a WindowGroupLimit (map-side
+    k-heap), so each task forwards <= k rows per group — the property
+    that keeps the sketch a few KB at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators import sketch as SK
+    from hadoop_formats_spark.queries.registry import table
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_returnflag").alias("rf"),
+        SK.kmv_hash(F.col("l_partkey").cast("string")).alias("h"),
+    )
+    sk = SK.kmv_sketch(items, group_col="rf")
+    plan = plans.executed_plan(sk)
+    assert "WindowGroupLimit" in plan
+    assert plans.has_partial_aggregation(sk)
