@@ -1,0 +1,120 @@
+"""CDC / slowly-changing-dimension maintenance — the lakehouse MERGE
+pattern expressed as plain DataFrame algebra (no table-format
+dependency): given a type-2 dimension (one OPEN row per key plus
+closed history) and a batch of changes, produce the next dimension
+version — close changed rows, insert new versions, add new keys,
+pass history through untouched.
+
+Scale shape: the merge is ONE full-outer join between the dimension's
+open rows and the (pre-deduplicated, one-row-per-key) change batch,
+keyed on the business key — closed history never joins, it unions
+straight through.  On a 100 TB dimension the open-rows side is the
+entity count (not the history count), the change batch is typically
+the small side (broadcastable via the ``broadcast_changes`` flag),
+and the output is written partitioned by the same key for the next
+merge to co-locate.  Everything is deterministic: latest-change
+selection tiebreaks on an explicit column, so replayed batches
+produce byte-identical dimensions (retry-stable, like the streaming
+band registry)."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    *,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Initial-load a type-2 dimension from a one-row-per-key
+    snapshot: every row opens at its own timestamp."""
+    return snapshot.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lit(None).cast(snapshot.schema[ts_col].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def latest_per_key(
+    changes: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse a change batch to its last change per key —
+    ``max_by`` over (ts, tiebreak), a single partial-aggregating
+    groupBy (no window, no sort of the batch)."""
+    others = [c for c in changes.columns if c != key_col]
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    picked = changes.groupBy(key_col).agg(
+        *[F.max_by(c, ordk).alias(c) for c in others]
+    )
+    return picked.select(*changes.columns)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    *,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """Next version of a type-2 dimension after applying ``changes``
+    (one row per key — see :func:`latest_per_key`).
+
+    Per key: no change row → open row unchanged; change with
+    identical attributes → no-op; change with different attributes →
+    the open row closes at the change timestamp and a new open row
+    begins there; key not in the dimension → new open row.  Closed
+    history rows union through without joining."""
+    open_rows = dim.filter(F.col("is_current"))
+    closed_rows = dim.filter(~F.col("is_current"))
+
+    ch = changes.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_c_{c}") for c in attr_cols],
+        F.col(ts_col).alias("_ts"),
+    )
+    if broadcast_changes:
+        ch = F.broadcast(ch)
+
+    j = open_rows.join(ch, open_rows[key_col] == ch["_k"], "full_outer")
+
+    same: Column = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_c_{c}")) for c in attr_cols],
+    )
+    has_change = F.col("_k").isNotNull()
+    has_open = F.col(key_col).isNotNull()
+    differs = has_change & has_open & ~same
+
+    # surviving / closed versions of pre-existing open rows
+    kept = j.filter(has_open).select(
+        key_col,
+        *attr_cols,
+        F.col("valid_from"),
+        F.when(differs, F.col("_ts")).otherwise(F.col("valid_to")).alias(
+            "valid_to"
+        ),
+        (~differs).alias("is_current"),
+    )
+    # new open rows: brand-new keys, or new versions after a change
+    inserts = j.filter(has_change & (~has_open | ~same)).select(
+        F.col("_k").alias(key_col),
+        *[F.col(f"_c_{c}").alias(c) for c in attr_cols],
+        F.col("_ts").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_rows.unionByName(kept).unionByName(inserts)

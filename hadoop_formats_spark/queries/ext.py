@@ -1751,3 +1751,134 @@ def sketch_kmv_distinct_union(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scd2_dimension_merge",
+    oracle="""
+    WITH latest0 AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+      ) WHERE rn = 1
+    ),
+    dim0 AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM latest0
+    ),
+    b1 AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT d.user_id, d.event_type, d.valid_from,
+             CASE WHEN c.user_id IS NOT NULL
+                       AND d.event_type IS DISTINCT FROM c.event_type
+                  THEN c.ts ELSE d.valid_to END AS valid_to,
+             NOT (c.user_id IS NOT NULL
+                  AND d.event_type IS DISTINCT FROM c.event_type)
+               AS is_current
+      FROM dim0 d LEFT JOIN b1 c ON d.user_id = c.user_id
+      UNION ALL
+      SELECT c.user_id, c.event_type, c.ts,
+             CAST(NULL AS TIMESTAMP), TRUE
+      FROM b1 c LEFT JOIN dim0 d ON d.user_id = c.user_id
+      WHERE d.user_id IS NULL
+         OR d.event_type IS DISTINCT FROM c.event_type
+    ),
+    b2 AS (
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT * FROM m1 WHERE NOT is_current
+      UNION ALL
+      SELECT d.user_id, d.event_type, d.valid_from,
+             CASE WHEN c.user_id IS NOT NULL
+                       AND d.event_type IS DISTINCT FROM c.event_type
+                  THEN c.ts ELSE d.valid_to END AS valid_to,
+             NOT (c.user_id IS NOT NULL
+                  AND d.event_type IS DISTINCT FROM c.event_type)
+               AS is_current
+      FROM (SELECT * FROM m1 WHERE is_current) d
+      LEFT JOIN b2 c ON d.user_id = c.user_id
+      UNION ALL
+      SELECT c.user_id, c.event_type, c.ts,
+             CAST(NULL AS TIMESTAMP), TRUE
+      FROM b2 c LEFT JOIN (SELECT * FROM m1 WHERE is_current) d
+        ON d.user_id = c.user_id
+      WHERE d.user_id IS NULL
+         OR d.event_type IS DISTINCT FROM c.event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           coalesce(valid_to, TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           is_current
+    FROM m2 ORDER BY user_id, valid_from, event_type
+    """,
+    doc="CDC / SCD type-2 dimension maintenance — the lakehouse MERGE "
+    "pattern as plain DataFrame algebra: a per-user activity dimension "
+    "is initial-loaded from events before Jan 10, then TWO change "
+    "batches (Jan 10-20, Jan 20+) are merged in sequence — each merge "
+    "is ONE full-outer join between the dimension's OPEN rows and the "
+    "batch collapsed to its last change per key (max_by, partial-agg); "
+    "changed rows close at the change timestamp, new versions and new "
+    "keys insert, identical attributes no-op, and closed history "
+    "unions through without joining.  Deterministic tiebreaks make "
+    "replayed batches byte-identical (retry-stable).  Oracle replays "
+    "both merges in SQL.",
+)
+def scd2_dimension_merge(spark, sf_dir):
+    from ..operators import cdc as C
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t0 = "2024-01-10 00:00:00"
+    t1 = "2024-01-20 00:00:00"
+
+    def latest(df):
+        return C.latest_per_key(
+            df, key_col="user_id", ts_col="ts", tiebreak_col="event_id"
+        ).select("user_id", "event_type", "ts")
+
+    dim = C.scd2_init(
+        latest(ev.filter(F.col("ts") < t0)),
+        key_col="user_id",
+        attr_cols=["event_type"],
+        ts_col="ts",
+    )
+    for batch in (
+        ev.filter((F.col("ts") >= t0) & (F.col("ts") < t1)),
+        ev.filter(F.col("ts") >= t1),
+    ):
+        dim = C.scd2_merge(
+            dim,
+            latest(batch),
+            key_col="user_id",
+            attr_cols=["event_type"],
+            ts_col="ts",
+        )
+    # open rows surface the conventional SCD2 high-date sentinel rather
+    # than NULL (also keeps the oracle's pandas fetch NaT-free)
+    return dim.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.coalesce(
+            "valid_to", F.lit("2100-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_type")

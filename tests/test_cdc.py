@@ -1,0 +1,109 @@
+"""SCD type-2 merge (operators/cdc.py): every classification case on a
+hand-built dimension, plus determinism of latest-change selection."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from hadoop_formats_spark.operators import cdc as C
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _dim(spark):
+    # key 1: open gold row with one closed predecessor
+    # key 2: open silver row
+    # key 3: open bronze row
+    rows = [
+        (1, "lead", _ts("2024-01-01"), _ts("2024-02-01"), False),
+        (1, "gold", _ts("2024-02-01"), None, True),
+        (2, "silver", _ts("2024-01-05"), None, True),
+        (3, "bronze", _ts("2024-01-07"), None, True),
+    ]
+    return spark.createDataFrame(
+        rows, "k bigint, tier string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+
+
+def test_scd2_merge_all_cases(spark):
+    dim = _dim(spark)
+    # key 1: changed attrs -> close + insert; key 2: identical -> no-op;
+    # key 3: absent from batch -> untouched; key 4: brand new -> insert
+    changes = spark.createDataFrame(
+        [
+            (1, "platinum", _ts("2024-03-01")),
+            (2, "silver", _ts("2024-03-02")),
+            (4, "lead", _ts("2024-03-03")),
+        ],
+        "k bigint, tier string, ts timestamp",
+    )
+    out = C.scd2_merge(
+        dim, changes, key_col="k", attr_cols=["tier"], ts_col="ts"
+    )
+    got = {
+        (r.k, r.tier, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        # history passthrough
+        (1, "lead", _ts("2024-01-01"), _ts("2024-02-01"), False),
+        # closed at change ts
+        (1, "gold", _ts("2024-02-01"), _ts("2024-03-01"), False),
+        # new version
+        (1, "platinum", _ts("2024-03-01"), None, True),
+        # identical attrs: untouched open row, no new version
+        (2, "silver", _ts("2024-01-05"), None, True),
+        # key absent from batch: untouched
+        (3, "bronze", _ts("2024-01-07"), None, True),
+        # brand-new key
+        (4, "lead", _ts("2024-03-03"), None, True),
+    }
+
+
+def test_scd2_merge_is_idempotent_on_equal_batch(spark):
+    """Re-applying the same change batch is a no-op: the new open rows
+    carry the batch's attrs, so the second merge classifies every key
+    as identical."""
+    dim = _dim(spark)
+    changes = spark.createDataFrame(
+        [(1, "platinum", _ts("2024-03-01"))], "k bigint, tier string, ts timestamp"
+    )
+    once = C.scd2_merge(dim, changes, key_col="k", attr_cols=["tier"], ts_col="ts")
+    twice = C.scd2_merge(once, changes, key_col="k", attr_cols=["tier"], ts_col="ts")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+def test_latest_per_key_tiebreak(spark):
+    """Equal timestamps resolve by the tiebreak column, so replays are
+    deterministic."""
+    ch = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01"), 10),
+            (1, "b", _ts("2024-01-01"), 20),
+            (1, "c", _ts("2023-12-31"), 99),
+        ],
+        "k bigint, tier string, ts timestamp, eid bigint",
+    )
+    got = C.latest_per_key(
+        ch, key_col="k", ts_col="ts", tiebreak_col="eid"
+    ).collect()
+    assert len(got) == 1 and got[0].tier == "b"
+
+
+def test_latest_per_key_partial_aggregates(spark):
+    from hadoop_formats_spark import plans
+
+    ch = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").cast("string").alias("tier"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").alias("eid"),
+    )
+    out = C.latest_per_key(ch, key_col="k", ts_col="ts", tiebreak_col="eid")
+    assert plans.has_partial_aggregation(out)
