@@ -1882,3 +1882,87 @@ def scd2_dimension_merge(spark, sf_dir):
         ).alias("valid_to"),
         "is_current",
     ).orderBy("user_id", "valid_from", "event_type")
+
+
+_ZTERMS_SQL = " + ".join(
+    f"(((cx >> {m}) & 1) << {2 * m + 1}) + (((cy >> {m}) & 1) << {2 * m})"
+    for m in range(8)
+)
+
+
+@register(
+    "layout_zorder_clustering",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+             min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(floor((l_partkey - xlo) * 256 / (xhi - xlo + 1)) AS BIGINT)
+               AS cx,
+             CAST(floor((l_suppkey - ylo) * 256 / (yhi - ylo + 1)) AS BIGINT)
+               AS cy
+      FROM lineitem, b
+    ),
+    z AS (SELECT pk, sk, cx, cy, {_ZTERMS_SQL} AS zkey FROM c),
+    buckets AS (
+      SELECT 'zorder' AS scheme, zkey >> 11 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(pk) AS pk_lo, max(pk) AS pk_hi,
+             min(sk) AS sk_lo, max(sk) AS sk_hi
+      FROM z GROUP BY 1, 2
+      UNION ALL
+      SELECT 'linear', cx >> 3,
+             CAST(count(*) AS BIGINT),
+             min(pk), max(pk), min(sk), max(sk)
+      FROM z GROUP BY 1, 2
+    )
+    SELECT scheme, bucket, n_rows, pk_lo, pk_hi, sk_lo, sk_hi
+    FROM buckets ORDER BY scheme, bucket
+    """,
+    doc="Z-order (Morton) clustering vs single-key linear layout: "
+    "lineitem's (partkey, suppkey) are rank-coded onto an 8-bit grid, "
+    "bit-interleaved into a 16-bit Morton key, and assigned to 32 "
+    "fixed-width key ranges (= files of a rewritten table); the output "
+    "is each bucket's min/max BOUNDING BOX in both dimensions for both "
+    "layouts.  Z-order boxes are narrow in BOTH columns (so file-level "
+    "min/max stats prune filters on either), the linear layout is "
+    "narrow in partkey only — the measured version of why ZORDER BY "
+    "exists.  All deterministic integer arithmetic (no sampling), "
+    "map-only except the per-bucket aggregate; oracle replays the "
+    "identical interleave in SQL.",
+)
+def layout_zorder_clustering(spark, sf_dir):
+    from ..operators import layout as L
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    z = L.zorder_code2(li, x_col="pk", y_col="sk", bits=8)
+
+    def stats(df, scheme, bucket):
+        return (
+            df.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("pk").alias("pk_lo"),
+                F.max("pk").alias("pk_hi"),
+                F.min("sk").alias("sk_lo"),
+                F.max("sk").alias("sk_hi"),
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "bucket",
+                "n_rows",
+                "pk_lo",
+                "pk_hi",
+                "sk_lo",
+                "sk_hi",
+            )
+        )
+
+    zb = stats(z, "zorder", F.shiftright(F.col("zkey"), 11))
+    lb = stats(z, "linear", F.shiftright(F.col("_cx"), 3))
+    return zb.unionByName(lb).orderBy("scheme", "bucket")
