@@ -68,3 +68,52 @@ def pack_stats(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.sum("n_tokens") / F.lit(budget), 4).alias("fill_frac"),
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    *,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking — context-window preparation with
+    overlap (window - stride tokens shared between neighbors), the
+    other half of sequence prep next to :func:`pack_sequences`
+    (packing composes whole short documents; chunking splits long
+    ones).
+
+    Chunk starts are 0, stride, 2·stride, …; the count is
+    1 + ceil(max(n - window, 0) / stride), so every token is covered
+    and only the final chunk may run short.  Map-only: tokenize,
+    compute the chunk count, ``posexplode`` a sequence, ``slice`` —
+    no shuffle, no UDF; a 100 TB corpus chunks at scan speed and the
+    fan-out is rows-out ≈ rows-in · n/stride."""
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), " "), "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.col("n") - window, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "_s"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                F.col("toks"), F.col("chunk_id") * stride + 1, window
+            ).alias("chunk_toks"),
+            F.least(
+                F.lit(window), F.col("n") - F.col("chunk_id") * stride
+            ).alias("n_tokens"),
+        )
+    )

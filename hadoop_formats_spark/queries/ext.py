@@ -1966,3 +1966,49 @@ def layout_zorder_clustering(spark, sf_dir):
     zb = stats(z, "zorder", F.shiftright(F.col("zkey"), 11))
     lb = stats(z, "linear", F.shiftright(F.col("_cx"), 3))
     return zb.unionByName(lb).orderBy("scheme", "bucket")
+
+
+@register(
+    "chunk_sliding_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    c AS (
+      SELECT doc_id, toks, n,
+             1 + CAST(floor((greatest(n - 32, 0) + 23) / 24) AS INT)
+               AS n_chunks
+      FROM n
+    ),
+    e AS (
+      SELECT doc_id, toks, n, i AS chunk_id
+      FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(least(32, n - chunk_id * 24) AS INT) AS n_tokens,
+           md5(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+                               ' ')) AS chunk_md5
+    FROM e ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window token chunking (window=32, stride=24, 8-token "
+    "overlap): context-window preparation for long documents — the "
+    "complement of sequence packing (packing composes short docs, "
+    "chunking splits long ones).  Map-only fan-out: tokenize, compute "
+    "1+ceil((n-32)/24) chunk starts, posexplode+slice — no shuffle, no "
+    "UDF, chunks at scan speed on 100 TB.  Every chunk's md5 certifies "
+    "its full token content against the oracle's identical slicing.",
+)
+def chunk_sliding_windows(spark, sf_dir):
+    from ..operators import packing as P
+
+    d = table(spark, sf_dir, "documents")
+    ch = P.chunk_tokens(d, window=32, stride=24)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk_toks")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

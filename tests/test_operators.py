@@ -948,3 +948,48 @@ def test_count_min_estimate_never_undercounts(spark):
     assert set(est) == set(exact)
     assert all(est[t] >= exact[t] for t in exact)
     assert sum(est[t] - exact[t] for t in exact) > 0  # w=8 must collide
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (operators/packing.py round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    from hadoop_formats_spark.operators.packing import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, " ".join(f"u{i}" for i in range(24)))],
+        "doc_id bigint, text string",
+    )
+    out = chunk_tokens(docs, window=16, stride=12)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, tuple(r.chunk_toks), r.n_tokens) for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, t, n in rows:
+        assert len(t) == n
+        by_doc.setdefault(d, []).append((c, t))
+    # doc 1: 50 tokens -> starts 0,12,24,36,48 -> 5 chunks? ceil((50-16)/12)=3 -> 4 chunks
+    assert [c for c, _ in by_doc[1]] == [0, 1, 2, 3]
+    # full coverage in order: chunk starts every 12 tokens
+    alltoks = [f"t{i}" for i in range(50)]
+    for c, t in by_doc[1]:
+        assert list(t) == alltoks[c * 12 : c * 12 + 16]
+    # neighbor overlap = window - stride = 4 tokens
+    assert by_doc[1][0][1][-4:] == by_doc[1][1][1][:4]
+    # short doc: single short chunk
+    assert by_doc[2] == [(0, ("a", "b", "c"))]
+    # 24 tokens -> ceil((24-16)/12)=1 extra -> 2 chunks; tail = tokens 12..23
+    assert [c for c, _ in by_doc[3]] == [0, 1]
+    assert len(by_doc[3][1][1]) == 12  # final short chunk
+
+
+def test_chunk_tokens_is_map_only(spark, sf_dir):
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.packing import chunk_tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_tokens(d)
+    assert plans.shuffle_count(out) == 0
