@@ -2012,3 +2012,89 @@ def chunk_sliding_windows(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "chunk_toks")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unroll `rounds` BPE rounds in DuckDB SQL (the same shape the
+    k-means / SemDeDup oracles use for Lloyd rounds): pair-count the
+    current segmentation, pick the (count desc, pair asc) winner,
+    re-segment with the identical list_reduce greedy fold."""
+    parts = [
+        """
+    words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS word
+        FROM documents)
+      GROUP BY word
+    ),
+    c0 AS (
+      SELECT word, freq,
+             array_to_string(string_split(word, ''), chr(31)) AS syms
+      FROM words
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    p{r} AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT freq,
+               unnest(list_zip(string_split(syms, chr(31)),
+                               string_split(syms, chr(31))[2:])) AS z
+        FROM c{r}) t
+      WHERE z[2] IS NOT NULL GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+    c{r + 1} AS (
+      SELECT word, freq,
+             list_reduce(string_split(syms, chr(31)),
+               (acc, x) -> CASE
+                 WHEN (acc = b{r}.a OR ends_with(acc, chr(31) || b{r}.a))
+                      AND x = b{r}.b
+                 THEN acc || x ELSE acc || chr(31) || x END) AS syms
+      FROM c{r}, b{r}
+    )""")
+    rows = " UNION ALL ".join(
+        f"""
+    SELECT {r} AS round, a AS left_sym, b AS right_sym, n AS pair_n,
+           (SELECT CAST(sum(freq * len(string_split(syms, chr(31))))
+                   AS BIGINT) FROM c{r + 1}) AS corpus_symbols
+    FROM b{r}"""
+        for r in range(rounds)
+    )
+    return "WITH " + ",".join(parts) + rows + " ORDER BY round"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(3),
+    doc="Distributed BPE merge training (Sennrich 2016), 3 rounds: the "
+    "word-frequency table is built once (partial-agg groupBy — raw "
+    "text is never rescanned), then each round pair-counts the current "
+    "segmentation (partial-agg), picks the deterministic winner, and "
+    "re-segments with a map-only greedy string fold (no UDF).  The "
+    "one-row-per-round driver collect mirrors kmeans_iterations; "
+    "corpus_symbols certifies every merge application corpus-wide.  "
+    "Oracle unrolls the identical 3 rounds in SQL, list_reduce fold "
+    "and all.",
+)
+def bpe_train_merges(spark, sf_dir):
+    from ..operators import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    merges = B.bpe_train(d, rounds=3)
+    corpus = B.word_freqs(d)
+    out = None
+    for r, m in enumerate(merges):
+        cr = B.apply_merges(corpus, merges[: r + 1])
+        row = cr.agg(
+            F.lit(r).alias("round"),
+            F.lit(m["left_sym"]).alias("left_sym"),
+            F.lit(m["right_sym"]).alias("right_sym"),
+            F.lit(m["pair_n"]).alias("pair_n"),
+            F.sum(
+                F.col("freq") * F.size(F.split(F.col("syms"), B.SEP))
+            ).alias("corpus_symbols"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

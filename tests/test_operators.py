@@ -993,3 +993,58 @@ def test_chunk_tokens_is_map_only(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = chunk_tokens(d)
     assert plans.shuffle_count(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from hadoop_formats_spark.operators import bpe as B
+
+    # "ab" appears in every word of the dominant token; hand-checkable
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab xy")], "doc_id bigint, text string"
+    )
+    merges = B.bpe_train(docs, rounds=2)
+    # pair (a,b): freq-weighted count = abab(3 words * 2 pairs) + abc(1) = 7
+    assert merges[0]["left_sym"] == "a" and merges[0]["right_sym"] == "b"
+    assert merges[0]["pair_n"] == 7
+    # after merging 'ab': abab -> [ab, ab] (x3), abc -> [ab, c], xy -> [x, y]
+    # pair counts: (ab,ab)=3, (ab,c)=1, (x,y)=1 -> winner (ab,ab)
+    assert merges[1]["left_sym"] == "ab" and merges[1]["right_sym"] == "ab"
+    assert merges[1]["pair_n"] == 3
+
+
+def test_bpe_merge_fold_is_greedy_non_overlapping(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators import bpe as B
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "w string")
+    syms = F.array_join(F.array_remove(F.split(F.col("w"), ""), ""), B.SEP)
+    out = df.select(
+        B.merge_fold(syms, F.lit("a"), F.lit("a")).alias("m")
+    ).collect()
+    got = {tuple(r.m.split(B.SEP)) for r in out}
+    # greedy left-to-right: aaaa -> (aa, aa); aaa -> (aa, a)
+    assert got == {("aa", "aa"), ("aa", "a")}
+
+
+def test_bpe_apply_merges_is_map_only_over_vocabulary(spark, sf_dir):
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators import bpe as B
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = B.word_freqs(d)
+    merged = B.apply_merges(
+        corpus,
+        [
+            {"left_sym": "a", "right_sym": "b"},
+            {"left_sym": "ab", "right_sym": "c"},
+        ],
+    )
+    # one shuffle total: the word-frequency groupBy; the folds add none
+    assert plans.shuffle_count(merged) == plans.shuffle_count(corpus) == 1
+    assert plans.has_partial_aggregation(corpus)
