@@ -2098,3 +2098,75 @@ def bpe_train_merges(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    parts = ["""
+    e AS (
+      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 1000000 + l_suppkey, l_partkey FROM lineitem
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"""]
+    for i in range(iterations):
+        parts.append(f"""
+    r{i + 1} AS (
+      SELECT nodes.node, 0.15 / n + 0.85 * coalesce(m.mass, 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r{i}.pr / deg.outdeg) AS mass
+        FROM e JOIN r{i} ON e.src = r{i}.node
+               JOIN deg ON e.src = deg.node
+        GROUP BY e.dst
+      ) m ON nodes.node = m.node
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT node - 1000000 AS suppkey, round(pr, 8) AS pagerank
+    FROM r{iterations} WHERE node >= 1000000 ORDER BY suppkey"""
+    )
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=_pagerank_oracle(3),
+    doc="PageRank (3 power iterations, d=0.85) over the bidirectional "
+    "part<->supplier co-occurrence graph from lineitem — the canonical "
+    "iterative-join workload: per iteration, ONE edges-join-ranks "
+    "shuffle plus ONE partial-agg sum on the destination, |E|-bounded, "
+    "nothing driver-side; bidirectional edges guarantee out-degree >= "
+    "1 so no dangling-mass correction is needed.  Suppliers that "
+    "supply many well-connected parts rank highest.  Oracle unrolls "
+    "the identical 3 iterations in SQL.",
+)
+def graph_pagerank_suppliers(spark, sf_dir):
+    from ..operators import graph as G
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    rev = li.select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    edges = fwd.unionByName(rev).distinct()
+    pr = G.pagerank(edges, iterations=3)
+    return (
+        pr.filter(F.col("node") >= 1000000)
+        .select(
+            (F.col("node") - 1000000).alias("suppkey"),
+            F.round("pr", 8).alias("pagerank"),
+        )
+        .orderBy("suppkey")
+    )

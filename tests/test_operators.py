@@ -1048,3 +1048,56 @@ def test_bpe_apply_merges_is_map_only_over_vocabulary(spark, sf_dir):
     # one shuffle total: the word-frequency groupBy; the folds add none
     assert plans.shuffle_count(merged) == plans.shuffle_count(corpus) == 1
     assert plans.has_partial_aggregation(corpus)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hadoop_formats_spark.operators.graph import pagerank
+
+    # small directed graph, every node has out-degree >= 1
+    E = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (0, 3), (3, 0)]
+    edges = spark.createDataFrame(E, "src bigint, dst bigint")
+    got = {r.node: r.pr for r in pagerank(edges, iterations=4).collect()}
+
+    n = 4
+    out = np.zeros(n)
+    for s, _ in E:
+        out[s] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(4):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in E:
+            nxt[d] += 0.85 * pr[s] / out[s]
+        pr = nxt
+    for v in range(n):
+        assert abs(got[v] - pr[v]) < 1e-12, (v, got[v], pr[v])
+
+
+def test_pagerank_mass_is_conserved(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 11) for i in range(11)] + [(5, 2), (7, 1)],
+        "src bigint, dst bigint",
+    )
+    total = pagerank(edges, iterations=3).agg(F.sum("pr")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_iteration_partial_aggregates(spark):
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 5) % 7) for i in range(30)], "src bigint, dst bigint"
+    )
+    pr = pagerank(edges, iterations=1)
+    assert plans.has_partial_aggregation(pr)
