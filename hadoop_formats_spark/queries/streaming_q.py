@@ -375,3 +375,50 @@ def stream_minhash_band_dedup(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "stream_static_join_enrichment",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id, event_type AS first_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT p.first_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Stream-static enrichment join: the event stream joins a "
+    "BATCH-computed per-user profile (first-ever event type, a "
+    "min_by aggregate) inside the streaming query — the standard "
+    "dimension-enrichment shape.  The static side is broadcast, so "
+    "the join is stateless and adds no streaming state; per micro- "
+    "batch the only state is the final aggregate's.  At 100 TB the "
+    "profile is the entity count, refreshed per batch epoch, and the "
+    "stream never shuffles for the join.",
+)
+def stream_static_join_enrichment(spark, sf_dir):
+    from .registry import table
+
+    s = _events_stream(spark, sf_dir)
+    prof = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("first_type")
+        )
+    )
+    joined = s.join(F.broadcast(prof), "user_id")
+    agg = joined.groupBy("first_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _run_to_memory(agg, spark, state_partitions=2)
+    return out.orderBy("first_type")
