@@ -46,6 +46,12 @@ QUERIES_TO_DUMP = [
     ("sample_weighted_quality", "A-ES weighted sampling: map-side keys + TakeOrderedAndProject (round 4)"),
     ("sketch_count_min_heavy_hitters", "Count-Min: one partial-agg sketch build + broadcast estimate join (round 4)"),
     ("parquet_schema_evolution", "mergeSchema scan over divergent file generations (round 4)"),
+    ("sketch_kmv_distinct_union", "KMV sketch: partial-agg distinct + WindowGroupLimit top-k, lossless merge (round 4)"),
+    ("scd2_dimension_merge", "SCD2 MERGE: open-rows full-outer join vs last-change-per-key, history unions through (round 4)"),
+    ("layout_zorder_clustering", "Z-order: Morton interleave map-side, broadcast bounds, per-bucket boxes (round 4)"),
+    ("chunk_sliding_windows", "sliding-window chunking: map-only posexplode+slice fan-out (round 4)"),
+    ("bpe_train_merges", "BPE training: vocabulary partial-agg + per-round fold, driver-held merges (round 4)"),
+    ("graph_pagerank_suppliers", "PageRank: per-iteration edges join + partial-agg mass sum (round 4)"),
 ]
 
 
