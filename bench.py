@@ -235,6 +235,12 @@ def main() -> None:
         "stream_minhash_band_dedup",
         "sample_weighted_quality",
         "sketch_count_min_heavy_hitters",
+        "sketch_kmv_distinct_union",
+        "scd2_dimension_merge",
+        "layout_zorder_clustering",
+        "chunk_sliding_windows",
+        "bpe_train_merges",
+        "graph_pagerank_suppliers",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
