@@ -118,3 +118,44 @@ def scd2_merge(
         F.lit(True).alias("is_current"),
     )
     return closed_rows.unionByName(kept).unionByName(inserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two table versions: (keys...,
+    change_type ∈ added | removed | changed) — unchanged rows are
+    dropped inside the join, never materialized (at 100 TB the diff
+    output is delta-sized, not table-sized).
+
+    One full-outer join on the key; row equality is an md5 over the
+    null-tagged compare columns computed map-side on each side, so
+    the shuffle carries (keys, 32-byte hash), not the full rows —
+    diffing wide tables costs the same as narrow ones."""
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00∅")).alias(c)
+            for c in compare_cols
+        ]
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.md5(F.concat_ws("\x1f", *cols)).alias(alias),
+        )
+
+    o = hashed(old, "_oh")
+    n = hashed(new, "_nh")
+    j = o.join(n, key_cols, "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("_oh").isNull(), F.lit("added"))
+            .when(F.col("_nh").isNull(), F.lit("removed"))
+            .when(F.col("_oh") != F.col("_nh"), F.lit("changed")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -2170,3 +2170,72 @@ def graph_pagerank_suppliers(spark, sf_dir):
         )
         .orderBy("suppkey")
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey       IS DISTINCT FROM n.o_custkey
+       OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    ORDER BY o_orderkey, change_type
+    """,
+    doc="Snapshot diff / change-data-feed between two table versions "
+    "(v2 = deterministic simulated maintenance: keys %97 deleted, "
+    "%13 repriced +10%, %101 re-inserted under new keys): ONE "
+    "full-outer join on the key where each side is pre-hashed "
+    "map-side to (key, md5-of-row), so the shuffle carries 32-byte "
+    "digests instead of full rows and unchanged rows are dropped "
+    "inside the join — the diff is delta-sized, never table-sized.  "
+    "The oracle classifies by comparing COLUMN VALUES directly "
+    "(IS DISTINCT FROM), so the hash-based plumbing is certified "
+    "against value semantics, not against itself.",
+)
+def snapshot_diff_orders(spark, sf_dir):
+    from ..operators import cdc as C
+
+    o = table(spark, sf_dir, "orders")
+    kept = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    v2 = kept.unionByName(inserted)
+    d = C.snapshot_diff(
+        o,
+        v2,
+        key_cols=["o_orderkey"],
+        compare_cols=[
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    return d.orderBy("o_orderkey", "change_type")

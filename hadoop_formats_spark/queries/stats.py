@@ -134,3 +134,202 @@ def stats_join_key_skew(spark: SparkSession, sf_dir: str):
         )
         .orderBy(F.desc("hot_freq"), F.asc("hot_key"))
     )
+
+
+@register(
+    "dq_constraint_suite",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(count(l_shipdate) AS DOUBLE) AS n_ship,
+             CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+               AS n_pk,
+             CAST(count(*) FILTER (WHERE l_quantity < 0) AS DOUBLE)
+               AS neg_qty,
+             CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                  AS DOUBLE) AS bad_disc,
+             CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+                  AS DOUBLE) AS bad_flag
+      FROM lineitem
+    ),
+    ri AS (
+      SELECT CAST(count(*) AS DOUBLE) AS orphans
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT c AS constraint_name, metric, passed FROM (
+      SELECT 'completeness(l_shipdate)' AS c,
+             round(n_ship / n_rows, 6) AS metric,
+             n_ship = n_rows AS passed FROM m
+      UNION ALL
+      SELECT 'uniqueness(l_orderkey,l_linenumber)',
+             round(n_pk / n_rows, 6), n_pk = n_rows FROM m
+      UNION ALL
+      SELECT 'non_negative(l_quantity)', neg_qty, neg_qty = 0 FROM m
+      UNION ALL
+      SELECT 'in_range(l_discount,0,1)', bad_disc, bad_disc = 0 FROM m
+      UNION ALL
+      SELECT 'accepted_values(l_returnflag)', bad_flag, bad_flag = 0 FROM m
+      UNION ALL
+      SELECT 'referential(l_orderkey->orders)', orphans, orphans = 0
+      FROM ri
+    ) ORDER BY constraint_name
+    """,
+    doc="Deequ-style declarative data-quality suite over lineitem: "
+    "completeness, primary-key uniqueness, value ranges, accepted "
+    "values — ALL row-level metrics computed in ONE aggregation pass "
+    "(one scan, partial-agg; the count-distinct is the only metric "
+    "needing a keyed shuffle) — plus referential integrity to orders "
+    "as one anti-join (broadcast at dimension scale).  The suite "
+    "honestly FAILS uniqueness on this synthetic data (45,832 distinct "
+    "of 60,000 at sf0.01), which is the point: constraints report, "
+    "they don't assume.  The long (constraint, metric, passed) shape "
+    "is the stack/unpivot of the single metrics row.",
+)
+def dq_constraint_suite(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    m = li.agg(
+        F.count("*").cast("double").alias("n_rows"),
+        F.count("l_shipdate").cast("double").alias("n_ship"),
+        F.countDistinct("l_orderkey", "l_linenumber")
+        .cast("double")
+        .alias("n_pk"),
+        F.count_if(F.col("l_quantity") < 0).cast("double").alias("neg_qty"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .cast("double")
+        .alias("bad_disc"),
+        F.count_if(~F.col("l_returnflag").isin("A", "N", "R"))
+        .cast("double")
+        .alias("bad_flag"),
+    )
+    ri = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("orphans"))
+    )
+    row = m.crossJoin(ri)
+    long = row.selectExpr(
+        """stack(6,
+             'completeness(l_shipdate)', round(n_ship / n_rows, 6),
+                n_ship = n_rows,
+             'uniqueness(l_orderkey,l_linenumber)', round(n_pk / n_rows, 6),
+                n_pk = n_rows,
+             'non_negative(l_quantity)', neg_qty, neg_qty = 0.0,
+             'in_range(l_discount,0,1)', bad_disc, bad_disc = 0.0,
+             'accepted_values(l_returnflag)', bad_flag, bad_flag = 0.0,
+             'referential(l_orderkey->orders)', orphans, orphans = 0.0
+           ) AS (constraint_name, metric, passed)"""
+    )
+    return long.orderBy("constraint_name")
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    h AS (
+      SELECT l_returnflag AS rf,
+             CAST(least(127, floor((l_extendedprice - lo) / (hi - lo) * 128))
+                  AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem, b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT rf, bin, c,
+             sum(c) OVER (PARTITION BY rf ORDER BY bin) AS cc,
+             sum(c) OVER (PARTITION BY rf) AS total
+      FROM h
+    ),
+    est AS (
+      SELECT rf,
+             min(CASE WHEN cc >= 0.5 * total THEN bin END) AS b50,
+             min(CASE WHEN cc >= 0.95 * total THEN bin END) AS b95
+      FROM cum GROUP BY rf
+    ),
+    exact AS (
+      SELECT l_returnflag AS rf,
+             median(l_extendedprice) AS exact_p50,
+             quantile_cont(l_extendedprice, 0.95) AS exact_p95
+      FROM lineitem GROUP BY rf
+    )
+    SELECT x.rf AS l_returnflag,
+           round(x.exact_p50, 2) AS exact_p50,
+           round(lo + (e.b50 + 1) * (hi - lo) / 128, 2) AS hist_p50,
+           round(x.exact_p95, 2) AS exact_p95,
+           round(lo + (e.b95 + 1) * (hi - lo) / 128, 2) AS hist_p95
+    FROM exact x JOIN est e ON x.rf = e.rf, b
+    ORDER BY l_returnflag
+    """,
+    doc="Equi-width histogram sketch (128 bins on GLOBAL bounds) with "
+    "quantile estimation vs the exact answer: the sketch is one "
+    "partial-agg groupBy (<= groups x 128 rows leave the map side), "
+    "merges across corpora bin-wise BECAUSE the bounds are global, "
+    "and p50/p95 read off the cumulative histogram without ever "
+    "rescanning the corpus — the ANALYZE-statistics shape; the "
+    "histogram estimate is the bin's upper edge, so its error is "
+    "bounded by one bin width ((hi-lo)/128), visible against the "
+    "exact interpolated percentiles in the same row.",
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.col("l_returnflag").alias("rf"),
+        "lo",
+        "hi",
+        F.least(
+            F.lit(127),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 128
+            ),
+        ).cast("bigint").alias("bin"),
+    )
+    h = binned.groupBy("rf", "bin").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("rf").orderBy("bin")
+    wt = Window.partitionBy("rf")
+    cum = h.withColumn("cc", F.sum("c").over(wc)).withColumn(
+        "total", F.sum("c").over(wt)
+    )
+    est = cum.groupBy("rf").agg(
+        F.min(F.when(F.col("cc") >= 0.5 * F.col("total"), F.col("bin"))).alias(
+            "b50"
+        ),
+        F.min(
+            F.when(F.col("cc") >= 0.95 * F.col("total"), F.col("bin"))
+        ).alias("b95"),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.median("l_extendedprice").alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("exact_p95"),
+    )
+    return (
+        exact.join(est, "rf")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.round("exact_p50", 2).alias("exact_p50"),
+            F.round(
+                F.col("lo") + (F.col("b50") + 1) * (F.col("hi") - F.col("lo")) / 128, 2
+            ).alias("hist_p50"),
+            F.round("exact_p95", 2).alias("exact_p95"),
+            F.round(
+                F.col("lo") + (F.col("b95") + 1) * (F.col("hi") - F.col("lo")) / 128, 2
+            ).alias("hist_p95"),
+        )
+        .orderBy("l_returnflag")
+    )

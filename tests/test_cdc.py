@@ -107,3 +107,45 @@ def test_latest_per_key_partial_aggregates(spark):
     )
     out = C.latest_per_key(ch, key_col="k", ts_col="ts", tiebreak_col="eid")
     assert plans.has_partial_aggregation(out)
+
+
+def test_snapshot_diff_classification(spark):
+    from hadoop_formats_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k bigint, s string, v double",
+    )
+    d = snapshot_diff(old, new, key_cols=["k"], compare_cols=["s", "v"])
+    got = {(r.k, r.change_type) for r in d.collect()}
+    assert got == {
+        (2, "changed"),  # s differs
+        (3, "changed"),  # null -> value
+        (4, "removed"),
+        (5, "added"),
+    }
+
+
+def test_snapshot_diff_shuffles_digests_not_rows(spark, sf_dir):
+    """The join input projects (key, md5) map-side: the full-row
+    columns must not appear in the exchange."""
+    from hadoop_formats_spark import plans
+    from hadoop_formats_spark.operators.cdc import snapshot_diff
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = snapshot_diff(
+        o,
+        o.withColumn("o_totalprice", o.o_totalprice * 2),
+        key_cols=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    plan = plans.executed_plan(d)
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l]
+    assert joins, plan
+    # the hash projection happens below the exchange
+    assert "md5" in plan
+    assert "o_orderpriority" not in plan  # untouched column never read
