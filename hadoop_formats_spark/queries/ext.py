@@ -2239,3 +2239,210 @@ def snapshot_diff_orders(spark, sf_dir):
         ],
     )
     return d.orderBy("o_orderkey", "change_type")
+
+
+@register(
+    "mv_incremental_maintenance",
+    oracle="""
+    WITH dims AS (
+      SELECT o.o_orderkey, c.c_nationkey, n.n_name
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    mv0 AS (
+      SELECT n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN dims d ON l.l_orderkey = d.o_orderkey
+      WHERE l.l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY n_name
+    ),
+    delta AS (
+      SELECT n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN dims d ON l.l_orderkey = d.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY n_name
+    ),
+    merged AS (
+      SELECT coalesce(m.n_name, dl.n_name) AS n_name,
+             round(coalesce(m.revenue, 0) + coalesce(dl.revenue, 0), 2)
+               AS revenue,
+             coalesce(m.n_items, 0) + coalesce(dl.n_items, 0) AS n_items
+      FROM mv0 m FULL OUTER JOIN delta dl ON m.n_name = dl.n_name
+    ),
+    full_mv AS (
+      SELECT n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN dims d ON l.l_orderkey = d.o_orderkey
+      GROUP BY n_name
+    )
+    SELECT mg.n_name, mg.revenue, mg.n_items,
+           mg.n_items = f.n_items
+             AND abs(mg.revenue - f.revenue) < 0.02 AS matches_recompute
+    FROM merged mg JOIN full_mv f ON mg.n_name = f.n_name
+    ORDER BY mg.n_name
+    """,
+    doc="Incremental materialized-view maintenance (delta-join IVM): "
+    "the revenue-per-nation MV is maintained by joining ONLY the "
+    "delta batch (shipdate >= 1995) against the dimensions and "
+    "adding its partial aggregates into the stored MV — the full "
+    "fact history is never rescanned, which is the entire point at "
+    "100 TB (per-batch cost is O(delta), not O(table)).  "
+    "matches_recompute certifies the maintained MV against a full "
+    "recompute in the same row (counts exact; revenue within one "
+    "cent — summation order differs, so bit-equality of doubles is "
+    "the wrong contract and a tolerance is the honest one).",
+)
+def mv_incremental_maintenance(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    dims = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "n_name")
+    )
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    )
+
+    def agg(fact):
+        return (
+            fact.join(F.broadcast(dims), fact.l_orderkey == dims.o_orderkey)
+            .groupBy("n_name")
+            .agg(rev.alias("revenue"), F.count("*").alias("n_items"))
+        )
+
+    cutoff = "1995-01-01 00:00:00"
+    mv0 = agg(li.filter(F.col("l_shipdate") < cutoff))
+    delta = agg(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        mv0.selectExpr("n_name", "revenue AS r0", "n_items AS i0")
+        .join(
+            delta.selectExpr("n_name", "revenue AS r1", "n_items AS i1"),
+            "n_name",
+            "full_outer",
+        )
+        .select(
+            "n_name",
+            F.round(
+                F.coalesce("r0", F.lit(0.0)) + F.coalesce("r1", F.lit(0.0)), 2
+            ).alias("revenue"),
+            (
+                F.coalesce("i0", F.lit(0)) + F.coalesce("i1", F.lit(0))
+            ).alias("n_items"),
+        )
+    )
+    full = agg(li).selectExpr(
+        "n_name", "revenue AS f_rev", "n_items AS f_items"
+    )
+    return (
+        merged.join(full, "n_name")
+        .select(
+            "n_name",
+            "revenue",
+            "n_items",
+            (
+                (F.col("n_items") == F.col("f_items"))
+                & (F.abs(F.col("revenue") - F.col("f_rev")) < 0.02)
+            ).alias("matches_recompute"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "sample_negatives_contrastive",
+    oracle="""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    negs AS (
+      SELECT anchor_id, anchor_label, j,
+             ('0x' || substr(md5('neg:' || anchor_id || ':' || j), 1, 8))
+               ::BIGINT % (n - 1) AS raw
+      FROM anchors, UNNEST([0,1,2,3]) AS t(j), nn
+    ),
+    resolved AS (
+      SELECT anchor_id, j,
+             CASE WHEN raw >= anchor_id THEN raw + 1 ELSE raw END AS neg_id,
+             anchor_label
+      FROM negs
+    )
+    SELECT r.anchor_id, CAST(r.j AS INT) AS j, r.neg_id,
+           e.label AS neg_label, e.label = r.anchor_label AS same_label
+    FROM resolved r JOIN embeddings e ON r.neg_id = e.vec_id
+    ORDER BY anchor_id, j
+    """,
+    doc="Deterministic negative sampling for contrastive training: "
+    "each anchor draws 4 uniform negatives via md5('neg:anchor:j') "
+    "mod (N-1) with the +1 shift that excludes the anchor itself — "
+    "reproducible across retries/engines (no RNG state), map-side "
+    "except the one vec_id-keyed join that fetches negative labels "
+    "(broadcast N).  same_label exposes the false-negative rate the "
+    "training loop would need to handle.",
+)
+def sample_negatives_contrastive(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    nn = e.agg(F.count("*").alias("n"))
+    anchors = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (F.col("n") - 1)
+    )
+    negs = (
+        anchors.crossJoin(F.broadcast(nn))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+            "n",
+        )
+        .withColumn("raw", raw)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "j",
+            F.when(F.col("raw") >= F.col("anchor_id"), F.col("raw") + 1)
+            .otherwise(F.col("raw"))
+            .alias("neg_id"),
+        )
+    )
+    labels = e.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        negs.join(labels, "neg_id")
+        .select(
+            "anchor_id",
+            F.col("j").cast("int").alias("j"),
+            "neg_id",
+            "neg_label",
+            (F.col("neg_label") == F.col("anchor_label")).alias("same_label"),
+        )
+        .orderBy("anchor_id", "j")
+    )
