@@ -241,6 +241,11 @@ def main() -> None:
         "chunk_sliding_windows",
         "bpe_train_merges",
         "graph_pagerank_suppliers",
+        "dq_constraint_suite",
+        "snapshot_diff_orders",
+        "sketch_histogram_quantiles",
+        "mv_incremental_maintenance",
+        "sample_negatives_contrastive",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
