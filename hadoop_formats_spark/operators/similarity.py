@@ -257,11 +257,41 @@ def ivf_topk(
     ``brute_force_topk``.  Corpus assignment stays a map-side argmax;
     the query→probe ranking is a window over the (small) query set ×
     centroids only.  Returns (query_id, neighbor_id, sim, rnk)."""
-    from pyspark.sql import Window
-
     assigned = ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, method=method
     )
+    return ivf_topk_from_assigned(
+        assigned,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def ivf_topk_from_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF probe over a PRE-BUILT index: ``assigned`` is the persisted
+    (id, vec, centroid_id) table — the train-once / query-many
+    lifecycle.  When the index is stored ``partitionBy(centroid_id)``
+    (see ``ann_ivf_index_persisted``), the probe join's cluster keys
+    prune whole partition directories, so each query batch reads only
+    its probed clusters — file-level IVF, the on-disk analog of an
+    in-memory inverted list."""
+    from pyspark.sql import Window
+
     c = centroids.select(
         F.col("centroid_id").alias("probe"), F.col(vec_col).alias("cvec")
     )

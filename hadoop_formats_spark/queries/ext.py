@@ -2446,3 +2446,54 @@ def sample_negatives_contrastive(spark, sf_dir):
         )
         .orderBy("anchor_id", "j")
     )
+
+
+_IVF_INDEX_CACHE = "/tmp/hfs_ivf_index"
+
+from .registry import QUERIES as _QUERIES  # noqa: E402  (self-registry lookup)
+
+
+@register(
+    "ann_ivf_index_persisted",
+    oracle=_QUERIES["ann_ivf_topk"].oracle,
+    doc="IVF index LIFECYCLE: the index (corpus assignments + "
+    "centroids) is trained once, PERSISTED to parquet with the "
+    "assignments partitioned BY CLUSTER (partitionBy(centroid_id) — "
+    "each inverted list is its own partition directory), then "
+    "re-loaded by a fresh reader and probed WITHOUT re-assignment — "
+    "train-once / query-many, the production shape ann_ivf_topk's "
+    "inline retraining doesn't exercise.  On-disk clustering means a "
+    "probe reads only its cluster's directory (partition pruning = "
+    "file-level inverted lists).  Results are byte-identical to the "
+    "inline IVF query, so it shares that oracle.",
+)
+def ann_ivf_index_persisted(spark, sf_dir):
+    import os
+    import shutil
+    import uuid
+
+    from ..operators import similarity as S2
+
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_IVF_INDEX_CACHE, key)
+    if not os.path.isdir(os.path.join(final, "assigned")):
+        e = table(spark, sf_dir, "embeddings")
+        centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        assigned = S2.ivf_assign(e, centroids)
+        tmp = final + "." + uuid.uuid4().hex[:8]
+        assigned.write.partitionBy("centroid_id").parquet(
+            os.path.join(tmp, "assigned")
+        )
+        centroids.write.parquet(os.path.join(tmp, "centroids"))
+        os.makedirs(_IVF_INDEX_CACHE, exist_ok=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    assigned = spark.read.parquet(os.path.join(final, "assigned"))
+    centroids = spark.read.parquet(os.path.join(final, "centroids"))
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
+    return S2.ivf_topk_from_assigned(assigned, queries, centroids, k=3)

@@ -149,3 +149,86 @@ def test_snapshot_diff_shuffles_digests_not_rows(spark, sf_dir):
     # the hash projection happens below the exchange
     assert "md5" in plan
     assert "o_orderpriority" not in plan  # untouched column never read
+
+
+def test_streaming_scd2_foreachbatch_matches_batch(spark, tmp_path):
+    """Streaming CDC: time-ordered change batches applied through
+    foreachBatch (merge into a parquet-versioned dimension, one
+    version per micro-batch) converge to exactly the dimension the
+    batch merges produce."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators import cdc as C
+
+    schema = "k bigint, tier string, ts timestamp, eid bigint"
+    batches = [
+        [(1, "lead", _ts("2024-01-01"), 1), (2, "lead", _ts("2024-01-02"), 2)],
+        [(1, "gold", _ts("2024-02-01"), 3), (3, "lead", _ts("2024-02-02"), 4)],
+        [(1, "gold", _ts("2024-03-01"), 5),  # no-op (same attrs)
+         (2, "silver", _ts("2024-03-02"), 6)],
+    ]
+
+    def latest(df):
+        return C.latest_per_key(
+            df, key_col="k", ts_col="ts", tiebreak_col="eid"
+        ).select("k", "tier", "ts")
+
+    # ----- batch reference: three merges in order -----
+    dim = C.scd2_init(
+        latest(spark.createDataFrame(batches[0], schema)),
+        key_col="k", attr_cols=["tier"], ts_col="ts",
+    )
+    for b in batches[1:]:
+        dim = C.scd2_merge(
+            dim, latest(spark.createDataFrame(b, schema)),
+            key_col="k", attr_cols=["tier"], ts_col="ts",
+        )
+    expect = sorted(map(tuple, dim.collect()))
+
+    # ----- streaming: one parquet file per batch, foreachBatch merge -----
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    for b in batches:  # append order fixes micro-batch order
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    dim_dir = str(tmp_path / "dim")
+    state = {"version": -1}
+
+    def apply_batch(bdf, batch_id):
+        ch = latest(bdf)
+        if state["version"] < 0:
+            nxt = C.scd2_init(ch, key_col="k", attr_cols=["tier"], ts_col="ts")
+        else:
+            cur = bdf.sparkSession.read.parquet(
+                f"{dim_dir}/v{state['version']}"
+            )
+            nxt = C.scd2_merge(
+                cur, ch, key_col="k", attr_cols=["tier"], ts_col="ts"
+            )
+        state["version"] += 1
+        nxt.write.parquet(f"{dim_dir}/v{state['version']}")
+
+    s = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    (
+        s.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            str(tmp_path / ("ckpt_" + _uuid.uuid4().hex[:6])),
+        )
+        .start()
+        .awaitTermination()
+    )
+    assert state["version"] == 2
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{dim_dir}/v2").collect())
+    )
+    assert got == expect
