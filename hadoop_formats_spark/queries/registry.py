@@ -132,6 +132,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     exact_dedup end-to-end against the same oracle shape;
 #   - ann_ivf_topk: ann_ivf_recall_at_3 runs ivf_topk AND the exact
 #     scan and compares them — a strictly stronger certificate;
+# Round-4 session-3 rotation: four of the newest capability families
+# enter the window; freed slots stay certified transitively:
+#   - text_token_counts -> bpe_train_merges (whose word_freqs stage IS
+#     the tokenization+counting machinery, plus merge learning);
+#   - ann_projected_recall_at_3 -> graph_pagerank_suppliers (the
+#     random-projection recall query stays in the full sweep + pytest;
+#     the window keeps ann_ivf_recall_at_3 as the recall family rep);
+#   - sessionize_events_batch -> scd2_dimension_merge (the streaming
+#     stream_session_windows row's oracle is the SAME gaps-and-islands
+#     SQL, so batch sessionization stays certified);
+#   - kmeans_cluster_profile -> sketch_kmv_distinct_union (SemDeDup's
+#     graded oracle unrolls the identical Lloyd rounds, certifying
+#     kmeans_iterations end-to-end).
 #   - join_interval_binned_price_band: joins keep three graded reps
 #     (inner / as-of / salted); the interval rewrite stays covered by
 #     pytest + the full-registry sweep.
@@ -174,11 +187,11 @@ PRIORITY_ORDER = [
     # pre-filter semantics and scan-level pushdown (plan-asserted).
     "ann_filtered_topk",
     "ann_ivf_recall_at_3",
-    "ann_projected_recall_at_3",
-    "kmeans_cluster_profile",
+    "graph_pagerank_suppliers",
+    "sketch_kmv_distinct_union",
     "text_lang_id_confusion",
     "text_quality_score",
-    "text_token_counts",
+    "bpe_train_merges",
     # round 4 (this session): URL canonicalization + per-domain dedup
     # accounting takes text_fingerprint_dups' slot — md5/rolling
     # fingerprint machinery stays certified by split_train_holdout
@@ -199,7 +212,7 @@ PRIORITY_ORDER = [
     "pii_scrub_stats",
     # streaming (SURVEY §2.2 last row)
     "stream_tumbling_hourly_counts",
-    "sessionize_events_batch",
+    "scd2_dimension_merge",
     "stream_session_windows",
     "stream_dedup_by_user_type",
     "stream_stateful_user_stats",
