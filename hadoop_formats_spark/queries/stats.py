@@ -333,3 +333,100 @@ def sketch_histogram_quantiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS cells_below_k,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+             AS rows_to_suppress,
+           round(coalesce(sum(n) FILTER (WHERE n < 5), 0)
+                 / CAST(sum(n) AS DOUBLE), 6) AS suppress_frac,
+           CAST(min(n) AS BIGINT) AS min_cell
+    FROM cells GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier tuple "
+    "(nation, account-balance band, market segment): per nation, how "
+    "many equivalence cells exist, how many fall below k, and the "
+    "fraction of rows that would need suppression/generalization "
+    "before release — the compliance-side complement of the PII "
+    "scrubber.  Two chained partial-agg groupBys (cell sizes, then "
+    "per-nation rollup); nothing row-level ever leaves the map side, "
+    "which is also the privacy-friendly property.",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count("*").alias("n"))
+    below = F.col("n") < 5
+    return (
+        cells.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.count_if(below).alias("cells_below_k"),
+            F.coalesce(F.sum(F.when(below, F.col("n"))), F.lit(0)).alias(
+                "rows_to_suppress"
+            ),
+            F.round(
+                F.coalesce(F.sum(F.when(below, F.col("n"))), F.lit(0))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("suppress_frac"),
+            F.min("n").alias("min_cell"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "stats_correlation_matrix",
+    oracle="""
+    SELECT 'quantity_price' AS pair,
+           round(corr(l_quantity, l_extendedprice), 6) AS pearson_r
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_discount', round(corr(l_quantity, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_discount', round(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_tax', round(corr(l_extendedprice, l_tax), 6)
+    FROM lineitem
+    ORDER BY pair
+    """,
+    doc="Pairwise Pearson correlations across lineitem's numeric "
+    "columns in ONE aggregation pass (all corr() accumulators share "
+    "the single scan; partial-agg merges the co-moment sufficient "
+    "statistics) — the ANALYZE-layer signal behind join-reorder and "
+    "predicate-selectivity estimates.",
+)
+def stats_correlation_matrix(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("a"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("b"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("c"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("d"),
+    )
+    return row.selectExpr(
+        """stack(4,
+             'quantity_price', a,
+             'quantity_discount', b,
+             'price_discount', c,
+             'price_tax', d
+           ) AS (pair, pearson_r)"""
+    ).orderBy("pair")

@@ -363,3 +363,22 @@ def test_kmv_sketch_plan_group_limit_and_partial_distinct(spark, sf_dir):
     plan = plans.executed_plan(sk)
     assert "WindowGroupLimit" in plan
     assert plans.has_partial_aggregation(sk)
+
+
+def test_dq_suite_bounded_scans(spark, sf_dir):
+    """The Deequ-style suite must not scan once per constraint: all
+    row-level metrics share ONE aggregation scan; the referential
+    check adds one more lineitem scan plus the orders side."""
+    plan = plans.executed_plan(_df(spark, sf_dir, "dq_constraint_suite"))
+    assert plan.count("FileScan parquet") <= 3
+    assert plans.has_partial_aggregation(
+        _df(spark, sf_dir, "dq_constraint_suite")
+    )
+
+
+def test_correlation_matrix_single_scan(spark, sf_dir):
+    """All four corr() accumulators share a single lineitem scan."""
+    df = _df(spark, sf_dir, "stats_correlation_matrix")
+    plan = plans.executed_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert plans.has_partial_aggregation(df)
