@@ -2497,3 +2497,104 @@ def ann_ivf_index_persisted(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
     return S2.ivf_topk_from_assigned(assigned, queries, centroids, k=3)
+
+
+def _bpe_compress_oracle(rounds: int = 3) -> str:
+    """Per-language compression after applying the globally-learned
+    merges: same unrolled rounds as ``_bpe_oracle``, with the
+    vocabulary keyed by (lang, word) and pair counts summed globally."""
+    parts = [
+        """
+    words AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS word
+        FROM documents)
+      GROUP BY lang, word
+    ),
+    c0 AS (
+      SELECT lang, word, freq,
+             array_to_string(string_split(word, ''), chr(31)) AS syms
+      FROM words
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    p{r} AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT freq,
+               unnest(list_zip(string_split(syms, chr(31)),
+                               string_split(syms, chr(31))[2:])) AS z
+        FROM c{r}) t
+      WHERE z[2] IS NOT NULL GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+    c{r + 1} AS (
+      SELECT lang, word, freq,
+             list_reduce(string_split(syms, chr(31)),
+               (acc, x) -> CASE
+                 WHEN (acc = b{r}.a OR ends_with(acc, chr(31) || b{r}.a))
+                      AND x = b{r}.b
+                 THEN acc || x ELSE acc || chr(31) || x END) AS syms
+      FROM c{r}, b{r}
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS total_words,
+           CAST(sum(freq * len(string_split(word, ''))) AS BIGINT)
+             AS symbols_before,
+           CAST(sum(freq * len(string_split(syms, chr(31)))) AS BIGINT)
+             AS symbols_after,
+           round(sum(freq * len(string_split(syms, chr(31))))
+                 / CAST(sum(freq * len(string_split(word, ''))) AS DOUBLE),
+                 6) AS compression
+    FROM c{rounds} GROUP BY lang ORDER BY lang"""
+    )
+
+
+@register(
+    "bpe_apply_compression",
+    oracle=_bpe_compress_oracle(3),
+    doc="The tokenizer side of BPE: the 3 globally-learned merges "
+    "(same driver-held table bpe_train_merges certifies) are applied "
+    "to the per-language vocabulary with the map-only greedy fold, "
+    "and per-language compression (symbols after / before) is "
+    "reported — the deploy-time shape: training is rare, APPLICATION "
+    "runs on every corpus pass and is pure map-side over the "
+    "vocabulary, never the raw text.  Oracle re-learns and re-applies "
+    "the identical merges in SQL.",
+)
+def bpe_apply_compression(spark, sf_dir):
+    from ..operators import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    merges = B.bpe_train(d, rounds=3)
+    words = d.select(
+        "lang",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), " "), "")
+        ).alias("word"),
+    )
+    freq = words.groupBy("lang", "word").agg(F.count("*").alias("freq"))
+    chars = F.array_remove(F.split(F.col("word"), ""), "")
+    corpus = freq.withColumn("syms", F.array_join(chars, B.SEP))
+    out = B.apply_merges(corpus, merges)
+    before = F.col("freq") * F.size(
+        F.array_remove(F.split(F.col("word"), ""), "")
+    )
+    after = F.col("freq") * F.size(F.split(F.col("syms"), B.SEP))
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.sum("freq").alias("total_words"),
+            F.sum(before).alias("symbols_before"),
+            F.sum(after).alias("symbols_after"),
+            F.round(
+                F.sum(after) / F.sum(before).cast("double"), 6
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )
