@@ -246,6 +246,10 @@ def main() -> None:
         "sketch_histogram_quantiles",
         "mv_incremental_maintenance",
         "sample_negatives_contrastive",
+        "ann_ivf_index_persisted",
+        "privacy_k_anonymity",
+        "stats_correlation_matrix",
+        "bpe_apply_compression",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
