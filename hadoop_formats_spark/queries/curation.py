@@ -1154,3 +1154,145 @@ def _register_weighted_sample():
 
 
 _register_weighted_sample()
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sess_id
+      FROM marked
+    ), s1 AS (
+      SELECT user_id, sess_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM numbered GROUP BY user_id, sess_id
+    ), s2 AS (
+      SELECT e.user_id, e.sess_id, any_value(s1.t1) AS t1,
+             min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+                      THEN e.ts END) AS t2
+      FROM numbered e JOIN s1 ON e.user_id = s1.user_id
+                             AND e.sess_id = s1.sess_id
+      GROUP BY e.user_id, e.sess_id
+    ), s3 AS (
+      SELECT e.user_id, e.sess_id, any_value(s2.t1) AS t1,
+             any_value(s2.t2) AS t2,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+                      THEN e.ts END) AS t3
+      FROM numbered e JOIN s2 ON e.user_id = s2.user_id
+                             AND e.sess_id = s2.sess_id
+      GROUP BY e.user_id, e.sess_id
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(count(t1) AS BIGINT) AS n1,
+             CAST(count(t2) AS BIGINT) AS n2,
+             CAST(count(t3) AS BIGINT) AS n3
+      FROM s3
+    )
+    SELECT stage, n_sessions,
+           round(n_sessions * 1.0 / n_all, 6) AS frac_of_all,
+           round(n_sessions * 1.0 / greatest(prev, 1), 6) AS frac_of_prev
+    FROM (
+      SELECT '0_all_sessions' AS stage, n_all AS n_sessions, n_all AS prev,
+             n_all FROM agg
+      UNION ALL SELECT '1_view', n1, n_all, n_all FROM agg
+      UNION ALL SELECT '2_click_after_view', n2, n1, n_all FROM agg
+      UNION ALL SELECT '3_purchase_after_click', n3, n2, n_all FROM agg
+    ) ORDER BY stage
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase) within "
+    "30-min-gap sessions: each stage's timestamp is the first "
+    "qualifying event AT OR AFTER the previous stage's (ordering "
+    "matters — a click before the first view does not convert), "
+    "computed as chained per-session aggregates that all share the "
+    "user_id partitioning (the sessionization shuffle is paid once).  "
+    "Output: per-stage session counts with conversion vs total and vs "
+    "the previous stage — the standard product-analytics report.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    numbered = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "sess_id", "ts", "event_type")
+    )
+    keys = ["user_id", "sess_id"]
+    s1 = numbered.groupBy(keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        numbered.join(s1, keys)
+        .groupBy(keys)
+        .agg(
+            F.any_value("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2"),
+        )
+    )
+    s3 = (
+        numbered.join(s2, keys)
+        .groupBy(keys)
+        .agg(
+            F.any_value("t1").alias("t1"),
+            F.any_value("t2").alias("t2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3"),
+        )
+    )
+    agg = s3.agg(
+        F.count("*").alias("n_all"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    stages = agg.selectExpr(
+        """stack(4,
+             '0_all_sessions', n_all, n_all,
+             '1_view', n1, n_all,
+             '2_click_after_view', n2, n1,
+             '3_purchase_after_click', n3, n2
+           ) AS (stage, n_sessions, prev)""",
+        "n_all",
+    )
+    return stages.select(
+        "stage",
+        "n_sessions",
+        F.round(F.col("n_sessions") / F.col("n_all").cast("double"), 6).alias(
+            "frac_of_all"
+        ),
+        F.round(
+            F.col("n_sessions") / F.greatest(F.col("prev"), F.lit(1)).cast("double"), 6
+        ).alias("frac_of_prev"),
+    ).orderBy("stage")

@@ -2598,3 +2598,147 @@ def bpe_apply_compression(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_minhash_band_pr",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL.lstrip()},
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes x ON i.doc_a = x.doc_id
+      JOIN sizes y ON i.doc_b = y.doc_id
+      WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ),
+    tp AS (
+      SELECT count(*) AS n FROM cand c
+      JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(n AS BIGINT) FROM tp) AS n_tp,
+           round((SELECT n FROM tp) * 1.0
+                 / greatest((SELECT count(*) FROM cand), 1), 6) AS precision,
+           round((SELECT n FROM tp) * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """,
+    doc="Honest quality measurement of the MinHash LSH band stage: its "
+    "candidate pairs vs the EXACT Jaccard>=0.8 ground truth (full "
+    "inverted index, no cap) give the band configuration's measured "
+    "precision and recall in one row — the evidence behind choosing "
+    "4 bands x 2 rows, exactly like the recall queries certify the "
+    "ANN approximations.  Both pair sets and their intersection are "
+    "distributed joins; only the five scalar counts ever reach the "
+    "driver.",
+)
+def dedup_minhash_band_pr(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cand = D.minhash_band_pairs(d, num_hashes=8, bands=4)
+    truth = D.shingle_jaccard_pairs(d, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    tp = cand.join(truth, ["doc_a", "doc_b"])
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_true"))
+    ntp = tp.agg(F.count("*").alias("n_tp"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(ntp)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_tp",
+            F.round(
+                F.col("n_tp") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_tp") / F.greatest(F.col("n_true"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+_COS16_SQL = (
+    "round(list_dot_product(CAST(a.embedding[1:16] AS DOUBLE[]),"
+    " CAST(b.embedding[1:16] AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding[1:16] AS DOUBLE[]),"
+    " CAST(a.embedding[1:16] AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding[1:16] AS DOUBLE[]),"
+    " CAST(b.embedding[1:16] AS DOUBLE[])))), 4)"
+)
+
+
+@register(
+    "ann_matryoshka_recall_at_3",
+    oracle=f"""
+    WITH exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rnk <= 3
+    ),
+    trunc3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS16_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rnk <= 3
+    )
+    SELECT e.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_matched3
+    FROM exact3 e LEFT JOIN trunc3 t
+      ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+    doc="Matryoshka-style dimension truncation: recall@3 of cosine "
+    "search over only the FIRST 16 of 64 embedding dims vs the "
+    "full-dimension exact answer — the measured cost of the 4x "
+    "compute/storage saving prefix truncation buys (the same honest "
+    "shape as the JL-projection and IVF recall queries; together "
+    "they map the accuracy/cost frontier).  Truncation is a map-side "
+    "slice; both searches are broadcast-GEMM scans.  On this synthetic "
+    "corpus the measured recall is ~0 — random embeddings are not "
+    "MRL-trained, so their prefixes carry no ranking signal; the query "
+    "is the harness that would catch exactly that before anyone "
+    "truncated in production.",
+)
+def ann_matryoshka_recall_at_3(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    sl = lambda df: df.withColumn("embedding", F.slice("embedding", 1, 16))
+    exact3 = S.brute_force_topk(e, q, k=3).select("query_id", "neighbor_id")
+    trunc3 = (
+        S.brute_force_topk(sl(e), sl(q), k=3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("m"))
+    )
+    return (
+        exact3.join(trunc3, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("m", F.lit(0))).cast("bigint").alias("n_matched3"))
+        .orderBy("query_id")
+    )
