@@ -250,6 +250,9 @@ def main() -> None:
         "privacy_k_anonymity",
         "stats_correlation_matrix",
         "bpe_apply_compression",
+        "dedup_minhash_band_pr",
+        "funnel_conversion",
+        "ann_matryoshka_recall_at_3",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
