@@ -52,6 +52,12 @@ QUERIES_TO_DUMP = [
     ("chunk_sliding_windows", "sliding-window chunking: map-only posexplode+slice fan-out (round 4)"),
     ("bpe_train_merges", "BPE training: vocabulary partial-agg + per-round fold, driver-held merges (round 4)"),
     ("graph_pagerank_suppliers", "PageRank: per-iteration edges join + partial-agg mass sum (round 4)"),
+    ("dq_constraint_suite", "DQ suite: all row-level metrics in ONE aggregation scan + referential anti-join (round 4)"),
+    ("snapshot_diff_orders", "snapshot diff: map-side row digests, delta-sized full-outer join (round 4)"),
+    ("mv_incremental_maintenance", "IVM: delta-join maintenance, O(delta) per batch (round 4)"),
+    ("funnel_conversion", "session funnel: chained per-session aggs sharing one user_id shuffle (round 4)"),
+    ("dedup_minhash_band_pr", "band-stage P/R: candidates vs exact ground truth, scalar counts only to driver (round 4)"),
+    ("sketch_histogram_quantiles", "histogram sketch: one partial-agg pass, mergeable bins, quantiles off the CDF (round 4)"),
 ]
 
 
