@@ -98,30 +98,37 @@ def bpe_train(
     (like k-means centroids).  Ties break deterministically by
     (count desc, left asc, right asc), so retries reproduce the same
     merge table."""
-    corpus = word_freqs(docs, text_col=text_col)
-    merges: list[dict] = []
-    for r in range(rounds):
-        best = (
-            pair_counts(corpus)
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .first()
-        )
-        if best is None:
-            break
-        merges.append(
-            {
-                "round": r,
-                "left_sym": best.a,
-                "right_sym": best.b,
-                "pair_n": best.n,
-            }
-        )
-        corpus = corpus.withColumn(
-            "syms",
-            merge_fold(F.col("syms"), F.lit(best.a), F.lit(best.b)),
-        )
-    return merges
+    base = word_freqs(docs, text_col=text_col).persist()
+    try:
+        corpus = base
+        merges: list[dict] = []
+        for r in range(rounds):
+            best = (
+                pair_counts(corpus)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .first()
+            )
+            if best is None:
+                break
+            merges.append(
+                {
+                    "round": r,
+                    "left_sym": best.a,
+                    "right_sym": best.b,
+                    "pair_n": best.n,
+                }
+            )
+            corpus = corpus.withColumn(
+                "syms",
+                merge_fold(F.col("syms"), F.lit(best.a), F.lit(best.b)),
+            )
+        return merges
+    finally:
+        # the raw-text scan really does run once: every round's action
+        # replays only persisted-vocabulary + chained folds (the same
+        # persist discipline kmeans_iterations uses for its training set)
+        base.unpersist()
 
 
 def apply_merges(

@@ -133,17 +133,28 @@ def snapshot_diff(
     output is delta-sized, not table-sized).
 
     One full-outer join on the key; row equality is an md5 over the
-    null-tagged compare columns computed map-side on each side, so
-    the shuffle carries (keys, 32-byte hash), not the full rows —
-    diffing wide tables costs the same as narrow ones."""
+    compare columns computed map-side on each side, so the shuffle
+    carries (keys, 32-byte hash), not the full rows — diffing wide
+    tables costs the same as narrow ones.  Each field is
+    length-prefixed (and NULL gets its own tag), making the encoding
+    injective: no concatenation of values — whatever bytes they
+    contain — can collide with a different row."""
     def hashed(df: DataFrame, alias: str) -> DataFrame:
         cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00∅")).alias(c)
+            F.when(F.col(c).isNull(), F.lit("n"))
+            .otherwise(
+                F.concat(
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                )
+            )
+            .alias(c)
             for c in compare_cols
         ]
         return df.select(
             *[F.col(k) for k in key_cols],
-            F.md5(F.concat_ws("\x1f", *cols)).alias(alias),
+            F.md5(F.concat_ws("|", *cols)).alias(alias),
         )
 
     o = hashed(old, "_oh")

@@ -87,7 +87,7 @@ def chunk_tokens(
     Chunk starts are 0, stride, 2·stride, …; the count is
     1 + ceil(max(n - window, 0) / stride), so every token is covered
     and only the final chunk may run short.  Map-only: tokenize,
-    compute the chunk count, ``posexplode`` a sequence, ``slice`` —
+    compute the chunk count, ``explode`` a sequence, ``slice`` —
     no shuffle, no UDF; a 100 TB corpus chunks at scan speed and the
     fan-out is rows-out ≈ rows-in · n/stride."""
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), " "), "")
@@ -102,8 +102,8 @@ def chunk_tokens(
             "doc_id",
             "toks",
             "n",
-            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
-                "chunk_id", "_s"
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id"
             ),
         )
         .select(

@@ -131,15 +131,20 @@ def kmv_estimate(
     hash_col: str = "h",
     k: int = 64,
     est_col: str = "kmv_est",
+    stats: bool = False,
 ) -> DataFrame:
     """Distinct-count estimate per group from a KMV sketch: with fewer
     than k hashes the sketch IS the distinct set (exact count);
     otherwise the unbiased estimator (k-1)/U(k) where U(k) is the kth
     smallest hash normalized to (0,1) — here (k-1)·2^32 / max(h).
     Touches only the sketch (≤ k rows/group); the corpus is never
-    rescanned."""
-    return sketch.groupBy(group_col).agg(
+    rescanned.  ``stats=True`` additionally returns the sketch size
+    ``n`` and kth hash ``mx`` (e.g. to prove two sketches identical)."""
+    aggs = [
         F.when(F.count("*") < k, F.count("*").cast("double"))
         .otherwise(F.lit(float(k - 1) * 4294967296.0) / F.max(hash_col))
         .alias(est_col)
-    )
+    ]
+    if stats:
+        aggs += [F.count("*").alias("n"), F.max(hash_col).alias("mx")]
+    return sketch.groupBy(group_col).agg(*aggs)

@@ -1714,12 +1714,8 @@ def sketch_kmv_distinct_union(spark, sf_dir):
     merged = SK.kmv_sketch(ha.unionByName(hb), group_col="rf")
 
     def est_stats(sk):
-        return sk.groupBy("rf").agg(
-            F.when(F.count("*") < 64, F.count("*").cast("double"))
-            .otherwise(F.lit(63.0 * 4294967296.0) / F.max("h"))
-            .alias("est"),
-            F.count("*").alias("n"),
-            F.max("h").alias("mx"),
+        return SK.kmv_estimate(
+            sk, group_col="rf", k=64, est_col="est", stats=True
         )
 
     ew = est_stats(whole)
@@ -2083,10 +2079,10 @@ def bpe_train_merges(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     merges = B.bpe_train(d, rounds=3)
-    corpus = B.word_freqs(d)
+    cr = B.word_freqs(d)
     out = None
     for r, m in enumerate(merges):
-        cr = B.apply_merges(corpus, merges[: r + 1])
+        cr = B.apply_merges(cr, [m])  # one fold added per round
         row = cr.agg(
             F.lit(r).alias("round"),
             F.lit(m["left_sym"]).alias("left_sym"),
@@ -2103,10 +2099,10 @@ def bpe_train_merges(spark, sf_dir):
 def _pagerank_oracle(iterations: int = 3) -> str:
     parts = ["""
     e AS (
-      SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      SELECT DISTINCT l_partkey AS src, -(l_suppkey + 1) AS dst
       FROM lineitem
       UNION
-      SELECT DISTINCT 1000000 + l_suppkey, l_partkey FROM lineitem
+      SELECT DISTINCT -(l_suppkey + 1), l_partkey FROM lineitem
     ),
     nodes AS (
       SELECT DISTINCT src AS node FROM e
@@ -2131,8 +2127,8 @@ def _pagerank_oracle(iterations: int = 3) -> str:
         "WITH "
         + ",".join(parts)
         + f"""
-    SELECT node - 1000000 AS suppkey, round(pr, 8) AS pagerank
-    FROM r{iterations} WHERE node >= 1000000 ORDER BY suppkey"""
+    SELECT -node - 1 AS suppkey, round(pr, 8) AS pagerank
+    FROM r{iterations} WHERE node < 0 ORDER BY suppkey"""
     )
 
 
@@ -2152,20 +2148,15 @@ def graph_pagerank_suppliers(spark, sf_dir):
     from ..operators import graph as G
 
     li = table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
-    )
-    rev = li.select(
-        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
-        F.col("l_partkey").alias("dst"),
-    )
+    supp = -(F.col("l_suppkey") + 1)
+    fwd = li.select(F.col("l_partkey").alias("src"), supp.alias("dst"))
+    rev = li.select(supp.alias("src"), F.col("l_partkey").alias("dst"))
     edges = fwd.unionByName(rev).distinct()
     pr = G.pagerank(edges, iterations=3)
     return (
-        pr.filter(F.col("node") >= 1000000)
+        pr.filter(F.col("node") < 0)
         .select(
-            (F.col("node") - 1000000).alias("suppkey"),
+            (-F.col("node") - 1).alias("suppkey"),
             F.round("pr", 8).alias("pagerank"),
         )
         .orderBy("suppkey")
@@ -2310,9 +2301,13 @@ def mv_incremental_maintenance(spark, sf_dir):
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
     )
 
+    # dims is one row per ORDER (fact-scaled): broadcasting it would
+    # ship the fact side to every executor at real SF, so the fact-fact
+    # join shuffles on the order key (AQE may still broadcast at small
+    # SF); only customer⋈nation above is dimension-sized.
     def agg(fact):
         return (
-            fact.join(F.broadcast(dims), fact.l_orderkey == dims.o_orderkey)
+            fact.join(dims, fact.l_orderkey == dims.o_orderkey)
             .groupBy("n_name")
             .agg(rev.alias("revenue"), F.count("*").alias("n_items"))
         )
@@ -2386,7 +2381,9 @@ def mv_incremental_maintenance(spark, sf_dir):
     "reproducible across retries/engines (no RNG state), map-side "
     "except the one vec_id-keyed join that fetches negative labels "
     "(broadcast N).  same_label exposes the false-negative rate the "
-    "training loop would need to handle.",
+    "training loop would need to handle.  Assumes (and the testdata "
+    "guarantees) dense vec_ids 0..N-1 — with gaps, sample over "
+    "row_number ranks instead.",
 )
 def sample_negatives_contrastive(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
@@ -2474,7 +2471,14 @@ def ann_ivf_index_persisted(spark, sf_dir):
 
     from ..operators import similarity as S2
 
-    key = sf_dir.strip("/").replace("/", "_")
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    # source fingerprint in the key: a regenerated corpus at the same
+    # path can never be served a stale index
+    key = (
+        sf_dir.strip("/").replace("/", "_")
+        + f".{st.st_size}.{int(st.st_mtime)}"
+    )
     final = os.path.join(_IVF_INDEX_CACHE, key)
     if not os.path.isdir(os.path.join(final, "assigned")):
         e = table(spark, sf_dir, "embeddings")
