@@ -421,6 +421,44 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str):
     ).orderBy("doc_id")
 
 
+def _corpus_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """The corpus-build stage chain, shared by the capstone pipeline
+    and the drop-waterfall observability query so both certify the
+    SAME plan."""
+    from ..functions.text import repetition_metrics
+    from ..operators.dedup import contamination_overlap
+
+    d = table(spark, sf_dir, "documents")
+    quality = d.filter(
+        F.col("n_chars").between(100, 500)
+        & (F.size(F.split("text", " ", -1)) >= 15)
+    )
+    rep = repetition_metrics(quality, n=2).select("doc_id", "dup_frac")
+    unrepetitive = quality.join(rep, "doc_id").filter(F.col("dup_frac") <= 0.3)
+    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    deduped = (
+        unrepetitive.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dup_frac")
+    )
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = deduped.filter(F.col("doc_id") % 20 != 0)
+    contaminated = (
+        contamination_overlap(train, bench, shingle_n=5)
+        .filter(F.col("contamination_frac") >= 0.5)
+        .select("doc_id")
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    return {
+        "0_all": d,
+        "1_quality": quality,
+        "2_unrepetitive": unrepetitive,
+        "3_deduped": deduped,
+        "4_train_split": train,
+        "5_decontaminated": clean,
+    }
+
+
 @register(
     "corpus_build_pipeline",
     oracle="""
@@ -500,31 +538,9 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str):
     "so the oracle checks the composition end to end.",
 )
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str):
-    from ..functions.text import repetition_metrics
-    from ..operators.dedup import contamination_overlap
     from ..operators.packing import pack_sequences
 
-    d = table(spark, sf_dir, "documents")
-    quality = d.filter(
-        F.col("n_chars").between(100, 500)
-        & (F.size(F.split("text", " ", -1)) >= 15)
-    )
-    rep = repetition_metrics(quality, n=2).select("doc_id", "dup_frac")
-    unrepetitive = quality.join(rep, "doc_id").filter(F.col("dup_frac") <= 0.3)
-    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
-    deduped = (
-        unrepetitive.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dup_frac")
-    )
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    train = deduped.filter(F.col("doc_id") % 20 != 0)
-    contaminated = (
-        contamination_overlap(train, bench, shingle_n=5)
-        .filter(F.col("contamination_frac") >= 0.5)
-        .select("doc_id")
-    )
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    clean = _corpus_stages(spark, sf_dir)["5_decontaminated"]
     packed = pack_sequences(clean, budget=256, part_cols=("lang",), n_shards=8)
     return (
         packed.groupBy("lang")
@@ -1296,3 +1312,112 @@ def funnel_conversion(spark: SparkSession, sf_dir: str):
             F.col("n_sessions") / F.greatest(F.col("prev"), F.lit(1)).cast("double"), 6
         ).alias("frac_of_prev"),
     ).orderBy("stage")
+
+
+@register(
+    "curation_drop_waterfall",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE n_chars BETWEEN 100 AND 500
+        AND len(string_split(text, ' ')) >= 15
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM quality),
+           UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(1 - count(DISTINCT gram) * 1.0 / count(*), 4) AS dup_frac
+      FROM grams GROUP BY doc_id
+    ),
+    unrepetitive AS (
+      SELECT q.* FROM quality q JOIN rep USING (doc_id)
+      WHERE rep.dup_frac <= 0.3
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        FROM unrepetitive) WHERE rn = 1
+    ),
+    train AS (SELECT * FROM deduped WHERE doc_id % 20 <> 0),
+    tr_sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM train),
+           UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    be_sh AS (
+      SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+           UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)
+    ),
+    contaminated AS (
+      SELECT t.doc_id
+      FROM tr_sh t LEFT JOIN be_sh b USING (shingle)
+      GROUP BY t.doc_id
+      HAVING round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 4) >= 0.5
+    ),
+    clean AS (
+      SELECT * FROM train
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    counts AS (
+      SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+      UNION ALL SELECT '1_quality', count(*) FROM quality
+      UNION ALL SELECT '2_unrepetitive', count(*) FROM unrepetitive
+      UNION ALL SELECT '3_deduped', count(*) FROM deduped
+      UNION ALL SELECT '4_train_split', count(*) FROM train
+      UNION ALL SELECT '5_decontaminated', count(*) FROM clean
+    )
+    SELECT stage, n AS n_docs,
+           CAST(coalesce(lag(n) OVER (ORDER BY stage) - n, 0) AS BIGINT)
+             AS dropped,
+           round(coalesce((lag(n) OVER (ORDER BY stage) - n)
+                 * 1.0 / greatest(lag(n) OVER (ORDER BY stage), 1), 0), 6)
+             AS drop_frac
+    FROM counts ORDER BY stage
+    """,
+    doc="Drop waterfall for the corpus-build pipeline — the "
+    "observability report every production curation run ships with: "
+    "per stage (quality gate, repetition filter, exact dedup, "
+    "bench-slice excision, decontamination), surviving docs, rows "
+    "dropped, and drop rate vs the previous stage.  Built from the "
+    "SAME _corpus_stages chain the capstone executes (not a "
+    "re-implementation), so the waterfall certifies the pipeline it "
+    "describes; each stage count is one aggregate over the shared "
+    "lineage.",
+)
+def curation_drop_waterfall(spark: SparkSession, sf_dir: str):
+    stages = _corpus_stages(spark, sf_dir)
+    out = None
+    for name, df in stages.items():
+        row = df.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_docs")
+        )
+        out = row if out is None else out.unionByName(row)
+    w = Window.orderBy("stage")
+    prev = F.lag("n_docs").over(w)
+    return (
+        out.withColumn(
+            "dropped", F.coalesce(prev - F.col("n_docs"), F.lit(0))
+        )
+        .withColumn(
+            "drop_frac",
+            F.round(
+                F.coalesce(
+                    (prev - F.col("n_docs"))
+                    / F.greatest(prev, F.lit(1)).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .orderBy("stage")
+    )

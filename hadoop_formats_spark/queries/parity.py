@@ -1602,3 +1602,86 @@ def approx_distinct_quantiles(spark, sf_dir):
             "price_pcts"
         ),
     )
+
+
+@register(
+    "timeseries_resample_ffill",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 30 = 0
+    ),
+    grid AS (
+      SELECT user_id, g AS grid_ts
+      FROM users,
+           UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-30 18:00:00',
+                                  INTERVAL '6 hours')) AS t(g)
+    ),
+    unioned AS (
+      SELECT user_id, ts, value, 0 AS src, event_id
+      FROM events WHERE user_id % 30 = 0
+      UNION ALL
+      SELECT user_id, grid_ts, NULL, 1, 9223372036854775807 FROM grid
+    ),
+    filled AS (
+      SELECT user_id, ts, src,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, src, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS ffill
+      FROM unioned
+    )
+    SELECT user_id, ts AS grid_ts, round(ffill, 4) AS value_ffill
+    FROM filled WHERE src = 1
+    ORDER BY user_id, grid_ts
+    """,
+    doc="Time-series resampling to a regular 6-hour grid with "
+    "forward fill: grid markers are unioned into the event stream "
+    "and a last_value(IGNORE NULLS) running window carries each "
+    "user's most recent observation forward — one shuffle on "
+    "user_id, no per-gridpoint join, grid points before a user's "
+    "first event stay NULL (honest, not zero-filled).  Ordering "
+    "puts same-timestamp events BEFORE their grid marker so a "
+    "reading taken exactly on the boundary is included.",
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 30 == 0)
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 18:00:00").cast("timestamp"),
+                F.expr("INTERVAL 6 HOURS"),
+            )
+        ).alias("ts"),
+    )
+    unioned = ev.select(
+        "user_id", "ts", "value", F.lit(0).alias("src"), "event_id"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("src"),
+            F.lit(9223372036854775807).alias("event_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "ffill", F.last("value", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("src") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round("ffill", 4).alias("value_ffill"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
