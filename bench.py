@@ -253,6 +253,8 @@ def main() -> None:
         "dedup_minhash_band_pr",
         "funnel_conversion",
         "ann_matryoshka_recall_at_3",
+        "curation_drop_waterfall",
+        "timeseries_resample_ffill",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
