@@ -255,6 +255,7 @@ def main() -> None:
         "ann_matryoshka_recall_at_3",
         "curation_drop_waterfall",
         "timeseries_resample_ffill",
+        "stream_chained_windowed_aggs",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -422,3 +422,61 @@ def stream_static_join_enrichment(spark, sf_dir):
     )
     out = _run_to_memory(agg, spark, state_partitions=2)
     return out.orderBy("first_type")
+
+
+@register(
+    "stream_chained_windowed_aggs",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    closed_hourly AS (
+      SELECT h, event_type, n FROM hourly, mx
+      WHERE h + INTERVAL '1 hour' <= m
+    ),
+    daily AS (
+      SELECT time_bucket(INTERVAL '1 day', h) AS d, event_type,
+             CAST(max(n) AS BIGINT) AS max_hourly,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM closed_hourly GROUP BY 1, 2
+    )
+    SELECT d AS day_start, event_type, max_hourly, n_events
+    FROM daily, mx WHERE d + INTERVAL '1 day' <= m
+    ORDER BY day_start, event_type
+    """,
+    doc="TWO chained stateful aggregations in ONE streaming query "
+    "(Spark >= 3.4/4 multiple-stateful-operator support): hourly "
+    "event counts feed a daily max/sum aggregation via "
+    "window_time(), both in append mode — the streaming rollup shape "
+    "that previously required two queries with an intermediate "
+    "topic.  Append mode emits only watermark-closed windows, so the "
+    "batch oracle filters to hour/day windows that END at or before "
+    "max(ts) — the partial final windows stay open, which is the "
+    "honest streaming answer.",
+)
+def stream_chained_windowed_aggs(spark, sf_dir):
+    s = _events_stream(spark, sf_dir)
+    hourly = (
+        s.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        hourly.withColumn("wt", F.window_time("window"))
+        .groupBy(F.window("wt", "1 day"), "event_type")
+        .agg(
+            F.max("n").alias("max_hourly"), F.sum("n").alias("n_events")
+        )
+    )
+    out = _run_to_memory(
+        daily, spark, output_mode="append", state_partitions=2
+    )
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("day_start"),
+        "event_type",
+        "max_hourly",
+        "n_events",
+    ).orderBy("day_start", "event_type")
