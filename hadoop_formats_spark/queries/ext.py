@@ -1708,9 +1708,17 @@ def sketch_kmv_distinct_union(spark, sf_dir):
             )
         ).alias("h"),
     )
-    whole = SK.kmv_sketch(items, group_col="rf")
-    ha = SK.kmv_sketch(items.filter(F.col("half") == 0), group_col="rf")
-    hb = SK.kmv_sketch(items.filter(F.col("half") == 1), group_col="rf")
+    # one (rf, half, h) distinct over the corpus; every sketch branch
+    # derives from it, so Catalyst reuses the single exchange instead
+    # of re-scanning lineitem per branch (ReusedExchange in the plan)
+    base = items.distinct()
+    whole = SK.kmv_sketch(base.select("rf", "h").distinct(), group_col="rf")
+    ha = SK.kmv_sketch(
+        base.filter(F.col("half") == 0).select("rf", "h"), group_col="rf"
+    )
+    hb = SK.kmv_sketch(
+        base.filter(F.col("half") == 1).select("rf", "h"), group_col="rf"
+    )
     merged = SK.kmv_sketch(ha.unionByName(hb), group_col="rf")
 
     def est_stats(sk):
