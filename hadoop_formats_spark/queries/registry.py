@@ -148,22 +148,51 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   - join_interval_binned_price_band: joins keep three graded reps
 #     (inner / as-of / salted); the interval rewrite stays covered by
 #     pytest + the full-registry sweep.
+#
+# Round-5 rotation (VERDICT r4 #2-#4): with the datasource-registration
+# fix landed, the proven-but-never-driver-graded MapFile family enters
+# (mapfile_point_lookup / bloommap_probe_batch / setfile_dedup_ledger),
+# plus three heavy TPC-H shapes (q9 multi-join profit, q21 EXISTS/NOT
+# EXISTS anti-join, q17 correlated scalar subquery) and five round-4
+# analytics operators that never had a driver row
+# (sketch_count_min_heavy_hitters, snapshot_diff_orders,
+# mv_incremental_maintenance, stream_chained_windowed_aggs,
+# sample_weighted_quality).  Eleven slots freed — every retiree was
+# driver-graded GREEN in r4 (historical certification stands) and its
+# machinery stays exercised transitively + by pytest + the full sweep:
+#   - seqfile_stream_sink_roundtrip (green r3+r4; sink covered by
+#     pytest streaming tests; the stream SOURCE row stays),
+#   - seqfile_record_layout_roundtrip / seqfile_permissive_corrupt_tail
+#     / seqfile_metadata_roundtrip (green r4; golden-fixture + JVM
+#     interop pytest covers layouts, corruption, metadata),
+#   - multimodal_metadata (green r4; multimodal_audio_window_counts
+#     stays as the family's graded rep),
+#   - pii_scrub_stats + text_quality_score (green r4; both stages run
+#     inside the still-graded corpus_build_pipeline, and quality
+#     scoring also feeds the incoming sample_weighted_quality row),
+#   - url_canonical_dedup (green r4; pure-Catalyst, sweep-covered),
+#   - pivot_priority_by_status + string_functions (green r4; pivot and
+#     scalar-fn parity stay in pytest oracle checks + the sweep),
+#   - subquery_correlated_above_cust_avg (green r4; the incoming
+#     q17_small_quantity_revenue is the same correlated-scalar-subquery
+#     machinery inside a strictly harder plan).
 PRIORITY_ORDER = [
     # format layer (SURVEY §2.1 R1-R18 + writer + streaming source)
     "seqfile_reference_record_count",
     "seqfile_reference_first_keys",
     "seqfile_roundtrip_returnflag_counts",
     "seqfile_stream_source_counts",
-    "seqfile_stream_sink_roundtrip",
-    "seqfile_record_layout_roundtrip",
-    "seqfile_permissive_corrupt_tail",
-    "seqfile_metadata_roundtrip",
     # round 4: MapFile (sorted-data + sparse-index companion format,
     # index-driven key-range pruning) takes the graded slot previously
     # held by parquet_write_roundtrip, whose machinery stays certified
     # by parquet_partitioned_pruned_read (same writer) plus the
     # csv/json/orc sink roundtrips in the full sweep and pytest.
     "mapfile_range_scan",
+    # round 5: the rest of the MapFile family, unblocked by the
+    # entry-point registration fix (VERDICT r4 #1/#2)
+    "mapfile_point_lookup",
+    "bloommap_probe_batch",
+    "setfile_dedup_ledger",
     "parquet_partitioned_pruned_read",
     # [ext] dedup / similarity / text / multimodal / curation (§2.3)
     "dedup_minhash_lsh",
@@ -180,6 +209,11 @@ PRIORITY_ORDER = [
     "dedup_embedding_lsh_blocked",
     "dedup_group_assignment",
     "dedup_incremental_batch",
+    # round 5: never-graded analytics families (VERDICT r4 #4)
+    "sketch_count_min_heavy_hitters",
+    "snapshot_diff_orders",
+    "mv_incremental_maintenance",
+    "sample_weighted_quality",
     # round 4 (this session): filtered top-k replaces the plain
     # brute-force slot — it runs the SAME brute_force_topk operator
     # (broadcast query GEMM + window resolve) on a predicate-filtered
@@ -190,16 +224,8 @@ PRIORITY_ORDER = [
     "graph_pagerank_suppliers",
     "sketch_kmv_distinct_union",
     "text_lang_id_confusion",
-    "text_quality_score",
     "bpe_train_merges",
-    # round 4 (this session): URL canonicalization + per-domain dedup
-    # accounting takes text_fingerprint_dups' slot — md5/rolling
-    # fingerprint machinery stays certified by split_train_holdout
-    # (fingerprint-keyed) and corpus_build_pipeline's dedup stage plus
-    # the full sweep; URL-level dedup is an uncovered curation signal.
-    "url_canonical_dedup",
     "text_tfidf_top_terms",
-    "multimodal_metadata",
     # round 4: product quantization (per-subspace L2 codebooks,
     # SQL-unrolled oracle) takes the quantization family's graded slot
     # from embedding_quantize_int8_error — PQ exercises the int8 story's
@@ -209,7 +235,6 @@ PRIORITY_ORDER = [
     "multimodal_audio_window_counts",
     "corpus_build_pipeline",
     "sample_token_budget",
-    "pii_scrub_stats",
     # streaming (SURVEY §2.2 last row)
     "stream_tumbling_hourly_counts",
     "scd2_dimension_merge",
@@ -217,8 +242,17 @@ PRIORITY_ORDER = [
     "stream_dedup_by_user_type",
     "stream_stateful_user_stats",
     "stream_stream_join_click_to_purchase",
+    # round 5: chained stateful windowed aggregation (two watermarked
+    # windows back-to-back) — the hardest never-graded streaming shape
+    "stream_chained_windowed_aggs",
     # parity representatives, one per §2.2 category
     "q1_pricing_summary",
+    # round 5: heavy TPC-H shapes (VERDICT r4 #3) — q9 multi-join
+    # profit, q21 EXISTS + NOT EXISTS anti-join chain, q17 correlated
+    # scalar subquery (subsumes the retired subquery_correlated row)
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "q17_small_quantity_revenue",
     "curation_pipeline_docs",
     "join_inner_revenue_by_nation",
     "join_asof_purchase_last_click",
@@ -226,9 +260,6 @@ PRIORITY_ORDER = [
     "window_topk_orders_per_customer",
     "grouping_sets_time_rollup",
     "sort_topk_revenue_parts",
-    "string_functions",
-    "subquery_correlated_above_cust_avg",
-    "pivot_priority_by_status",
     "udf_pandas_grouped_weighted_avg",
     "sql_entry_revenue_by_segment",
 ]
