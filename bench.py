@@ -80,6 +80,8 @@ def _steal_counters() -> tuple[int, int]:
 
 STEAL_LIMIT = 0.03  # >3% of the interval stolen → sample is polluted
 CAL_LIMIT = 1.30  # calibration probe >30% over its session-best → polluted
+RECORD_LIMIT = 1.35  # best-of-run >35% over the rolling clean record → flag
+RECORD_PATH = os.path.join(REPO, ".bench_record.json")
 
 
 def _calibrate() -> float:
@@ -118,12 +120,15 @@ def timed_best(fn, n: int = 2, max_extra: int = 2) -> tuple[float, bool]:
         dt = time.time() - w0
         s1, t1 = _steal_counters()
         c1 = _calibrate()
-        timed_best.cal_best = min(
-            getattr(timed_best, "cal_best", float("inf")), c0, c1
-        )
+        # compare against the best of PRIOR probes only (seeded by
+        # main()'s warm-up probes), then fold this sample in — folding
+        # first made the first sample of a session un-flaggable, so a
+        # uniformly slow session reported clean timings (ADVICE r4)
+        cal_prior = getattr(timed_best, "cal_best", float("inf"))
         runs += 1
         steal_ok = (s1 - s0) / max(1, t1 - t0) < STEAL_LIMIT
-        cal_ok = min(c0, c1) < timed_best.cal_best * CAL_LIMIT
+        cal_ok = min(c0, c1) < cal_prior * CAL_LIMIT
+        timed_best.cal_best = min(cal_prior, c0, c1)
         if steal_ok and cal_ok:
             clean += 1
         best = dt if best is None else min(best, dt)
@@ -178,6 +183,32 @@ def main() -> None:
     _par_cal()  # JIT warm
     par_cal_start = _par_cal()
 
+    # seed the calibration session-best from warm-up probes so the very
+    # first timed sample can be cal-flagged too (ADVICE r4: comparing a
+    # sample against a best that already includes it never flags)
+    timed_best.cal_best = min(_calibrate() for _ in range(5))
+
+    # rolling clean record: per-sf per-query best CLEAN seconds across
+    # runs on this box.  A run whose best exceeds the record by >35%
+    # is flagged even when steal + calibration look clean (VERDICT r4:
+    # a ~35%-inflated run passed both detectors) — medians of past
+    # clean runs are the only detector that sees slow-but-steady noise.
+    try:
+        with open(RECORD_PATH) as fh:
+            record_all = json.load(fh)
+    except Exception:
+        record_all = {}
+    sf_key = str(sf)
+    record: dict[str, float] = record_all.setdefault(sf_key, {})
+    record_flagged: list[str] = []
+
+    def check_record(name: str, best: float, clean: bool) -> None:
+        prior = record.get(name)
+        if prior is not None and best > prior * RECORD_LIMIT:
+            record_flagged.append(name)
+        elif clean:
+            record[name] = min(prior, best) if prior is not None else best
+
     timings: dict[str, float] = {}
     flagged: list[str] = []
     for name in HEADLINE:
@@ -191,6 +222,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         if bad:
             flagged.append(name)
+        check_record(name, best, not bad)
         print(
             f"# {name}: {timings[name]:.2f}s ({timed_best.last} rows)"
             + (" [steal-flagged]" if bad else ""),
@@ -273,6 +305,7 @@ def main() -> None:
         extra[name] = round(best, 3)
         if bad:
             flagged.append(name)
+        check_record(name, best, not bad)
         print(
             f"# extra {name}: {extra[name]:.2f}s ({timed_best.last} rows)"
             + (" [steal-flagged]" if bad else ""),
@@ -302,6 +335,7 @@ def main() -> None:
     if bad:
         flagged.append("seqfile_full_scan")
     timings["seqfile_full_scan"] = round(decode_s, 3)
+    check_record("seqfile_full_scan", decode_s, not bad)
 
     # scaled format-layer scan (BASELINE.md §1 protocol: fixtures
     # rewritten at ~100×): one 10M-record Text→Int file, multi-split
@@ -320,44 +354,68 @@ def main() -> None:
     n_scaled = timed_best.last
     if bad:
         flagged.append("seqfile_scaled_scan")
+    check_record("seqfile_scaled_scan", scaled_s, not bad)
+
+    # persist the rolling clean record (best-effort; never fail a run)
+    try:
+        tmp = RECORD_PATH + f".{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(record_all, fh, indent=1, sort_keys=True)
+        os.replace(tmp, RECORD_PATH)
+    except Exception:
+        pass
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "sf": sf,
-                "seqfile_decode_recs_per_sec": round(n_rows / decode_s),
-                "seqfile_scaled_scan": {
-                    "records": n_scaled,
-                    "sec": round(scaled_s, 3),
-                    "recs_per_sec": round(n_scaled / scaled_s),
-                },
-                # queries whose every timing sample was polluted —
-                # hypervisor steal >3% of the interval OR the CPU
-                # calibration probe >30% over its session-best (ambient
-                # contention steal can't see): values are upper bounds
-                "steal_flagged": flagged,
-                # session-best runtime of the ~40ms single-thread CPU
-                # probe: compare across runs to normalize for ambient
-                # slowdown (a run with cal_ms 1.5x another's is
-                # uniformly ~1.5x inflated through no fault of the code)
-                "cal_ms": round(
-                    getattr(timed_best, "cal_best", 0.0) * 1000, 1
-                ),
-                # fixed 32-way JVM reduction, min of start/end runs:
-                # inflates with ambient parallel-throughput loss that
-                # neither steal nor the single-thread probe sees —
-                # divide headline values by (par_cal_s / quiet-box
-                # par_cal_s) to compare runs fairly
-                "par_cal_s": round(min(par_cal_start, _par_cal()), 3),
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "seqfile_decode_recs_per_sec": round(n_rows / decode_s),
+        "seqfile_scaled_scan": {
+            "records": n_scaled,
+            "sec": round(scaled_s, 3),
+            "recs_per_sec": round(n_scaled / scaled_s),
+        },
+        # queries whose every timing sample was polluted — hypervisor
+        # steal >3% of the interval OR the CPU calibration probe >30%
+        # over its session-best (ambient contention steal can't see):
+        # values are upper bounds
+        "steal_flagged": flagged,
+        # queries whose best-of-run exceeds the rolling clean record on
+        # this box by >35% — slow-but-steady ambient noise the other two
+        # detectors miss (VERDICT r4 let a ~35%-inflated run through)
+        "record_flagged": record_flagged,
+        # session-best runtime of the ~40ms single-thread CPU probe:
+        # compare across runs to normalize for ambient slowdown
+        "cal_ms": round(getattr(timed_best, "cal_best", 0.0) * 1000, 1),
+        # fixed 32-way JVM reduction, min of start/end runs: inflates
+        # with ambient parallel-throughput loss that neither steal nor
+        # the single-thread probe sees — divide headline values by
+        # (par_cal_s / quiet-box par_cal_s) to compare runs fairly
+        "par_cal_s": round(min(par_cal_start, _par_cal()), 3),
+        # full payload incl. the ~55-query extras section — kept OUT of
+        # this line: the grading driver retains only the last 2000
+        # chars of stdout, and r4's extras pushed the line past that,
+        # truncating its head and making it unparseable (parsed: null)
+        "extras_file": "BENCH_extras_local.json",
+    }
+    full = dict(summary)
+    full["extra_queries"] = extra
+    try:
+        with open(os.path.join(REPO, "BENCH_extras_local.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except Exception:
+        pass
+    print(f"# extra_queries total: {round(sum(extra.values()), 3)}s", file=sys.stderr)
+    line = json.dumps(summary)
+    if len(line) > 1900:  # stay inside the driver's 2000-char tail
+        for k in ("record_flagged", "steal_flagged"):
+            if len(line) > 1900:
+                summary[k] = f"{len(summary[k])} flagged (see extras_file)"
+                line = json.dumps(summary)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
