@@ -26,7 +26,9 @@ def _ship_package(spark: SparkSession) -> None:
     ``addPyFile`` it — sc adds it to every worker's sys.path."""
     import zipfile
 
-    zip_path = os.path.join("/tmp", "hadoop_formats_spark_pkg.zip")
+    from hadoop_formats_spark.cachedir import cache_path
+
+    zip_path = cache_path("hadoop_formats_spark_pkg.zip")
     pkg_dir = os.path.join(_REPO, "hadoop_formats_spark")
     newest = max(
         os.path.getmtime(os.path.join(root, f))

@@ -46,7 +46,9 @@ def _scaled_seq_file(n: int = 10_000_000) -> str:
     vectorized writer in BLOCK+Snappy, read back via auto-split."""
     import pyarrow as pa
 
-    path = "/tmp/hfs_seq_cache/scaled/text_int_10m.seq"
+    from hadoop_formats_spark.cachedir import cache_path
+
+    path = cache_path("seq_cache", "scaled", "text_int_10m.seq")
     if os.path.isfile(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)

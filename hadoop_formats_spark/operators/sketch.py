@@ -62,7 +62,14 @@ def cm_estimate(
 ) -> DataFrame:
     """Point estimates for candidate tokens: min over the token's
     ``depth`` cells.  The sketch side is tiny (≤ depth·width rows) and
-    broadcasts; candidates never shuffle."""
+    broadcasts; candidates never shuffle.
+
+    LEFT join + coalesce-to-0: a sketch only materializes cells that
+    were ever incremented, so a probe hashing to an absent cell has a
+    true cell count of 0 — an inner join would drop that cell from the
+    min (overestimating) and drop all-absent tokens from the output
+    entirely, instead of returning the correct Count-Min estimate 0
+    (ADVICE r4)."""
     t = F.col(token_col)
     probes = candidates.select(
         token_col,
@@ -71,9 +78,9 @@ def cm_estimate(
         ).alias("row", "bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
     )
 
 

@@ -2453,7 +2453,9 @@ def sample_negatives_contrastive(spark, sf_dir):
     )
 
 
-_IVF_INDEX_CACHE = "/tmp/hfs_ivf_index"
+from hadoop_formats_spark.cachedir import cache_path
+
+_IVF_INDEX_CACHE = cache_path("ivf_index")
 
 from .registry import QUERIES as _QUERIES  # noqa: E402  (self-registry lookup)
 
@@ -2504,6 +2506,13 @@ def ann_ivf_index_persisted(spark, sf_dir):
             os.rename(tmp, final)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        # prune stale fingerprints of the SAME corpus path so repeated
+        # regenerations don't grow the cache unboundedly (ADVICE r4);
+        # in-flight tmp dirs start with the current key and are skipped
+        prefix = sf_dir.strip("/").replace("/", "_") + "."
+        for d in os.listdir(_IVF_INDEX_CACHE):
+            if d.startswith(prefix) and not d.startswith(key):
+                shutil.rmtree(os.path.join(_IVF_INDEX_CACHE, d), ignore_errors=True)
     assigned = spark.read.parquet(os.path.join(final, "assigned"))
     centroids = spark.read.parquet(os.path.join(final, "centroids"))
     e = table(spark, sf_dir, "embeddings")
@@ -2662,30 +2671,12 @@ def bpe_apply_compression(spark, sf_dir):
     "driver.",
 )
 def dedup_minhash_band_pr(spark, sf_dir):
+    # exact (no sampling/cap) at test scale so the oracle is exact too;
+    # at corpus scale call the operator with sample_fraction (md5-hash
+    # deterministic slice) and/or max_doc_freq — the measure-on-a-sample
+    # contract documented on minhash_band_precision_recall and SCALE.md
     d = table(spark, sf_dir, "documents")
-    cand = D.minhash_band_pairs(d, num_hashes=8, bands=4)
-    truth = D.shingle_jaccard_pairs(d, threshold=0.8).select(
-        "doc_a", "doc_b"
-    )
-    tp = cand.join(truth, ["doc_a", "doc_b"])
-    nc = cand.agg(F.count("*").alias("n_candidates"))
-    nt = truth.agg(F.count("*").alias("n_true"))
-    ntp = tp.agg(F.count("*").alias("n_tp"))
-    return (
-        nc.crossJoin(nt)
-        .crossJoin(ntp)
-        .select(
-            "n_candidates",
-            "n_true",
-            "n_tp",
-            F.round(
-                F.col("n_tp") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
-            ).alias("precision"),
-            F.round(
-                F.col("n_tp") / F.greatest(F.col("n_true"), F.lit(1)), 6
-            ).alias("recall"),
-        )
-    )
+    return D.minhash_band_precision_recall(d, num_hashes=8, bands=4, threshold=0.8)
 
 
 _COS16_SQL = (

@@ -35,7 +35,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-_EVENTS_CACHE = "/tmp/hfs_events_us"
+from hadoop_formats_spark.cachedir import cache_path
+
+_EVENTS_CACHE = cache_path("events_us")
 
 
 def events_path(sf_dir: str) -> str:
@@ -71,7 +73,7 @@ def events_path(sf_dir: str) -> str:
     return final
 
 
-_DOCS_STREAM_CACHE = "/tmp/hfs_docs_streamdir"
+_DOCS_STREAM_CACHE = cache_path("docs_streamdir")
 
 
 def docs_stream_dir(sf_dir: str) -> str:

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from .registry import register, table
 
 REFERENCE_TEXT_INT = "/root/reference/tests/text-int.seq"
-_CACHE_ROOT = "/tmp/hfs_seq_cache"
+from hadoop_formats_spark.cachedir import cache_path
+
+_CACHE_ROOT = cache_path("seq_cache")
 
 
 def _roundtrip_dir(spark, sf_dir: str, name: str, build, writer_options=None) -> str:
@@ -278,7 +280,7 @@ def parquet_write_roundtrip(spark, sf_dir):
     import uuid as _uuid
 
     key = sf_dir.strip("/").replace("/", "_")
-    final = os.path.join("/tmp/hfs_parquet_cache", key, "lineitem_disc")
+    final = cache_path("parquet_cache", key, "lineitem_disc")
     if not (
         os.path.isdir(final)
         and any(f.endswith(".parquet") for f in os.listdir(final))
@@ -321,7 +323,7 @@ def parquet_partitioned_pruned_read(spark, sf_dir):
     import uuid as _uuid
 
     key = sf_dir.strip("/").replace("/", "_")
-    final = os.path.join("/tmp/hfs_parquet_cache", key, "lineitem_by_flag")
+    final = cache_path("parquet_cache", key, "lineitem_by_flag")
     if not os.path.isdir(final) or not os.listdir(final):
         tmp = final + "." + _uuid.uuid4().hex[:8]
         (

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from .registry import register, table
 
-_CACHE = "/tmp/hfs_fmt_cache"
+from hadoop_formats_spark.cachedir import cache_path
+
+_CACHE = cache_path("fmt_cache")
 
 
 def _materialize(sf_dir: str, name: str, write) -> str:

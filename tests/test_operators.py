@@ -46,6 +46,20 @@ def test_minhash_candidates_contain_exact_dups(spark, docs):
     assert (1, 4) in pairs
 
 
+def test_band_pr_sampling_knob_is_deterministic_subset(spark, docs):
+    """The measure-on-a-sample contract (VERDICT r4 #7): sampled truth
+    counts are bounded by the exact run's, and the md5-hash sample is
+    deterministic (two runs agree exactly)."""
+    exact = D.minhash_band_precision_recall(docs).collect()[0]
+    s1 = D.minhash_band_precision_recall(docs, sample_fraction=0.5).collect()[0]
+    s2 = D.minhash_band_precision_recall(docs, sample_fraction=0.5).collect()[0]
+    assert s1 == s2  # deterministic, no seed state
+    for c in ("n_candidates", "n_true", "n_tp"):
+        assert s1[c] <= exact[c]
+    full = D.minhash_band_precision_recall(docs, sample_fraction=1.0).collect()[0]
+    assert full == exact  # fraction 1.0 degenerates to the exact run
+
+
 def test_jaccard_verify_equals_exhaustive_on_candidates(spark, docs):
     cand = D.minhash_band_pairs(docs)
     verified = {
@@ -948,6 +962,22 @@ def test_count_min_estimate_never_undercounts(spark):
     assert set(est) == set(exact)
     assert all(est[t] >= exact[t] for t in exact)
     assert sum(est[t] - exact[t] for t in exact) > 0  # w=8 must collide
+
+
+def test_count_min_absent_probe_returns_row(spark):
+    """Probing a token outside the corpus must return a row, and a
+    token whose cells were never incremented must estimate exactly 0
+    (ADVICE r4: the old inner join dropped absent cells from the min
+    and all-absent tokens from the output)."""
+    from hadoop_formats_spark.operators import sketch as SK
+
+    toks = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    # huge width: no collisions, so an unseen token's cells are all absent
+    sk = SK.count_min_sketch(toks, depth=4, width=1 << 20)
+    cand = spark.createDataFrame([("a",), ("zz_unseen",)], "tok string")
+    est = {r["tok"]: r["cm_est"] for r in SK.cm_estimate(
+        sk, cand, depth=4, width=1 << 20).collect()}
+    assert est == {"a": 2, "zz_unseen": 0}
 
 
 # ---------------------------------------------------------------------------
