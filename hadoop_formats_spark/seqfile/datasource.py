@@ -273,16 +273,22 @@ class SeqFileReader(DataSourceReader):
         sizes = {p: os.path.getsize(p) for p in self.paths}
         split_size = self.split_size
         if split_size <= 0:
-            # mirror Spark's FilePartition sizing: aim for ~2 waves of
-            # tasks over the visible cores, clamped to [1 MiB, 128 MiB]
-            # (explicit ``split_size`` option overrides; on a cluster the
-            # 128 MiB cap keeps task counts sane at 100 TB, while the
-            # 1 MiB floor stops a small file from serializing onto two
-            # tasks — below that, Python-worker startup dominates)
+            # auto-size: ~1 split per visible core, clamped to
+            # [8 MiB, 128 MiB] (explicit ``split_size`` overrides; on a
+            # cluster the 128 MiB cap keeps task counts sane at 100 TB).
+            # The Python-datasource path pays a real per-task cost —
+            # worker dispatch, reader pickle, Arrow ship to JVM — so
+            # small splits are overhead-dominated: measured on the 10M
+            # record / 143 MB scaled fixture (local[32], round 5),
+            # 2.2 MiB splits ran 8.5 M recs/s, 9 MiB splits 12.0 M,
+            # 1.1 MiB splits 5.7 M.  The 8 MiB floor keeps per-task
+            # decode (~64 MB/s/core) well above that overhead; the old
+            # 2-waves/1 MiB sizing only ever bites for inputs smaller
+            # than cores x 16 MiB, exactly the overhead regime.
             total = sum(sizes.values())
             cores = os.cpu_count() or 8
             split_size = min(
-                DEFAULT_SPLIT_SIZE, max(1024 * 1024, total // (2 * cores))
+                DEFAULT_SPLIT_SIZE, max(8 * 1024 * 1024, total // cores)
             )
         ranges: list[tuple[str, int, int]] = []
         exact: set[tuple[str, int]] = set()
