@@ -290,6 +290,10 @@ def main() -> None:
         "curation_drop_waterfall",
         "timeseries_resample_ffill",
         "stream_chained_windowed_aggs",
+        # round-5 operators
+        "sketch_hll_distinct_merge",
+        "text_bm25_search",
+        "stats_outlier_zscore",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

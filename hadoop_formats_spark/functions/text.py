@@ -164,6 +164,88 @@ def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text", k: int
     )
 
 
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """(doc_id, rn, bm25) — top-k documents for a bag-of-terms query
+    under Okapi BM25 (Robertson et al.):
+    ``idf(t)·tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` summed over query
+    terms, with ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Scale shape: corpus statistics stay distributed — df and dl are
+    partial-agg groupBys, avgdl and N ride along as broadcast 1-row
+    cross joins; only rows containing a query term survive the tf
+    filter, so the scored set is the posting-list union, not the
+    corpus.  The cross-term sum is a FIXED-ORDER sum of per-term
+    conditional-agg columns rather than a float groupBy sum — float
+    addition isn't associative, and the fixed order is what lets a SQL
+    oracle replay the score bit-for-bit.  Ranking orders by the
+    ROUNDED score with a doc_id tiebreak (same convention as
+    :func:`tfidf_top_terms`)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    n = docs.select(F.count("*").alias("n_docs"))
+    tf = (
+        tok.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        F.lit(1 - b) + b * (F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            (idf * F.col("tf") * F.lit(k1 + 1) / denom).alias("sc"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+        ).alias(f"s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    total = agg.columns[1:]
+    score = F.col(total[0])
+    for c in total[1:]:
+        score = score + F.col(c)
+    ranked = agg.select(
+        F.col(id_col), F.round(score, 4).alias("bm25")
+    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge); the single-partition row_number window
+    # then ranks only the k survivors, never the full scored set
+    topk = ranked.orderBy(F.desc("bm25"), id_col).limit(k)
+    w = Window.orderBy(F.desc("bm25"), id_col)
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        id_col, "rn", "bm25"
+    )
+
+
 def unigram_surprisal(
     docs,
     id_col: str = "doc_id",

@@ -85,6 +85,95 @@ def cm_estimate(
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def hll_sketch(
+    items: DataFrame,
+    *,
+    group_col: str = "grp",
+    item_col: str = "item",
+    p: int = 10,
+    salt: str = "hll:",
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007): rows
+    ``(group, register, maxrank)``, ≤ 2^p per group regardless of
+    corpus size.
+
+    Hashing is the family convention (salted md5, here the first 15
+    hex chars → 60 deterministic bits): low ``p`` bits pick the
+    register, and the rank is the position of the first 1-bit in the
+    remaining ``60-p`` bits (computed exactly as ``61-p - bitlength``
+    via ``bin()`` — integer logic, no float log).  The groupBy
+    partial-aggregates map-side, so each task emits at most 2^p rows
+    per group; sketches MERGE by unioning register rows and re-taking
+    the max — the same one-function condense-and-merge shape as
+    :func:`kmv_sketch`."""
+    m = 1 << p
+    width = 60 - p  # bits left after the register index
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(item_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rem = F.shiftright(h, p)
+    rank = F.when(rem == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(rem))
+    )
+    return (
+        items.select(
+            F.col(group_col),
+            (h % m).alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy(group_col, "register")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    group_col: str = "grp",
+    p: int = 10,
+    est_col: str = "hll_est",
+) -> DataFrame:
+    """Distinct-count estimate per group from HLL registers.
+
+    The harmonic-mean denominator is computed as ONE exact integer sum
+    — each register contributes ``2^(width+1-maxrank)`` (an integer,
+    since ranks are ≤ width+1) and absent registers contribute
+    ``2^(width+1)`` — then converted to double once.  That keeps the
+    estimate bit-reproducible under any aggregation order (a float
+    ``sum(2^-rank)`` is order-sensitive in the last ulp), which is what
+    lets a DuckDB oracle replay it exactly.  Standard small-range
+    correction: linear counting ``m·ln(m/V)`` when the raw estimate is
+    ≤ 2.5m and V (= empty registers) > 0."""
+    m = 1 << p
+    width = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale = 2 ** (width + 1)
+    agg = sketch.groupBy(group_col).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(width + 1) - F.col("maxrank")).cast("bigint")
+        ).alias("zint"),
+        F.count("*").alias("n_present"),
+    )
+    total_int = F.col("zint") + (F.lit(m) - F.col("n_present")) * F.lit(scale)
+    z = total_int.cast("double") / F.lit(float(scale))
+    v = F.lit(m) - F.col("n_present")
+    raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(group_col, est.alias(est_col))
+
+
+# ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch
 # ---------------------------------------------------------------------------
 

@@ -1117,6 +1117,66 @@ def text_tfidf_top_terms(spark, sf_dir):
     return out.filter(F.col("doc_id") < 50).orderBy("doc_id", "rn")
 
 
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tokf AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokf GROUP BY doc_id
+    ),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tokf WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+        ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * {1.2 + 1!r}
+          / (tf.tf + 1.2 * ({1 - 0.75!r} + 0.75 * (dl.dl / st.avgdl))) AS sc
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, stats st
+    ),
+    agg AS (
+      SELECT doc_id,
+        coalesce(max(CASE WHEN term = 'spark' THEN sc END), 0.0)
+        + coalesce(max(CASE WHEN term = 'join' THEN sc END), 0.0)
+        + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0) AS total
+      FROM s GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(total, 4) AS bm25 FROM agg
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rn,
+           bm25
+    FROM ranked ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    doc="Okapi BM25 top-15 documents for the fixed query "
+    "{spark, join, window}: idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) "
+    "summed over terms.  df/dl are partial-agg groupBys, avgdl and N "
+    "broadcast 1-row scalars, only posting-list rows are scored, and "
+    "the final top-k is TakeOrderedAndProject — per-partition heaps, "
+    "no global sort.  The cross-term sum is a fixed-order sum of "
+    "conditional-agg columns so the score is bit-reproducible "
+    "(float addition is not associative), which is what makes the "
+    "DuckDB oracle replay exact.",
+)
+def text_bm25_search(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.bm25_topk(d, list(_BM25_TERMS), k=15)
+
+
 @register(
     "text_fingerprint_dups",
     oracle="""

@@ -99,6 +99,26 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert all(v > 0 for k, v in scores.items() if k[1] in ("alpha", "gamma", "delta"))
 
 
+def test_bm25_ranks_by_relevance(spark):
+    rows = [
+        (1, "spark spark spark filler filler"),       # tf=3
+        (2, "spark filler filler filler filler"),     # tf=1
+        (3, "filler filler filler filler filler"),    # no query term
+        (4, "spark join filler filler filler"),       # two query terms
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = T.bm25_topk(d, ["spark", "join"], k=10).collect()
+    got = {r["doc_id"]: (r["rn"], r["bm25"]) for r in out}
+    assert 3 not in got  # no query term -> never scored
+    # doc 4 matches the rare term 'join' (df=1) -> highest idf mass
+    assert got[4][0] == 1
+    # higher tf beats lower tf for the same single term
+    assert got[1][1] > got[2][1]
+    # rn is a contiguous 1..n ranking consistent with score order
+    ranks = sorted((v[0], -v[1]) for v in got.values())
+    assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
+
+
 def test_simhash_identical_docs_equal_signatures(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
     assert out[1] == out[4]
@@ -962,6 +982,38 @@ def test_count_min_estimate_never_undercounts(spark):
     assert set(est) == set(exact)
     assert all(est[t] >= exact[t] for t in exact)
     assert sum(est[t] - exact[t] for t in exact) > 0  # w=8 must collide
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL at p=10 has ~3.2% standard error; require <10% on 5000
+    distinct items (deterministic md5 hashing → stable result), exact
+    passthrough intent on the linear-counting branch for tiny sets,
+    and merged half-sketches == whole sketch (max is associative)."""
+    from hadoop_formats_spark.operators import sketch as SK
+
+    n = 5000
+    items = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").alias("item")
+    )
+    sk = SK.hll_sketch(items)
+    est = SK.hll_estimate(sk).collect()[0]["hll_est"]
+    assert abs(est / n - 1) < 0.10, est
+    # register bound: at most 2^10 rows
+    assert sk.count() <= 1024
+    # merge: union halves + re-max == whole registers exactly
+    ha = SK.hll_sketch(items.filter(F.col("item") % 2 == 0))
+    hb = SK.hll_sketch(items.filter(F.col("item") % 2 == 1))
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("grp", "register")
+        .agg(F.max("maxrank").alias("maxrank"))
+    )
+    whole = {(r["register"], r["maxrank"]) for r in sk.collect()}
+    assert {(r["register"], r["maxrank"]) for r in merged.collect()} == whole
+    # tiny set → linear-counting branch, still close (exact-ish)
+    tiny = spark.range(10).select(F.lit("g").alias("grp"), F.col("id").alias("item"))
+    e10 = SK.hll_estimate(SK.hll_sketch(tiny)).collect()[0]["hll_est"]
+    assert abs(e10 - 10) < 1.0, e10
 
 
 def test_count_min_absent_probe_returns_row(spark):
