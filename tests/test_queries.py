@@ -382,3 +382,40 @@ def test_correlation_matrix_single_scan(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert plan.count("FileScan parquet") == 1
     assert plans.has_partial_aggregation(df)
+
+
+def test_hll_sketch_partial_aggregation_and_bounded_rows(spark, sf_dir):
+    """HLL register build must partial-aggregate map-side (each task
+    emits <= 2^p rows per group, the property that keeps the sketch a
+    few KB at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators import sketch as SK
+    from hadoop_formats_spark.queries.registry import table
+
+    li = table(spark, sf_dir, "lineitem")
+    sk = SK.hll_sketch(
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_orderkey").alias("item"),
+        )
+    )
+    assert plans.has_partial_aggregation(sk)
+
+
+def test_bm25_topk_take_ordered_and_partial_agg(spark, sf_dir):
+    """BM25 final top-k must plan as TakeOrderedAndProject (per-
+    partition heaps, no global sort of the scored set) and the df/tf
+    aggregations must partial-aggregate."""
+    df = _df(spark, sf_dir, "text_bm25_search")
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_outlier_zscore_broadcasts_stats(spark, sf_dir):
+    """The 5-row group-stats table must broadcast back onto the event
+    stream — the row side never shuffles."""
+    df = _df(spark, sf_dir, "stats_outlier_zscore")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
