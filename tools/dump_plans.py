@@ -58,6 +58,9 @@ QUERIES_TO_DUMP = [
     ("funnel_conversion", "session funnel: chained per-session aggs sharing one user_id shuffle (round 4)"),
     ("dedup_minhash_band_pr", "band-stage P/R: candidates vs exact ground truth, scalar counts only to driver (round 4)"),
     ("sketch_histogram_quantiles", "histogram sketch: one partial-agg pass, mergeable bins, quantiles off the CDF (round 4)"),
+    ("sketch_hll_distinct_merge", "HyperLogLog: partial-agg registers, exact-integer harmonic sum, in-query merge proof (round 5)"),
+    ("text_bm25_search", "BM25: posting-list scoring, broadcast corpus stats, TakeOrderedAndProject top-k (round 5)"),
+    ("stats_outlier_zscore", "z-score outliers: group moments + broadcast stats join, rows never shuffle (round 5)"),
 ]
 
 
