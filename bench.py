@@ -294,6 +294,7 @@ def main() -> None:
         "sketch_hll_distinct_merge",
         "text_bm25_search",
         "stats_outlier_zscore",
+        "search_hybrid_rrf",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

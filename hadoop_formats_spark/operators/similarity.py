@@ -142,6 +142,45 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    c: int = 60,
+    k: int = 10,
+    score_col: str = "rrf",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two rankings —
+    the standard hybrid-search combiner for lexical (BM25) + vector
+    (cosine) retrieval.  Inputs are ``(id_col, rank)`` DataFrames
+    (rank = 1-based position); score = Σ 1/(c + rank) with absent ids
+    contributing 0 from that list.
+
+    Rank lists are top-N results (tiny), so the full-outer join is
+    trivially sized no matter the corpus; the fused score is a
+    fixed-order two-term sum of exact divisions — deterministic, which
+    keeps it SQL-oracle-replayable.  Returns (id_col, rn, score)
+    ordered by (score desc, id)."""
+    from pyspark.sql import Window
+
+    a = ranked_a.select(id_col, F.col("rank").alias("_ra"))
+    b = ranked_b.select(id_col, F.col("rank").alias("_rb"))
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("_rb")), F.lit(0.0)),
+            6,
+        ).alias(score_col),
+    )
+    topk = fused.orderBy(F.desc(score_col), id_col).limit(k)
+    w = Window.orderBy(F.desc(score_col), id_col)
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        id_col, "rn", score_col
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

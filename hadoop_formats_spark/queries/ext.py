@@ -1119,11 +1119,9 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 _BM25_TERMS = ("spark", "join", "window")
 
-
-@register(
-    "text_bm25_search",
-    oracle=f"""
-    WITH tokf AS (
+# BM25 scoring pipeline as reusable oracle CTEs (ends in ``ranked`` =
+# (doc_id, bm25)); shared by text_bm25_search and search_hybrid_rrf
+_BM25_CTES = f"""tokf AS (
       SELECT doc_id, term FROM (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         FROM documents
@@ -1156,7 +1154,13 @@ _BM25_TERMS = ("spark", "join", "window")
     ),
     ranked AS (
       SELECT doc_id, round(total, 4) AS bm25 FROM agg
-    )
+    )"""
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT doc_id,
            CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rn,
            bm25
@@ -1175,6 +1179,61 @@ _BM25_TERMS = ("spark", "join", "window")
 def text_bm25_search(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return T.bm25_topk(d, list(_BM25_TERMS), k=15)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    brank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM ranked
+      ) WHERE rank <= 50
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+    vrank AS (
+      SELECT doc_id, rank FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rank
+        FROM embeddings c, q WHERE c.vec_id <> 7
+      ) WHERE rank <= 50
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + b.rank), 0.0)
+                   + coalesce(1.0 / (60 + v.rank), 0.0), 6) AS rrf
+      FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rn,
+           rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="HYBRID retrieval: reciprocal-rank fusion (1/(60+rank), Cormack "
+    "et al.) of the BM25 top-50 for {spark, join, window} with the "
+    "exact-cosine top-50 for a query embedding over the SAME id space "
+    "— the lexical+vector combiner production search stacks deploy.  "
+    "Both rank lists come from scale-safe operators (posting-list BM25, "
+    "broadcast-GEMM top-k); the fusion join touches only the two top-N "
+    "lists, so its cost is independent of corpus size.  Ranks are "
+    "integers and the fused score a fixed-order two-term sum, so the "
+    "whole pipeline replays exactly in the DuckDB oracle.",
+)
+def search_hybrid_rrf(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    bm = T.bm25_topk(d, list(_BM25_TERMS), k=50).select(
+        "doc_id", F.col("rn").alias("rank")
+    )
+    q = e.filter(F.col("vec_id") == 7)
+    vec = S.brute_force_topk(e.filter(F.col("vec_id") != 7), q, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    return S.rrf_fuse(bm, vec, k=10)
 
 
 @register(

@@ -119,6 +119,21 @@ def test_bm25_ranks_by_relevance(spark):
     assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
 
 
+def test_rrf_fuse_combines_and_handles_single_list_ids(spark):
+    """Doc present in both lists outranks a top-1 in only one list
+    (1/61+1/62 > 1/61); ids unique to either side still appear with
+    the other side contributing 0."""
+    from hadoop_formats_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "doc_id bigint, rank int")
+    out = {r["doc_id"]: (r["rn"], r["rrf"]) for r in rrf_fuse(a, b).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[11][0] == 1  # in both lists -> fused to the top
+    assert out[10][1] == round(1 / 61, 6)  # b-side contributes 0
+    assert out[12][1] == round(1 / 62, 6)
+
+
 def test_simhash_identical_docs_equal_signatures(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
     assert out[1] == out[4]

@@ -61,6 +61,7 @@ QUERIES_TO_DUMP = [
     ("sketch_hll_distinct_merge", "HyperLogLog: partial-agg registers, exact-integer harmonic sum, in-query merge proof (round 5)"),
     ("text_bm25_search", "BM25: posting-list scoring, broadcast corpus stats, TakeOrderedAndProject top-k (round 5)"),
     ("stats_outlier_zscore", "z-score outliers: group moments + broadcast stats join, rows never shuffle (round 5)"),
+    ("search_hybrid_rrf", "hybrid RRF: BM25 + cosine rank lists fused on top-N only (round 5)"),
 ]
 
 
