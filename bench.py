@@ -295,6 +295,7 @@ def main() -> None:
         "text_bm25_search",
         "stats_outlier_zscore",
         "search_hybrid_rrf",
+        "stream_hll_distinct_users",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -480,3 +480,73 @@ def stream_chained_windowed_aggs(spark, sf_dir):
         "max_hourly",
         "n_events",
     ).orderBy("day_start", "event_type")
+
+
+from .stats import _HLL_EST_SQL, _HLL_M, _HLL_WIDTH  # noqa: E402
+
+
+@register(
+    "stream_hll_distinct_users",
+    oracle=f"""
+    WITH regs AS (
+      SELECT grp_rf, register, max(rank) AS maxrank FROM (
+        SELECT event_type AS grp_rf, hv % {_HLL_M} AS register,
+               CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WIDTH + 1}
+                    ELSE {_HLL_WIDTH + 1} - length(bin(hv // {_HLL_M})) END AS rank
+        FROM (SELECT event_type,
+                     ('0x' || substr(md5('hll:' || user_id), 1, 15))::BIGINT AS hv
+              FROM events)
+      ) GROUP BY grp_rf, register
+    ),
+    est AS ({_HLL_EST_SQL}),
+    exact AS (
+      SELECT event_type AS grp_rf,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT x.grp_rf AS event_type, x.n_exact,
+           round(e.est, 2) AS hll_est,
+           round(100 * abs(e.est / x.n_exact - 1), 2) AS pct_err
+    FROM exact x JOIN est e USING (grp_rf) ORDER BY event_type
+    """,
+    doc="STREAMING cardinality service: HyperLogLog registers "
+    "maintained as a streaming aggregation (groupBy(register).max — "
+    "max is order-insensitive, so the registers converge to the "
+    "identical state under ANY micro-batching, the same replay-"
+    "invariance argument as the streaming MinHash registry), then the "
+    "estimate read off the final register table and compared against "
+    "the exact batch distinct.  State is bounded at 2^p rows per "
+    "group forever — the always-on distinct-users-per-type dashboard "
+    "shape that never stores raw ids.",
+)
+def stream_hll_distinct_users(spark, sf_dir):
+    from ..operators import sketch as SK
+    from .registry import table
+
+    s = _events_stream(spark, sf_dir)
+    regs = SK.hll_sketch(
+        s.select(
+            F.col("event_type").alias("grp"), F.col("user_id").alias("item")
+        ),
+        group_col="grp",
+        item_col="item",
+    )
+    out = _run_to_memory(regs, spark, state_partitions=2)
+    est = SK.hll_estimate(out, group_col="grp", est_col="hll_est")
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        exact.join(est, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "n_exact",
+            F.round("hll_est", 2).alias("hll_est"),
+            F.round(
+                100 * F.abs(F.col("hll_est") / F.col("n_exact") - 1), 2
+            ).alias("pct_err"),
+        )
+        .orderBy("event_type")
+    )
