@@ -296,6 +296,8 @@ def main() -> None:
         "stats_outlier_zscore",
         "search_hybrid_rrf",
         "stream_hll_distinct_users",
+        "text_bigram_lm_score",
+        "text_char_entropy",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -291,6 +291,81 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: float = 0.5,
+):
+    """(doc_id, n_bigrams, avg_nll, ppl) — mean bigram negative
+    log-likelihood and perplexity under an add-k-smoothed bigram LM fit
+    on the corpus itself: P(w2|w1) = (C(w1 w2)+k) / (C(w1)+k·V).
+
+    One step up the n-gram ladder from :func:`unigram_surprisal` —
+    word-ORDER now matters, so shuffled-word salad scores high even
+    when its unigram profile is corpus-typical (the CCNet quality
+    ladder's next rung, still model-artifact-free and deterministic).
+
+    Scale shape: bigrams are built MAP-SIDE with ``zip_with`` over two
+    slices of the token array (no positional self-join — that would
+    inline the tokenization pipeline once per side); bigram and unigram
+    count tables are partial-agg groupBys; V and the counts join
+    token-keyed (AQE skew handling covers stopword heads, same note as
+    unigram_surprisal)."""
+    t = tokens(text_col)
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    uni = docs.select(F.explode(t).alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    v = uni.agg(F.countDistinct("w1").alias("v"))
+    p = (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    scored = (
+        big.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(-F.log(p)) / F.count("*"), 4).alias("avg_nll"),
+        )
+    )
+    return scored.withColumn("ppl", F.round(F.exp(F.col("avg_nll")), 2))
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (nats) of the character distribution of
+    whitespace-normalized lowercase text — near-zero for repeated-char
+    junk, high for natural text; a cheap gibberish/boilerplate tell
+    computed entirely map-side (aggregate over the char frequency map,
+    no shuffle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    chars = F.filter(F.split(normalized, ""), lambda x: x != F.lit(""))
+    n = F.size(chars)
+    # char -> count map via aggregate over distinct chars
+    freqs = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)) / n,
+    )
+    return F.round(
+        F.aggregate(
+            freqs, F.lit(0.0), lambda acc, p: acc - p * F.log(p)
+        ),
+        4,
+    )
+
+
 ROLLING_MOD = 1_000_003  # prime; keeps acc*31+c inside BIGINT
 
 

@@ -1505,6 +1505,74 @@ def text_unigram_surprisal(spark, sf_dir):
 
 
 @register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bg
+      FROM t WHERE len(ts) >= 2
+    ),
+    uni AS (SELECT unnest(ts) AS w1 FROM t),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+    c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY bg),
+    v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM uni),
+    sc AS (
+      SELECT big.doc_id, (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+      FROM big JOIN c2 USING (bg)
+      JOIN c1 ON string_split(bg, ' ')[1] = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(-ln(p)) / count(*), 4) AS avg_nll,
+           round(exp(round(sum(-ln(p)) / count(*), 4)), 2) AS ppl
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document perplexity under an add-k-smoothed BIGRAM LM fit "
+    "on the corpus (P(w2|w1) = (C12+0.5)/(C1+0.5V)) -- one rung above "
+    "unigram surprisal on the CCNet quality ladder: word ORDER now "
+    "matters, so shuffled-word salad scores high even with a "
+    "corpus-typical unigram profile.  Bigrams are built map-side "
+    "(zip_with over two array slices, no positional self-join); count "
+    "tables are partial-agg groupBys; V broadcasts as a scalar.",
+)
+def text_bigram_lm_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return T.bigram_surprisal(d).orderBy("doc_id")
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')) AS c
+      FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           round(sum(-(k / n) * ln(k / n)), 4) AS char_entropy
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id ORDER BY cc.doc_id
+    """,
+    doc="Shannon entropy (nats) of each document's character "
+    "distribution -- near-zero for repeated-char junk, high for "
+    "natural text; the cheap gibberish tell, computed entirely "
+    "map-side in Spark (array fold over the per-doc char frequency "
+    "list, no shuffle at all before the final sort).",
+)
+def text_char_entropy(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.char_entropy("text").alias("char_entropy")
+    ).orderBy("doc_id")
+
+
+@register(
     "text_pmi_collocations",
     oracle="""
     WITH wt AS (

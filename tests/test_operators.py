@@ -119,6 +119,32 @@ def test_bm25_ranks_by_relevance(spark):
     assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
 
 
+def test_bigram_lm_penalizes_word_salad(spark):
+    """Docs repeating the corpus-frequent bigram score LOW; the same
+    words in a never-seen order score HIGH — the order sensitivity
+    unigram surprisal cannot see."""
+    rows = [(i, "the cat sat on the mat") for i in range(5)]
+    rows.append((99, "mat the on sat cat the"))  # same words, salad order
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["avg_nll"] for r in T.bigram_surprisal(d).collect()}
+    assert out[99] > out[0]
+    assert all(out[i] == out[0] for i in range(5))
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdabcd"), (3, "aabb")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["e"] for r in d.select(
+        "doc_id", T.char_entropy("text").alias("e")).collect()}
+    assert out[1] == 0.0                      # single repeated char
+    assert out[2] == round(math.log(4), 4)    # uniform over 4 chars
+    assert out[3] == round(math.log(2), 4)    # uniform over 2 chars
+
+
 def test_rrf_fuse_combines_and_handles_single_list_ids(spark):
     """Doc present in both lists outranks a top-1 in only one list
     (1/61+1/62 > 1/61); ids unique to either side still appear with
