@@ -298,6 +298,8 @@ def main() -> None:
         "stream_hll_distinct_users",
         "text_bigram_lm_score",
         "text_char_entropy",
+        "graph_copurchase_pairs",
+        "graph_triangle_count",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

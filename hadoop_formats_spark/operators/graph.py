@@ -69,3 +69,74 @@ def pagerank(
             )
         )
     return ranks
+
+
+def cooccurrence_pairs(
+    baskets: DataFrame,
+    *,
+    group_col: str = "basket_id",
+    item_col: str = "item",
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket pair mining: (item_a, item_b, support, conf_a_b)
+    for unordered item pairs co-occurring in a basket, with
+    ``conf_a_b`` = support / baskets(item_a) (the a→b association
+    confidence; the b→a direction is the mirror row's).
+
+    Scale shape: the pair space is generated per basket via a
+    self-join on the basket key — cost Σ k_b² over basket sizes, the
+    inherent market-basket bound (baskets are small: a TPC-H order
+    has ≤7 items; a retail basket tens).  Both the distinct step and
+    every count are partial-agg groupBys; ``min_support`` prunes the
+    long tail before anything downstream (e.g. triangle counting)
+    touches the edges.  Returns item_a < item_b rows only."""
+    items = baskets.select(group_col, item_col).distinct()
+    a = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item_a")
+    )
+    b = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    item_counts = items.groupBy(
+        F.col(item_col).alias("item_a")
+    ).agg(F.count("*").alias("n_a"))
+    return pairs.join(item_counts, "item_a").select(
+        "item_a",
+        "item_b",
+        "support",
+        F.round(F.col("support") / F.col("n_a"), 4).alias("conf_a_b"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+) -> DataFrame:
+    """Global triangle count over an undirected edge list given as
+    ``a < b`` rows.  The standard distributed enumeration: join ordered
+    edges (a,b)⋈(b,c) on the middle node, then probe (a,c) — each
+    triangle a<b<c is found exactly once.  Cost is Σ deg(v)² on the
+    wedge join; a ``min_support`` prune upstream (see
+    :func:`cooccurrence_pairs`) is the practical cap at scale.
+    Returns one row: (n_edges, n_wedges, n_triangles)."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    wedge = e.select(F.col("a"), F.col("b").alias("m")).join(
+        e.select(F.col("a").alias("m"), F.col("b").alias("c")), "m"
+    )
+    closed = wedge.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(wedge.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+    )

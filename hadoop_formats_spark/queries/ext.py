@@ -2327,6 +2327,88 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     )
 
 
+# distinct (order, part) baskets + a<b pair supports — shared by the
+# market-basket and triangle oracles
+_COPURCHASE_PAIRS_CTE = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "graph_copurchase_pairs",
+    oracle=f"""
+    WITH {_COPURCHASE_PAIRS_CTE},
+    counts AS (
+      SELECT l_partkey AS item_a, CAST(count(*) AS BIGINT) AS n_a
+      FROM items GROUP BY 1
+    )
+    SELECT item_a, item_b, support,
+           round(support * 1.0 / n_a, 4) AS conf_a_b
+    FROM pairs JOIN counts USING (item_a)
+    ORDER BY support DESC, item_a, item_b LIMIT 20
+    """,
+    doc="Market-basket pair mining over orders: top-20 co-purchased "
+    "part pairs by support with the a->b association confidence.  The "
+    "pair space is generated per basket (cost bounded by basket "
+    "size^2 — TPC-H orders carry <=7 items); distinct, supports, and "
+    "item counts are all partial-agg groupBys and the top-20 is "
+    "TakeOrderedAndProject.",
+)
+def graph_copurchase_pairs(spark, sf_dir):
+    from ..operators import graph as G
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = G.cooccurrence_pairs(
+        li.select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("l_partkey").alias("item"),
+        ),
+        group_col="basket_id",
+        item_col="item",
+    )
+    return pairs.orderBy(F.desc("support"), "item_a", "item_b").limit(20)
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_COPURCHASE_PAIRS_CTE},
+    e AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE support >= 2),
+    w AS (SELECT e1.a, e1.b AS m, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT count(*) AS n FROM w JOIN e ON w.a = e.a AND w.c = e.b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(n AS BIGINT) FROM t) AS n_triangles
+    """,
+    doc="Global triangle count over the support>=2 co-purchase graph "
+    "(ordered-edge wedge join + closing probe; each a<b<c triangle "
+    "found exactly once).  The support threshold is the practical "
+    "degree cap at scale — it prunes the long tail BEFORE the "
+    "deg^2-cost wedge join, the same hot-key discipline as the dedup "
+    "family's max_doc_freq.",
+)
+def graph_triangle_count(spark, sf_dir):
+    from ..operators import graph as G
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = G.cooccurrence_pairs(
+        li.select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("l_partkey").alias("item"),
+        ),
+        group_col="basket_id",
+        item_col="item",
+        min_support=2,
+    )
+    return G.triangle_count(pairs)
+
+
 @register(
     "graph_pagerank_suppliers",
     oracle=_pagerank_oracle(3),

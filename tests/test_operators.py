@@ -119,6 +119,23 @@ def test_bm25_ranks_by_relevance(spark):
     assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
 
 
+def test_cooccurrence_pairs_and_triangles(spark):
+    """4-clique basket {1,2,3,4} + disjoint pair {5,6}: C(4,2)=6+1
+    edges, 4 triangles in the clique, confidence = support/n_baskets(a)."""
+    from hadoop_formats_spark.operators import graph as G
+
+    rows = [(100, i) for i in (1, 2, 3, 4)] + [(200, 5), (200, 6), (300, 1), (300, 2)]
+    b = spark.createDataFrame(rows, "basket_id bigint, item bigint")
+    pairs = G.cooccurrence_pairs(b)
+    got = {(r["item_a"], r["item_b"]): (r["support"], r["conf_a_b"])
+           for r in pairs.collect()}
+    assert got[(1, 2)] == (2, 1.0)       # both baskets with 1 contain 2
+    assert got[(5, 6)] == (1, 1.0)
+    assert len(got) == 7
+    tri = G.triangle_count(pairs).collect()[0]
+    assert tri["n_edges"] == 7 and tri["n_triangles"] == 4
+
+
 def test_bigram_lm_penalizes_word_salad(spark):
     """Docs repeating the corpus-frequent bigram score LOW; the same
     words in a never-seen order score HIGH — the order sensitivity
