@@ -419,3 +419,24 @@ def test_outlier_zscore_broadcasts_stats(spark, sf_dir):
     df = _df(spark, sf_dir, "stats_outlier_zscore")
     assert plans.has_broadcast_join(df)
     assert plans.has_partial_aggregation(df)
+
+
+def test_copurchase_take_ordered_and_partial_agg(spark, sf_dir):
+    """Market-basket top-20 must plan TakeOrderedAndProject; supports
+    and item counts partial-aggregate."""
+    df = _df(spark, sf_dir, "graph_copurchase_pairs")
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_bigram_lm_no_positional_self_join(spark, sf_dir):
+    """Bigrams are built map-side via zip_with over array slices — the
+    plan must not contain a join keyed on token position (the counts
+    joins are token-keyed; there are exactly the 3 expected joins:
+    bigram-count, unigram-count, broadcast V)."""
+    df = _df(spark, sf_dir, "text_bigram_lm_score")
+    plan = plans.executed_plan(df)
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins <= 4, plan[:500]
+    assert plans.has_partial_aggregation(df)
