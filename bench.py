@@ -300,6 +300,8 @@ def main() -> None:
         "text_char_entropy",
         "graph_copurchase_pairs",
         "graph_triangle_count",
+        "pareto_frontier_quality_length",
+        "stats_quantile_normalize",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -998,6 +998,52 @@ def text_quality_score(spark, sf_dir):
 
 
 @register(
+    "pareto_frontier_quality_length",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, {QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT doc_id, n_chars, quality FROM d a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.quality >= a.quality AND b.n_chars >= a.n_chars
+        AND (b.quality > a.quality OR b.n_chars > a.n_chars)
+    )
+    ORDER BY doc_id
+    """,
+    doc="2-D Pareto frontier (skyline) over (quality, length): the "
+    "documents no other document weakly dominates on both axes with "
+    "at least one strict improvement — multi-objective curation's "
+    "keep-the-frontier shape.  The oracle is the quadratic NOT EXISTS "
+    "definition; the Spark plan is the O(n log n) sort-based skyline: "
+    "max quality per length (partial-agg), a running strict max over "
+    "decreasing length on the per-length table (bounded by the VALUE "
+    "DOMAIN of the length axis, not the corpus — range-partition the "
+    "running max if the domain is huge), then one join back.  Ties on "
+    "both axes are kept (neither point strictly dominates).",
+)
+def pareto_frontier_quality_length(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", T.quality_score("text").alias("quality")
+    )
+    per_len = d.groupBy("n_chars").agg(F.max("quality").alias("qmax"))
+    w = Window.orderBy(F.desc("n_chars")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_lens = per_len.withColumn(
+        "prevmax", F.max("qmax").over(w)
+    ).filter(F.col("prevmax").isNull() | (F.col("qmax") > F.col("prevmax")))
+    return (
+        d.join(frontier_lens.select("n_chars", "qmax"), "n_chars")
+        .filter(F.col("quality") == F.col("qmax"))
+        .select("doc_id", "n_chars", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_token_counts",
     oracle="""
     SELECT source,

@@ -277,6 +277,37 @@ def stats_outlier_zscore(spark, sf_dir):
     )
 
 
+@register(
+    "stats_quantile_normalize",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value), 6) AS pct_rank
+    FROM events
+    QUALIFY event_id % 97 = 0
+    ORDER BY event_id
+    """,
+    doc="Per-group quantile normalization: each event value mapped to "
+    "its percent-rank within its event type — the rank-to-uniform "
+    "feature transform ML preprocessing uses to make heavy-tailed "
+    "signals comparable across groups.  One shuffle on the group key; "
+    "the deterministic event_id slice keeps the graded output small "
+    "while ranks are computed over the FULL group (filter after the "
+    "window, deliberately).",
+)
+def stats_quantile_normalize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        e.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type", "value", "pct_rank")
+        .orderBy("event_id")
+    )
+
+
 # HLL constants shared by the Spark builder and the SQL oracle: repr()
 # of the Python doubles round-trips bit-exactly into DuckDB literals.
 _HLL_P = 10
