@@ -302,6 +302,7 @@ def main() -> None:
         "graph_triangle_count",
         "pareto_frontier_quality_length",
         "stats_quantile_normalize",
+        "graph_label_propagation",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -140,3 +140,45 @@ def triangle_count(
         .crossJoin(wedge.agg(F.count("*").alias("n_wedges")))
         .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection: every node starts labeled with itself; each
+    round it adopts the most frequent label among its neighbors
+    (deterministic tiebreak: count desc, then min label).  ``edges``
+    must contain BOTH directions of each undirected edge.
+
+    Per round: one edges⋈labels join shuffled on the source key plus
+    one partial-agg (dst, label) count and a per-dst WindowGroupLimit
+    argmax — |E|-bounded work, the same iterative-join scale shape as
+    :func:`pagerank`.  Fixed small round counts are built
+    declaratively (plan chaining); long runs would checkpoint per
+    round like ``connected_components``.  Returns (node, label)."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -2456,6 +2456,72 @@ def graph_triangle_count(spark, sf_dir):
 
 
 @register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_COPURCHASE_PAIRS_CTE},
+    ed AS (
+      SELECT item_a AS src, item_b AS dst FROM pairs WHERE support >= 2
+      UNION ALL
+      SELECT item_b, item_a FROM pairs WHERE support >= 2
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM ed e JOIN l0 l ON e.src = l.node GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM ed e JOIN l1 l ON e.src = l.node GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label HAVING count(*) >= 2
+    ORDER BY n_members DESC, community LIMIT 20
+    """,
+    doc="Community detection via synchronous label propagation (2 "
+    "rounds, deterministic count-desc/min-label tiebreak) over the "
+    "support>=2 co-purchase graph; top communities by size.  Per "
+    "round one |E|-bounded edges-join-labels shuffle + a partial-agg "
+    "vote count + a per-node WindowGroupLimit argmax — the same "
+    "iterative-join scale shape as PageRank, with every round "
+    "unrolled in the SQL oracle.",
+)
+def graph_label_propagation(spark, sf_dir):
+    from ..operators import graph as G
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = G.cooccurrence_pairs(
+        li.select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("l_partkey").alias("item"),
+        ),
+        group_col="basket_id",
+        item_col="item",
+        min_support=2,
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    labels = G.label_propagation(edges, rounds=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+@register(
     "graph_pagerank_suppliers",
     oracle=_pagerank_oracle(3),
     doc="PageRank (3 power iterations, d=0.85) over the bidirectional "

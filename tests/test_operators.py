@@ -119,6 +119,19 @@ def test_bm25_ranks_by_relevance(spark):
     assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
 
 
+def test_label_propagation_converges_on_two_cliques(spark):
+    """Two disjoint triangles: after 2 rounds every node in a clique
+    carries the clique's min label."""
+    from hadoop_formats_spark.operators import graph as G
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["label"] for r in G.label_propagation(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_cooccurrence_pairs_and_triangles(spark):
     """4-clique basket {1,2,3,4} + disjoint pair {5,6}: C(4,2)=6+1
     edges, 4 triangles in the clique, confidence = support/n_baskets(a)."""
