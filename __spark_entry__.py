@@ -51,13 +51,18 @@ def _ship_package(spark: SparkSession) -> None:
         pass  # already added in this context
 
 
-_READY: set[int] = set()
+_READY_ATTR = "_hfs_datasources_ready"
 
 
 def _ensure_ready(spark: SparkSession) -> None:
     """Register ALL Python datasources + make the package importable
-    in Python workers, idempotently, for driver-created sessions."""
-    if id(spark) in _READY:
+    in Python workers, idempotently, for driver-created sessions.
+
+    Readiness is a marker attribute on the session OBJECT (not an
+    ``id(spark)`` set): CPython recycles addresses, so a new session
+    allocated at a dead session's address must not inherit readiness
+    and silently skip datasource registration (ADVICE r5 #1)."""
+    if getattr(spark, _READY_ATTR, False):
         return
     pypath = os.environ.get("PYTHONPATH", "")
     if _REPO not in pypath.split(os.pathsep):
@@ -97,7 +102,10 @@ def _ensure_ready(spark: SparkSession) -> None:
             msg = str(exc).lower()
             if "already" not in msg and "exists" not in msg:
                 raise
-    _READY.add(id(spark))
+    try:
+        setattr(spark, _READY_ATTR, True)
+    except Exception:
+        pass  # a session proxy that rejects attrs just re-runs the idempotent setup
 
 
 def entry(spark: SparkSession) -> DataFrame:

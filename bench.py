@@ -48,10 +48,16 @@ def _scaled_seq_file(n: int = 10_000_000) -> str:
 
     from hadoop_formats_spark.cachedir import cache_path
 
-    path = cache_path("seq_cache", "scaled", "text_int_10m.seq")
+    # v2: rebuilt after the snappy-chunk interop fix (chunks now ≤
+    # Hadoop MAX_INPUT_SIZE so the JVM can read the file too — needed
+    # for the JVM-vs-Python ingest comparison below)
+    path = cache_path("seq_cache", "scaled", "text_int_10m_v2.seq")
     if os.path.isfile(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    stale = os.path.join(os.path.dirname(path), "text_int_10m.seq")
+    if os.path.isfile(stale):
+        os.unlink(stale)
     import numpy as np
 
     from hadoop_formats_spark.seqfile import core
@@ -190,26 +196,42 @@ def main() -> None:
     # sample against a best that already includes it never flags)
     timed_best.cal_best = min(_calibrate() for _ in range(5))
 
-    # rolling clean record: per-sf per-query best CLEAN seconds across
-    # runs on this box.  A run whose best exceeds the record by >35%
-    # is flagged even when steal + calibration look clean (VERDICT r4:
-    # a ~35%-inflated run passed both detectors) — medians of past
-    # clean runs are the only detector that sees slow-but-steady noise.
+    # rolling clean record: per-sf per-query recent CLEAN bests on this
+    # box.  A run whose best exceeds the MEDIAN of the last few clean
+    # runs by >35% is flagged even when steal + calibration look clean
+    # (VERDICT r4: a ~35%-inflated run passed both detectors).  The bar
+    # is a median over a bounded window, not an all-time min: one
+    # unusually lucky sample ages out after a few runs instead of
+    # permanently lowering the bar and flagging every honest run within
+    # normal variance above it (ADVICE r5 #4).  Old-format float
+    # entries are migrated to single-item histories.
     try:
         with open(RECORD_PATH) as fh:
             record_all = json.load(fh)
     except Exception:
         record_all = {}
     sf_key = str(sf)
-    record: dict[str, float] = record_all.setdefault(sf_key, {})
+    record: dict = record_all.setdefault(sf_key, {})
     record_flagged: list[str] = []
+    RECORD_WINDOW = 7  # clean runs retained per query
 
     def check_record(name: str, best: float, clean: bool) -> None:
         prior = record.get(name)
-        if prior is not None and best > prior * RECORD_LIMIT:
-            record_flagged.append(name)
-        elif clean:
-            record[name] = min(prior, best) if prior is not None else best
+        hist = (
+            prior
+            if isinstance(prior, list)
+            else ([prior] if isinstance(prior, (int, float)) else [])
+        )
+        if hist:
+            bar = sorted(hist)[len(hist) // 2]  # median of recent clean bests
+            if best > bar * RECORD_LIMIT:
+                record_flagged.append(name)
+        if clean:
+            # every steal/cal-clean sample enters the history (even if
+            # record-flagged): a genuinely slower box then raises the
+            # median as flagged-but-clean runs age in, so the detector
+            # self-heals instead of deadlocking on a stale low bar
+            record[name] = (hist + [round(best, 3)])[-RECORD_WINDOW:]
 
     timings: dict[str, float] = {}
     flagged: list[str] = []
@@ -371,6 +393,20 @@ def main() -> None:
         flagged.append("seqfile_scaled_scan")
     check_record("seqfile_scaled_scan", scaled_s, not bad)
 
+    # JVM ingest path on the SAME file (VERDICT r5 #4): Spark's Hadoop
+    # InputFormat reader (sc.sequenceFile) decoding entirely JVM-side,
+    # counted via the JavaRDD so no row crosses into Python.  The
+    # writer's JVM interop makes this a drop-in bulk-ingest alternative
+    # to the Python datasource; the recs/s ratio quantifies the
+    # Arrow-ship + Python-worker tax for unpruned full scans and is
+    # recorded in SCALE.md §ingest.
+    jvm_rdd = spark.sparkContext.sequenceFile(scaled_path)
+    jvm_rdd._jrdd.count()  # warm (input-format + codec init)
+    jvm_s, bad = timed_best(lambda: jvm_rdd._jrdd.count(), n=2)
+    if bad:
+        flagged.append("seqfile_scaled_scan_jvm")
+    check_record("seqfile_scaled_scan_jvm", jvm_s, not bad)
+
     # persist the rolling clean record (best-effort; never fail a run)
     try:
         tmp = RECORD_PATH + f".{os.getpid()}"
@@ -392,6 +428,14 @@ def main() -> None:
             "records": n_scaled,
             "sec": round(scaled_s, 3),
             "recs_per_sec": round(n_scaled / scaled_s),
+        },
+        # same file through Spark's JVM Hadoop reader (no Python row
+        # transfer): the bulk-ingest alternative path; ratio = Python
+        # datasource tax for unpruned full scans (SCALE.md §ingest)
+        "seqfile_scaled_scan_jvm": {
+            "sec": round(jvm_s, 3),
+            "recs_per_sec": round(n_scaled / jvm_s),
+            "speedup_vs_python_ds": round(scaled_s / jvm_s, 2),
         },
         # queries whose every timing sample was polluted — hypervisor
         # steal >3% of the interval OR the CPU calibration probe >30%

@@ -33,7 +33,14 @@ def cache_root() -> str:
     )
     try:
         os.makedirs(root, mode=0o700, exist_ok=True)
-        if os.stat(root).st_uid != os.getuid():
+        # lstat + symlink rejection: os.stat follows symlinks, so an
+        # attacker could pre-create the root as a symlink to a directory
+        # the victim owns (passing a stat-based uid check) and redirect
+        # cache reads/writes there (ADVICE r5 #2).
+        st = os.lstat(root)
+        if os.path.islink(root) or not os.path.isdir(root):
+            raise PermissionError(f"cache root {root} is not a real directory")
+        if st.st_uid != os.getuid():
             raise PermissionError(f"cache root {root} not owned by uid {os.getuid()}")
     except (OSError, PermissionError):
         root = tempfile.mkdtemp(prefix="hfs_cache_")

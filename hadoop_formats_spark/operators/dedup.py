@@ -713,3 +713,60 @@ def chunk_dedup(
             ).alias("kept_md5"),
         )
     )
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring profile over SLIDING token windows
+    (the token-window adaptation of suffix-array substring dedup, Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): every consecutive ``window``-token
+    span of every document is hashed; a span whose corpus-wide document
+    frequency reaches ``min_doc_freq`` marks a duplicated region.
+    Returns one row per document (with >= ``window`` tokens):
+    ``(id, n_spans, n_dup_spans)`` — ``n_dup_spans / n_spans`` is the
+    duplicated-text fraction used to cut or trim documents.
+
+    Unlike ``chunk_dedup`` (non-overlapping spans), sliding windows
+    catch duplicated passages at ANY offset — the property that makes
+    substring dedup effective against quoted/near-boilerplate text.
+
+    100 TB design: span hashing is a pure map-side array fold (split →
+    ``transform`` over a ``sequence`` ramp → md5) — the corpus never
+    explodes until the span rows feed the doc-frequency aggregate.
+    Two exchanges total: a partial-aggregated groupBy on the span hash
+    (near-unique key, no skew) and the hash-keyed join back, which is
+    1:1 per (doc, pos) row — frequency counting is linear, never the
+    O(n²) pair space a suffix array's pairwise merge would imply.  A
+    ubiquitous boilerplate span costs one hot reduce key at bounded
+    width (a count), and the join back fans out only to the docs that
+    contain it — exactly the rows that must be marked anyway.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(window - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    exploded = (
+        _spread(docs.filter(F.size(toks) >= window), F.col(id_col))
+        .select(F.col(id_col), F.explode(spans).alias("h"))
+    )
+    doc_freq = exploded.groupBy("h").agg(
+        F.countDistinct(id_col).alias("span_df")
+    )
+    return (
+        exploded.join(doc_freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                (F.col("span_df") >= min_doc_freq).cast("long")
+            ).alias("n_dup_spans"),
+        )
+    )

@@ -1421,3 +1421,57 @@ def curation_drop_waterfall(spark: SparkSession, sf_dir: str):
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM w, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+      WHERE len(toks) >= 8
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS span_df FROM s GROUP BY 1),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_spans,
+             sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM s JOIN df USING (h) GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+           round(avg(n_dup * 1.0 / n_spans), 4) AS avg_dup_frac
+    FROM per JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Exact duplicated-substring profile over SLIDING 8-token "
+    "windows (token-window adaptation of Lee et al. 2022 substring "
+    "dedup, arXiv:2107.06499): spans appearing in >= 2 documents mark "
+    "duplicated regions; per-language totals + average duplicated "
+    "fraction.  Sliding windows catch duplicate passages at ANY "
+    "offset, unlike the non-overlapping chunk dedup.  Map-side span "
+    "hashing, one partial-agg groupBy on the near-unique span hash, "
+    "one 1:1 join back — linear, never O(n²) pairs.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import substring_span_stats
+
+    d = table(spark, sf_dir, "documents")
+    per = substring_span_stats(d, window=8, min_doc_freq=2)
+    return (
+        per.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_dup_spans").alias("n_dup_spans"),
+            F.round(
+                F.avg(F.col("n_dup_spans") / F.col("n_spans")), 4
+            ).alias("avg_dup_frac"),
+        )
+        .orderBy("lang")
+    )

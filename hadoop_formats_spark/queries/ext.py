@@ -2888,11 +2888,18 @@ def ann_ivf_index_persisted(spark, sf_dir):
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         # prune stale fingerprints of the SAME corpus path so repeated
-        # regenerations don't grow the cache unboundedly (ADVICE r4);
-        # in-flight tmp dirs start with the current key and are skipped
+        # regenerations don't grow the cache unboundedly (ADVICE r4).
+        # Only EXACT final names (<prefix><size>.<mtime> — two numeric
+        # dot-fields after the prefix) are pruned: an in-flight tmp dir
+        # is <somekey>.<hex8> (a third, non-numeric field), so another
+        # process regenerating under a DIFFERENT fingerprint can never
+        # have its tmp dir rmtree'd mid-build (ADVICE r5 #3).
         prefix = sf_dir.strip("/").replace("/", "_") + "."
         for d in os.listdir(_IVF_INDEX_CACHE):
-            if d.startswith(prefix) and not d.startswith(key):
+            if not d.startswith(prefix) or d == key:
+                continue
+            tail = d[len(prefix):].split(".")
+            if len(tail) == 2 and all(p.isdigit() for p in tail):
                 shutil.rmtree(os.path.join(_IVF_INDEX_CACHE, d), ignore_errors=True)
     assigned = spark.read.parquet(os.path.join(final, "assigned"))
     centroids = spark.read.parquet(os.path.join(final, "centroids"))

@@ -178,90 +178,131 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   - subquery_correlated_above_cust_avg (green r4; the incoming
 #     q17_small_quantity_revenue is the same correlated-scalar-subquery
 #     machinery inside a strictly harder plan).
+# Round-6 rotation (VERDICT r5 #1-#3, #7): the largest rotation yet —
+# ALL 50 round-5 rows were driver-graded GREEN, so 34 slots turn over
+# to never-graded queries (cumulative driver-graded 77 → 111 of 190).
+# Incoming: the 13 round-5 operators (HLL, BM25, RRF, streaming HLL,
+# bigram LM, char entropy, z-score outliers, quantile normalization,
+# co-occurrence, triangles, label propagation, Pareto skyline, band
+# P/R), 8 never-graded TPC-H shapes (q2/q5/q7/q8/q13/q18/q20/q22,
+# heaviest first per VERDICT #2), the window + set-op + scalar-fn
+# parity families, the production GEMM embedding path (VERDICT #7),
+# the PQ ADC search path, the flagship streaming near-dup service
+# (stream_minhash_band_dedup), sliding windows, histogram/DQ/privacy
+# stats, and time-series resample.  Every retiree was driver-graded
+# GREEN in r5 (historical certification stands in CORRECTNESS_r05.json)
+# and its machinery stays exercised by pytest + the full 190-query
+# sweep, and transitively:
+#   - seqfile_reference_record_count / _first_keys: both bundled
+#     reference fixtures byte-parse in golden-fixture pytest; the
+#     kept roundtrip row drives the same reader end-to-end;
+#   - mapfile_range_scan / bloommap_probe_batch / setfile_dedup_ledger:
+#     mapfile_point_lookup keeps the family's datasource-registration
+#     + index-pruning path graded; bloom/set variants are pytest +
+#     sweep-covered (bit-compatible bloom asserted against JVM);
+#   - dedup_minhash_lsh / dedup_ngram_jaccard / dedup_semantic_semdedup
+#     / dedup_incremental_batch: incoming dedup_minhash_band_pr RUNS
+#     minhash banding AND the exact ground truth and compares them — a
+#     strictly stronger minhash certificate; group-assignment (kept)
+#     and corpus_build_pipeline (kept) exercise exact + survivor paths;
+#   - dedup_embedding_lsh_blocked → incoming dedup_embedding_lsh_gemm:
+#     same LSH blocking, production GEMM scoring path (VERDICT #7);
+#   - ann_filtered_topk / pq_encode_stats: incoming
+#     ann_pq_adc_recall_at_3 trains codebooks, encodes, AND compares
+#     ADC search to the exact scan; brute-force top-k machinery is
+#     inside the kept ann_ivf_recall_at_3's exact arm;
+#   - sketch_count_min_heavy_hitters / sketch_kmv_distinct_union:
+#     sketch family keeps two graded reps via incoming HLL + histogram;
+#     CM/KMV stay pytest + sweep-covered;
+#   - graph_pagerank_suppliers: three incoming graph rows
+#     (co-occurrence, triangles, label propagation) grade the family's
+#     iterative-join machinery far more broadly;
+#   - text_lang_id_confusion / text_tfidf_top_terms / bpe_train_merges:
+#     incoming BM25 is tf-idf machinery under a ranking function;
+#     lang-id runs inside the kept corpus_build_pipeline; BPE merge
+#     learning stays pytest + sweep-covered (text_bpe_token_counts);
+#   - sample_token_budget / sample_weighted_quality (VERDICT #1 names
+#     the former as a retire candidate): A-ES weighted sampling and
+#     token-budget scan stay sweep-covered; curation_pipeline_docs +
+#     corpus_build_pipeline keep the curation family graded;
+#   - snapshot_diff_orders / mv_incremental_maintenance: CDC family
+#     keeps scd2_dimension_merge (the hardest shape); diff/MV stay
+#     sweep-covered;
+#   - stream_tumbling_hourly_counts / _session_windows /
+#     _dedup_by_user_type / _chained_windowed_aggs: streaming keeps 5
+#     graded rows incl. two incoming never-graded shapes (HLL distinct,
+#     minhash band dedup) + sliding windows; tumbling is a strict
+#     sub-shape of sliding and of the kept chained oracle's first hop;
+#   - q9 / q21 / q17: graded green r5; the 8 incoming TPC-H shapes
+#     cover the same machinery classes (multi-join + agg, anti-join,
+#     correlated scalar subquery via q2/q20/q22) on new plans;
+#   - join_inner_revenue_by_nation / join_salted_lineitem_orders:
+#     every incoming TPC-H row is an inner-join stack; skew-salting
+#     stays pytest + sweep-covered; as-of join (custom op) stays kept;
+#   - window_topk_orders_per_customer / sort_topk_revenue_parts /
+#     grouping_sets_time_rollup: incoming window_rank_dense_ntile +
+#     window_range_frame_spend grade the window family wider; top-k
+#     plan shape (TakeOrderedAndProject) is plan-asserted in pytest;
+#     grouping-sets stays sweep-covered and inside q13's oracle family.
 PRIORITY_ORDER = [
-    # format layer (SURVEY §2.1 R1-R18 + writer + streaming source)
-    "seqfile_reference_record_count",
-    "seqfile_reference_first_keys",
+    # format layer (SURVEY §2.1): roundtrip (writer+reader+agg), the
+    # streaming source, the MapFile family rep, and partitioned parquet
     "seqfile_roundtrip_returnflag_counts",
     "seqfile_stream_source_counts",
-    # round 4: MapFile (sorted-data + sparse-index companion format,
-    # index-driven key-range pruning) takes the graded slot previously
-    # held by parquet_write_roundtrip, whose machinery stays certified
-    # by parquet_partitioned_pruned_read (same writer) plus the
-    # csv/json/orc sink roundtrips in the full sweep and pytest.
-    "mapfile_range_scan",
-    # round 5: the rest of the MapFile family, unblocked by the
-    # entry-point registration fix (VERDICT r4 #1/#2)
     "mapfile_point_lookup",
-    "bloommap_probe_batch",
-    "setfile_dedup_ledger",
     "parquet_partitioned_pruned_read",
-    # [ext] dedup / similarity / text / multimodal / curation (§2.3)
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    # round 4 (this session): SemDeDup takes the near-dup family's
-    # fourth graded slot from dedup_simhash — semantic (embedding)
-    # dedup is a distinct capability family (k-means blocking +
-    # within-cluster cosine + keeper policy, transitively certifying
-    # kmeans_iterations/ivf_assign/grouped cosine pairs in one row),
-    # while SimHash is a third text-near-dup variant whose machinery
-    # (md5-nibble hashing, token weighting) stays certified by
-    # dedup_minhash_lsh + pytest + the full sweep.
-    "dedup_semantic_semdedup",
-    "dedup_embedding_lsh_blocked",
+    # [ext] dedup / similarity / search (§2.3)
     "dedup_group_assignment",
-    "dedup_incremental_batch",
-    # round 5: never-graded analytics families (VERDICT r4 #4)
-    "sketch_count_min_heavy_hitters",
-    "snapshot_diff_orders",
-    "mv_incremental_maintenance",
-    "sample_weighted_quality",
-    # round 4 (this session): filtered top-k replaces the plain
-    # brute-force slot — it runs the SAME brute_force_topk operator
-    # (broadcast query GEMM + window resolve) on a predicate-filtered
-    # corpus, so it certifies everything the old row did PLUS
-    # pre-filter semantics and scan-level pushdown (plan-asserted).
-    "ann_filtered_topk",
+    "dedup_minhash_band_pr",
+    "dedup_embedding_lsh_gemm",
     "ann_ivf_recall_at_3",
-    "graph_pagerank_suppliers",
-    "sketch_kmv_distinct_union",
-    "text_lang_id_confusion",
-    "bpe_train_merges",
-    "text_tfidf_top_terms",
-    # round 4: product quantization (per-subspace L2 codebooks,
-    # SQL-unrolled oracle) takes the quantization family's graded slot
-    # from embedding_quantize_int8_error — PQ exercises the int8 story's
-    # machinery (driver-held codebooks, GEMM assignment) plus codebook
-    # training; int8 stays certified by pytest + the full sweep.
-    "pq_encode_stats",
+    "ann_pq_adc_recall_at_3",
+    "search_hybrid_rrf",
+    "text_bm25_search",
+    # text analysis (round-5 ops, never graded)
+    "text_bigram_lm_score",
+    "text_char_entropy",
+    # sketches / stats / DQ / privacy
+    "sketch_hll_distinct_merge",
+    "sketch_histogram_quantiles",
+    "stats_outlier_zscore",
+    "stats_quantile_normalize",
+    "dq_constraint_suite",
+    "privacy_k_anonymity",
+    # graph (round-5 ops, never graded)
+    "graph_copurchase_pairs",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    # misc extensions
+    "pareto_frontier_quality_length",
+    "timeseries_resample_ffill",
     "multimodal_audio_window_counts",
     "corpus_build_pipeline",
-    "sample_token_budget",
-    # streaming (SURVEY §2.2 last row)
-    "stream_tumbling_hourly_counts",
+    "curation_pipeline_docs",
     "scd2_dimension_merge",
-    "stream_session_windows",
-    "stream_dedup_by_user_type",
+    # streaming (SURVEY §2.2 last row): two kept + three never-graded
     "stream_stateful_user_stats",
     "stream_stream_join_click_to_purchase",
-    # round 5: chained stateful windowed aggregation (two watermarked
-    # windows back-to-back) — the hardest never-graded streaming shape
-    "stream_chained_windowed_aggs",
-    # parity representatives, one per §2.2 category
+    "stream_hll_distinct_users",
+    "stream_minhash_band_dedup",
+    "stream_sliding_window_counts",
+    # TPC-H: flagship + 8 never-graded shapes (VERDICT r5 #2)
     "q1_pricing_summary",
-    # round 5: heavy TPC-H shapes (VERDICT r4 #3) — q9 multi-join
-    # profit, q21 EXISTS + NOT EXISTS anti-join chain, q17 correlated
-    # scalar subquery (subsumes the retired subquery_correlated row)
-    "q9_product_type_profit",
-    "q21_waiting_suppliers",
-    "q17_small_quantity_revenue",
-    "curation_pipeline_docs",
-    "join_inner_revenue_by_nation",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q20_excess_suppliers",
+    "q22_global_sales_opportunity",
+    # parity representatives
     "join_asof_purchase_last_click",
-    "join_salted_lineitem_orders",
-    "window_topk_orders_per_customer",
-    "grouping_sets_time_rollup",
-    "sort_topk_revenue_parts",
+    "window_rank_dense_ntile",
+    "window_range_frame_spend",
+    "set_intersect_except",
+    "array_explode_word_counts",
+    "date_functions",
     "udf_pandas_grouped_weighted_avg",
     "sql_entry_revenue_by_segment",
 ]

@@ -292,7 +292,15 @@ def _decompress_block_stream(buf: bytes) -> bytes:
     return b"".join(parts) if len(parts) != 1 else parts[0]
 
 
-_COMPRESS_CHUNK = 256 * 1024  # uncompressed bytes per snappy chunk
+# Uncompressed bytes per snappy chunk — Hadoop's exact MAX_INPUT_SIZE
+# for the default 256 KiB codec buffer: bufferSize - (bufferSize/6 + 32).
+# The JVM BlockDecompressorStream reads each compressed chunk into a
+# bufferSize-byte buffer, so a chunk whose COMPRESSED size exceeds
+# 256 KiB (our old 256 KiB uncompressed chunks were 262159 bytes after
+# literal-only framing) fails there with FAILED_TO_UNCOMPRESS(5); this
+# bound guarantees compressed size <= bufferSize for any snappy encoder
+# (max expansion is len/6 + 32 — that's why Hadoop picked it).
+_COMPRESS_CHUNK = 256 * 1024 - ((256 * 1024) // 6 + 32)  # = 218422
 
 
 def _compress_block_stream(buf: bytes) -> bytes:

@@ -122,6 +122,33 @@ def test_write_jvm_interop(spark, tmp_path):
     assert got["k42"] == 42
 
 
+def test_write_jvm_interop_large_blocks(spark, tmp_path):
+    """JVM reads our LARGE blocks (sections far over the 256 KiB codec
+    buffer): every snappy chunk must stay under Hadoop's MAX_INPUT_SIZE
+    (bufferSize - bufferSize/6 - 32), else BlockDecompressorStream's
+    fixed-size compressed buffer truncates it and snappy-java fails
+    with FAILED_TO_UNCOMPRESS(5).  Regression for the round-6 fix —
+    the old 256 KiB uncompressed chunks compressed to 262159 bytes
+    (literal-only framing) and were unreadable by the JVM."""
+    import pyarrow as pa
+
+    from hadoop_formats_spark.seqfile import core
+
+    n = 120_000  # values section ≈ 11 MB uncompressed per block
+    t = pa.table(
+        {
+            "key": pa.array([f"F{i:07X}" for i in range(n)]),
+            "value": pa.array([("v" * 90) + str(i) for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "big.seq")
+    core.write_table(path, t)
+    rdd = spark.sparkContext.sequenceFile(path)
+    assert rdd.count() == n
+    first = dict(rdd.take(2))
+    assert first[f"F{0:07X}"].endswith("0")
+
+
 def test_read_jvm_written(spark, tmp_path):
     """We read what JVM Hadoop wrote (BLOCK+Snappy)."""
     out = str(tmp_path / "fromjvm")

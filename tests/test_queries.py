@@ -440,3 +440,13 @@ def test_bigram_lm_no_positional_self_join(spark, sf_dir):
     n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
     assert n_joins <= 4, plan[:500]
     assert plans.has_partial_aggregation(df)
+
+
+def test_substring_spans_partial_agg_and_bounded_shuffles(spark, sf_dir):
+    # span doc-frequency must partial-aggregate map-side (a ubiquitous
+    # boilerplate span is one bounded reduce key); plan = span-hash
+    # groupBy + 1:1 join back + per-doc agg + lang join/agg + sort —
+    # no hidden exchanges beyond those
+    df = _df(spark, sf_dir, "dedup_substring_spans")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 7

@@ -203,3 +203,84 @@ def test_stream_band_registry_order_insensitive(spark, tmp_path):
         owners_of.setdefault(owner, 0)
         owners_of[owner] += 1
     assert 2 not in owners_of  # the dup owns nothing — doc 1 holds its bands
+
+
+def _ttl_replay(spark, tmp_path, batches, ttl_seconds):
+    """Replay ``batches`` (list of row-lists) as one file each
+    (maxFilesPerTrigger=1 → one micro-batch per file, mtimes forced
+    increasing so the file source preserves batch order) through
+    ttl_min_registry; returns final owner per key (max last_seen wins)."""
+    import os
+    import time
+
+    from hadoop_formats_spark.streaming import run_available_now, ttl_min_registry
+
+    schema = "band_key string, doc_id long, ts timestamp"
+    d = str(tmp_path / ("ttl_" + uuid.uuid4().hex[:6]))
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        # file source orders pending files by mtime: force strict order
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                p = os.path.join(d, f)
+                st = os.stat(p)
+                if st.st_mtime >= time.time() - 0.001:
+                    os.utime(p, (st.st_atime, time.time() + i * 2))
+    s = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = run_available_now(
+        ttl_min_registry(
+            s, ["band_key"], "doc_id", "ts", ttl_seconds=ttl_seconds
+        ),
+        spark,
+        output_mode="update",
+        state_partitions=2,
+    )
+    final = {}
+    for r in out.collect():
+        prev = final.get(r["band_key"])
+        if prev is None or r["last_seen"] > prev[1]:
+            final[r["band_key"]] = (r["doc_id"], r["last_seen"])
+    return {k: v[0] for k, v in final.items()}
+
+
+def test_ttl_registry_within_horizon_matches_unbounded(spark, tmp_path):
+    """With every arrival inside the retention horizon, the TTL'd band
+    registry must assign the SAME owners as the unbounded min-registry —
+    eviction cannot fire before last_seen + ttl (VERDICT r5 #6)."""
+    from datetime import datetime
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    batches = [
+        [("K", 10, t(12)), ("L", 5, t(12))],
+        [("J", 77, t(14, 30))],
+        [("J", 78, t(15))],
+        [("K", 20, t(15, 30))],  # dup of K, 3.5h after the owner
+    ]
+    owners = _ttl_replay(spark, tmp_path, batches, ttl_seconds=100 * 3600)
+    assert owners == {"K": 10, "L": 5, "J": 77}  # identical to groupBy-min
+
+
+def test_ttl_registry_evicts_past_horizon(spark, tmp_path):
+    """Past the horizon the key is forgotten and the next arrival
+    re-registers as owner: same replay, 1h TTL — K's state (last seen
+    12:00, timeout 13:00) is evicted once the watermark passes 13:00
+    (the J batches advance it), so doc 20 re-registers K at 15:30."""
+    from datetime import datetime
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    batches = [
+        [("K", 10, t(12)), ("L", 5, t(12))],
+        [("J", 77, t(14, 30))],  # watermark (for next batch) → 14:30
+        [("J", 78, t(15))],      # runs at wm 14:30 > 13:00 → K evicted
+        [("K", 20, t(15, 30))],  # K re-registers under the new epoch
+    ]
+    owners = _ttl_replay(spark, tmp_path, batches, ttl_seconds=3600)
+    assert owners["K"] == 20  # unbounded registry would say 10
+    assert owners["J"] == 77  # J stayed live throughout — still min()
