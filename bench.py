@@ -400,7 +400,16 @@ def main() -> None:
     # to the Python datasource; the recs/s ratio quantifies the
     # Arrow-ship + Python-worker tax for unpruned full scans and is
     # recorded in SCALE.md §ingest.
-    jvm_rdd = spark.sparkContext.sequenceFile(scaled_path)
+    # minSplits must match the session's parallelism: the PySpark
+    # default is min(defaultParallelism, 2) — a 2-task scan would
+    # measure 2 cores against the datasource's 17-32 splits (measured
+    # sweep: 2 splits 4.1s, 8 → 2.8s, 32 → 2.0s, 64 → 2.5s).
+    jvm_rdd = spark.sparkContext.sequenceFile(
+        scaled_path, minSplits=spark.sparkContext.defaultParallelism
+    )
+    # _jrdd.count() counts pickle BATCHES, but it forces the full scan:
+    # every record is Writable-deserialized and pyrolite-pickled JVM-
+    # side, none ships to Python — the JVM-side ingest cost, isolated.
     jvm_rdd._jrdd.count()  # warm (input-format + codec init)
     jvm_s, bad = timed_best(lambda: jvm_rdd._jrdd.count(), n=2)
     if bad:

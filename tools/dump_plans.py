@@ -62,6 +62,7 @@ QUERIES_TO_DUMP = [
     ("text_bm25_search", "BM25: posting-list scoring, broadcast corpus stats, TakeOrderedAndProject top-k (round 5)"),
     ("stats_outlier_zscore", "z-score outliers: group moments + broadcast stats join, rows never shuffle (round 5)"),
     ("search_hybrid_rrf", "hybrid RRF: BM25 + cosine rank lists fused on top-N only (round 5)"),
+    ("dedup_substring_spans", "sliding-window substring dedup: map-side span hashing + partial-agg doc-freq + 1:1 join back (round 6)"),
 ]
 
 
