@@ -325,6 +325,11 @@ def main() -> None:
         "pareto_frontier_quality_length",
         "stats_quantile_normalize",
         "graph_label_propagation",
+        # round-6 operators
+        "dedup_substring_spans",
+        "stream_ttl_band_registry",
+        "sketch_kmv_jaccard_intersect",
+        "stats_outlier_mad",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

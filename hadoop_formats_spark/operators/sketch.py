@@ -244,3 +244,67 @@ def kmv_estimate(
     if stats:
         aggs += [F.count("*").alias("n"), F.max(hash_col).alias("mx")]
     return sketch.groupBy(group_col).agg(*aggs)
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    group_col: str = "grp",
+    hash_col: str = "h",
+    k: int = 64,
+) -> DataFrame:
+    """Jaccard + intersection estimation from two KMV sketches (Beyer
+    et al. 2007, "On synopses for distinct value estimation under
+    multiset operations"): build the union sketch U_k = k smallest of
+    ``KMV(A) ∪ KMV(B)`` (the same re-take-k closure the union
+    estimator uses), then
+
+    * ``jaccard_est`` = |{h ∈ U_k : h ∈ KMV(A) ∧ h ∈ KMV(B)}| / |U_k|
+      — membership of a U_k element against the per-side SKETCH is
+      exact, because h ∈ B and h ≤ union's kth-min ≤ B's kth-min
+      implies h is among B's k smallest;
+    * ``union_est`` = the standard (k-1)·2^32/max(h) KMV estimate of
+      |A ∪ B| (exact count when the union sketch is under-full);
+    * ``intersect_est`` = jaccard_est · union_est.
+
+    Scale shape: the inputs are the two ≤k-row sketches — the corpus
+    is never rescanned and never pairs; set-overlap questions between
+    100 TB corpora are answered from two few-KB summaries.
+    """
+    u = kmv_sketch(
+        sketch_a.select(group_col, hash_col).union(
+            sketch_b.select(group_col, hash_col)
+        ),
+        group_col=group_col,
+        hash_col=hash_col,
+        k=k,
+    )
+    flagged = u.join(
+        sketch_a.select(group_col, hash_col, F.lit(1).alias("in_a")),
+        [group_col, hash_col],
+        "left",
+    ).join(
+        sketch_b.select(group_col, hash_col, F.lit(1).alias("in_b")),
+        [group_col, hash_col],
+        "left",
+    )
+    agg = flagged.groupBy(group_col).agg(
+        F.count("*").alias("n_u"),
+        F.max(hash_col).alias("mx"),
+        F.sum(
+            F.coalesce(F.col("in_a"), F.lit(0))
+            * F.coalesce(F.col("in_b"), F.lit(0))
+        ).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(F.lit(float(k - 1) * 4294967296.0) / F.col("mx"))
+    return agg.select(
+        group_col,
+        (F.col("n_both") / F.col("n_u")).alias("jaccard_est"),
+        union_est.alias("union_est"),
+        ((F.col("n_both") / F.col("n_u")) * union_est).alias(
+            "intersect_est"
+        ),
+    )

@@ -3133,3 +3133,103 @@ def ann_matryoshka_recall_at_3(spark, sf_dir):
         .agg(F.sum(F.coalesce("m", F.lit(0))).cast("bigint").alias("n_matched3"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "sketch_kmv_jaccard_intersect",
+    oracle="""
+    WITH ha AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM (
+          SELECT DISTINCT ('0x' || substr(md5('kmv:' || user_id), 1, 8))::BIGINT AS h
+          FROM events WHERE event_type = 'click'
+        )
+      ) WHERE rnk <= 64
+    ),
+    hb AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM (
+          SELECT DISTINCT ('0x' || substr(md5('kmv:' || user_id), 1, 8))::BIGINT AS h
+          FROM events WHERE event_type = 'purchase'
+        )
+      ) WHERE rnk <= 64
+    ),
+    u AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rnk
+        FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+      ) WHERE rnk <= 64
+    ),
+    agg AS (
+      SELECT count(*) AS n_u, max(h) AS mx,
+             sum(CASE WHEN h IN (SELECT h FROM ha)
+                       AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END) AS n_both
+      FROM u
+    ),
+    est AS (
+      SELECT n_both * 1.0 / n_u AS jac,
+             CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / mx END AS uni
+      FROM agg
+    ),
+    exact AS (
+      SELECT
+        (SELECT count(DISTINCT user_id) FROM events WHERE event_type='click')
+          AS exact_a,
+        (SELECT count(DISTINCT user_id) FROM events WHERE event_type='purchase')
+          AS exact_b,
+        (SELECT count(*) FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+           INTERSECT
+           SELECT DISTINCT user_id FROM events WHERE event_type='purchase'))
+          AS exact_inter
+    )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           round(jac, 6) AS jaccard_est,
+           round(jac * uni, 2) AS intersect_est
+    FROM exact, est
+    """,
+    doc="KMV set-overlap estimation (Beyer et al. 2007): Jaccard and "
+    "intersection size of clicking vs purchasing users estimated from "
+    "TWO 64-hash KMV sketches — union sketch by re-take-k closure, "
+    "membership of union-sketch hashes tested against the per-side "
+    "sketches (exact for U_k elements: h in B and h <= union kth-min "
+    "<= B's kth-min puts h among B's k smallest).  The corpus is never "
+    "rescanned and never pairs: set-overlap questions between 100 TB "
+    "corpora are answered from two few-KB summaries.  Exact values "
+    "computed alongside so the estimate's error is visible in the "
+    "graded row.",
+)
+def sketch_kmv_jaccard_intersect(spark, sf_dir):
+    from ..operators import sketch as SK
+
+    e = table(spark, sf_dir, "events")
+
+    def side(ev):
+        return SK.kmv_sketch(
+            e.filter(F.col("event_type") == ev).select(
+                F.lit(0).alias("grp"),
+                SK.kmv_hash(F.col("user_id")).alias("h"),
+            ),
+            group_col="grp",
+            k=64,
+        )
+
+    est = SK.kmv_jaccard(side("click"), side("purchase"), k=64)
+    ua = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    ub = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        ua.agg(F.count("*").alias("exact_a"))
+        .crossJoin(ub.agg(F.count("*").alias("exact_b")))
+        .crossJoin(
+            ua.intersect(ub).agg(F.count("*").alias("exact_inter"))
+        )
+    )
+    return exact.crossJoin(
+        est.select(
+            F.round("jaccard_est", 6).alias("jaccard_est"),
+            F.round("intersect_est", 2).alias("intersect_est"),
+        )
+    )

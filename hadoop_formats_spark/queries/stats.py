@@ -647,3 +647,71 @@ def stats_correlation_matrix(spark, sf_dir):
              'price_tax', d
            ) AS (pair, pearson_r)"""
     ).orderBy("pair")
+
+
+@register(
+    "stats_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n,
+           round(m.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY m.event_type, m.n, m.med, d.mad
+    ORDER BY m.event_type
+    """,
+    doc="Robust (median/MAD) outlier detection per group: |x - median| "
+    "> 3 * 1.4826 * MAD, the consistency-scaled median absolute "
+    "deviation — unlike the z-score pass, the threshold itself is "
+    "immune to the outliers it hunts (mean and stddev are dragged by "
+    "the very glitches they're meant to catch; medians are not).  Two "
+    "exact-percentile group passes + two broadcast joins of the tiny "
+    "per-group stats back onto the stream; row data never shuffles.",
+)
+def stats_outlier_mad(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"),
+        F.count("*").alias("n"),
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -450,3 +450,20 @@ def test_substring_spans_partial_agg_and_bounded_shuffles(spark, sf_dir):
     df = _df(spark, sf_dir, "dedup_substring_spans")
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 7
+
+
+def test_mad_outliers_broadcast_stats_and_partial_agg(spark, sf_dir):
+    # both per-group stats tables must come back as BROADCAST joins
+    # (row data never shuffles for the stats), and every grouped pass
+    # partial-aggregates
+    df = _df(spark, sf_dir, "stats_outlier_mad")
+    assert plans.has_partial_aggregation(df)
+    assert plans.has_broadcast_join(df)
+
+
+def test_kmv_jaccard_touches_only_sketch_rows(spark, sf_dir):
+    # the membership joins run over the <=k-row sketches; the join back
+    # to the corpus does not exist — assert no corpus-sized sort and
+    # partial aggregation on the distinct passes
+    df = _df(spark, sf_dir, "sketch_kmv_jaccard_intersect")
+    assert plans.has_partial_aggregation(df)

@@ -63,6 +63,8 @@ QUERIES_TO_DUMP = [
     ("stats_outlier_zscore", "z-score outliers: group moments + broadcast stats join, rows never shuffle (round 5)"),
     ("search_hybrid_rrf", "hybrid RRF: BM25 + cosine rank lists fused on top-N only (round 5)"),
     ("dedup_substring_spans", "sliding-window substring dedup: map-side span hashing + partial-agg doc-freq + 1:1 join back (round 6)"),
+    ("sketch_kmv_jaccard_intersect", "KMV set overlap: two k-row sketches answer Jaccard/intersection, corpus never pairs (round 6)"),
+    ("stats_outlier_mad", "median/MAD robust outliers: two exact-percentile passes + broadcast stats joins (round 6)"),
 ]
 
 
