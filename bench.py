@@ -330,6 +330,7 @@ def main() -> None:
         "stream_ttl_band_registry",
         "sketch_kmv_jaccard_intersect",
         "stats_outlier_mad",
+        "join_bloom_prefiltered",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

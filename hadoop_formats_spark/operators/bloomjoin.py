@@ -1,0 +1,124 @@
+"""Bloom-filter semi-join reduction — prune the probe side of a join
+MAP-SIDE, before its shuffle, using a few-KB Bloom filter built from
+the (already-filtered) build side's keys.
+
+This is the classic distributed-join optimization (Bloom 1970; its
+semi-join use goes back to Bernstein & Chiu 1981 and is what Spark's
+own runtime row-level filtering implements natively): when the build
+side is selective, most probe rows will not find a match — shuffling
+them is pure waste.  A Bloom filter has NO false negatives, so the
+pruned join is semantically identical to the plain join (the DuckDB
+oracle for the registered query IS the plain join), while false
+positives only cost some un-pruned rows.
+
+Everything is Catalyst expressions (deterministic salted-md5 hashes,
+same convention as the sketch family — no seeded RNG, SQL-replayable):
+
+* build: k bucket positions per key → positions packed into
+  ``m/64`` 64-bit words via ``bit_or`` partial aggregation → ONE row
+  holding a dense ``array<long>`` bitmap (built with
+  ``map_from_entries`` + a ``sequence`` ramp, no UDF);
+* probe: broadcast the 1-row bitmap, test each key's k positions with
+  ``element_at(words, pos/64 + 1) >> (pos%64) & 1`` — O(1) per probe
+  regardless of m, pure whole-stage-codegen arithmetic.
+
+100 TB shape: the bitmap build is a partial-agg groupBy over ≤ m/64
+distinct words (a few KB leave each task); the probe is a map-side
+filter fused into the scan stage, so the downstream shuffle moves
+only rows that (probably) join.  The reference has no joins at all —
+this belongs to the mandated relational extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key: Column, k: int, m: int) -> list[Column]:
+    """k deterministic bucket positions in [0, m) for ``key``: 8-hex-char
+    slices of salted md5, mod m (same family as sketch.cm_bucket)."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bj{i}:"), key)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    build: DataFrame, key_col: str, *, m: int = 8192, k: int = 3
+) -> DataFrame:
+    """ONE-row DataFrame ``(bloom_words: array<long>)`` — the packed
+    m-bit Bloom bitmap of ``build[key_col]``.  Partial-agg shape: the
+    per-word ``bit_or`` combines map-side, so at most m/64 rows reach
+    the final reduce regardless of build-side size."""
+    key = F.col(key_col).cast("string")
+    pos = F.explode(F.array(*_positions(key, k, m))).alias("pos")
+    words = (
+        build.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # pyspark's shiftleft() wants a literal shift amount; the
+            # per-row shift needs the SQL form
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    n_words = (m + 63) // 64
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("bits")))
+        ).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wm"), i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_probe_filter(
+    probe: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key passes the Bloom test —
+    a map-side prune with no false negatives.  ``bloom`` is the 1-row
+    output of :func:`bloom_build`; it is broadcast, so the prune adds
+    no shuffle."""
+    out = probe.crossJoin(F.broadcast(bloom))
+    key = F.col(key_col).cast("string")
+    for i, p in enumerate(_positions(key, k, m)):
+        out = out.withColumn(f"_bjp{i}", p)
+    # & 1, not % 2: shiftright is ARITHMETIC (sign-extending), so a
+    # word with bit 63 set shifts to a negative value and Java-style %
+    # would yield -1; & extracts the low bit regardless of sign.  The
+    # SQL form is used because pyspark's shiftright() only accepts a
+    # literal shift amount.
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & (
+            F.expr(
+                f"shiftright(element_at(bloom_words,"
+                f" CAST(_bjp{i} / 64 AS INT) + 1),"
+                f" CAST(_bjp{i} % 64 AS INT)) & CAST(1 AS BIGINT)"
+            )
+            == 1
+        )
+    return out.filter(cond).drop(
+        "bloom_words", *[f"_bjp{i}" for i in range(k)]
+    )

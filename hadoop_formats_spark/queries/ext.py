@@ -3233,3 +3233,50 @@ def sketch_kmv_jaccard_intersect(spark, sf_dir):
             F.round("intersect_est", 2).alias("intersect_est"),
         )
     )
+
+
+@register(
+    "join_bloom_prefiltered",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Bloom-filter semi-join reduction: a few-KB packed bitmap built "
+    "from the SELECTIVE build side (urgent, high-value orders) prunes "
+    "lineitem MAP-SIDE before its shuffle — the classic distributed-"
+    "join optimization (no false negatives, so the result is "
+    "byte-identical to the plain join, which IS the oracle; false "
+    "positives only cost un-pruned rows).  Bitmap build is a "
+    "partial-agg bit_or over <= m/64 words; the probe is O(1) "
+    "element_at/shift arithmetic fused into the scan stage.  At 100 TB "
+    "the probe side never shuffles rows that cannot join.",
+)
+def join_bloom_prefiltered(spark, sf_dir):
+    from ..operators.bloomjoin import bloom_build, bloom_probe_filter
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o, "o_orderkey", m=8192, k=3)
+    pruned = bloom_probe_filter(li, "l_orderkey", bloom, m=8192, k=3)
+    return (
+        pruned.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("yr")
+    )

@@ -1254,3 +1254,24 @@ def test_pagerank_iteration_partial_aggregates(spark):
     )
     pr = pagerank(edges, iterations=1)
     assert plans.has_partial_aggregation(pr)
+
+
+def test_bloom_prefilter_prunes_and_never_drops_matches(spark):
+    """Bloom semi-join reduction: no false negatives (every true match
+    survives the prune — the correctness contract that makes the plain
+    join a valid oracle), and real pruning (at m=8192/k=3 with a
+    50-key build side, the FP rate is well under 5%)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_probe_filter,
+    )
+
+    build = spark.range(0, 50).select(F.col("id").alias("k"))
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", m=8192, k=3)
+    pruned = bloom_probe_filter(probe, "k", bloom, m=8192, k=3)
+    kept = {r.k for r in pruned.collect()}
+    assert set(range(50)) <= kept          # no false negatives, ever
+    assert len(kept) < 50 + 0.05 * 4950    # actually pruned (~fp<5%)

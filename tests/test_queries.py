@@ -467,3 +467,11 @@ def test_kmv_jaccard_touches_only_sketch_rows(spark, sf_dir):
     # partial aggregation on the distinct passes
     df = _df(spark, sf_dir, "sketch_kmv_jaccard_intersect")
     assert plans.has_partial_aggregation(df)
+
+
+def test_bloom_join_broadcasts_bitmap_and_partial_aggs(spark, sf_dir):
+    # the 1-row bitmap must broadcast (the prune adds no shuffle) and
+    # the bit_or build + final agg must partial-aggregate
+    df = _df(spark, sf_dir, "join_bloom_prefiltered")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)

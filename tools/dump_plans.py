@@ -65,6 +65,7 @@ QUERIES_TO_DUMP = [
     ("dedup_substring_spans", "sliding-window substring dedup: map-side span hashing + partial-agg doc-freq + 1:1 join back (round 6)"),
     ("sketch_kmv_jaccard_intersect", "KMV set overlap: two k-row sketches answer Jaccard/intersection, corpus never pairs (round 6)"),
     ("stats_outlier_mad", "median/MAD robust outliers: two exact-percentile passes + broadcast stats joins (round 6)"),
+    ("join_bloom_prefiltered", "Bloom semi-join reduction: partial-agg bitmap build, broadcast probe prune before the shuffle (round 6)"),
 ]
 
 
