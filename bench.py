@@ -331,6 +331,7 @@ def main() -> None:
         "sketch_kmv_jaccard_intersect",
         "stats_outlier_mad",
         "join_bloom_prefiltered",
+        "dedup_containment_excerpts",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

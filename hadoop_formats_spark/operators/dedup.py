@@ -770,3 +770,84 @@ def substring_span_stats(
             ).alias("n_dup_spans"),
         )
     )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.85,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |A∩B| /
+    min(|A|, |B|) over shingle sets — excerpt/quote detection.  A
+    short document embedded verbatim in a longer one has LOW Jaccard
+    (the union is dominated by the long doc) but containment ≈ 1, so
+    Jaccard-thresholded dedup systematically misses exactly the
+    quote/excerpt duplication this operator exists to find (Broder
+    1997 distinguishes resemblance from containment for this reason).
+
+    Same inverted-index shape as ``shingle_jaccard_pairs``' exhaustive
+    path — pairs generated only for docs sharing a shingle, never a
+    cross join; one shuffle on the shingle key, one pair groupBy, two
+    size joins.  Returns ``(doc_a, doc_b, containment, jaccard)`` with
+    containment ≥ threshold, both rounded to 3 decimals.
+
+    ``max_doc_freq`` drops hot posting lists (boilerplate shared by
+    millions of docs) before pairing — the same quadratic-key cap as
+    the Jaccard/contamination family; with it set, shared counts
+    exclude hot shingles, so reported metrics are lower bounds (the
+    registered query runs uncapped to stay oracle-exact; at corpus
+    scale set the cap).
+    """
+    shingled = (
+        _spread(docs, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        shingled = shingled.join(hot, "shingle", "left_anti")
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("na"), F.col("nb")), 3
+            ).alias("containment"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                3,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1475,3 +1475,45 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_containment_excerpts",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / least(sa.n, sb.n), 3) AS containment,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 3) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / least(sa.n, sb.n) >= 0.85
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Containment (excerpt/quote) detection: C = |A∩B|/min(|A|,|B|) "
+    "over 3-gram shingle sets — Broder 1997's containment, the metric "
+    "Jaccard dedup systematically misses when a short document is "
+    "embedded in a longer one (the union dilutes Jaccard, containment "
+    "stays ~1).  Inverted-index pair generation (never a cross join), "
+    "one shingle-key shuffle + pair groupBy + two size joins; at "
+    "corpus scale the max_doc_freq hot-list cap applies (uncapped "
+    "here to stay oracle-exact).  Jaccard reported alongside so the "
+    "excerpt signature (high C, low J) is visible in the graded rows.",
+)
+def dedup_containment_excerpts(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import shingle_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        d, shingle_n=3, threshold=0.85
+    ).orderBy("doc_a", "doc_b")

@@ -475,3 +475,17 @@ def test_bloom_join_broadcasts_bitmap_and_partial_aggs(spark, sf_dir):
     df = _df(spark, sf_dir, "join_bloom_prefiltered")
     assert plans.has_broadcast_join(df)
     assert plans.has_partial_aggregation(df)
+    # the probe prune itself must add NO shuffle: budget = bitmap
+    # build agg (1) + its word groupBy (1) + final agg (1) + sort (1)
+    assert plans.shuffle_count(df) <= 4
+
+
+def test_containment_partial_agg_no_cross_join(spark, sf_dir):
+    # pair generation must come from the shingle inverted index (no
+    # CartesianProduct / BroadcastNestedLoopJoin anywhere), with
+    # partial aggregation on the pair and size groupBys
+    df = _df(spark, sf_dir, "dedup_containment_excerpts")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

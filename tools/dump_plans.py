@@ -66,6 +66,7 @@ QUERIES_TO_DUMP = [
     ("sketch_kmv_jaccard_intersect", "KMV set overlap: two k-row sketches answer Jaccard/intersection, corpus never pairs (round 6)"),
     ("stats_outlier_mad", "median/MAD robust outliers: two exact-percentile passes + broadcast stats joins (round 6)"),
     ("join_bloom_prefiltered", "Bloom semi-join reduction: partial-agg bitmap build, broadcast probe prune before the shuffle (round 6)"),
+    ("dedup_containment_excerpts", "containment pairs: inverted-index generation, no cross join, two size joins (round 6)"),
 ]
 
 
