@@ -172,3 +172,64 @@ def test_bpe_merge_fold_matches_python_reference(spark, word, pair):
         .m.split(B.SEP)
     )
     assert got == _py_greedy_merge(list(word), a, b)
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction: no false negatives, ever
+# ---------------------------------------------------------------------------
+
+
+@given(
+    build_keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=40),
+    extra=st.sets(st.integers(10_001, 20_000), max_size=60),
+)
+@settings(**SETTINGS)
+def test_bloom_never_drops_build_keys(spark, build_keys, extra):
+    """For ANY build set and probe superset, every probe row whose key
+    is in the build set survives the bloom prune (the contract that
+    makes the plain join a valid oracle for the pruned join)."""
+    from hadoop_formats_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_probe_filter,
+    )
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe_keys = sorted(build_keys | extra)
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    bloom = bloom_build(build, "k", m=2048, k=3)
+    kept = {
+        r.k for r in bloom_probe_filter(probe, "k", bloom, m=2048, k=3).collect()
+    }
+    assert build_keys <= kept
+
+
+# ---------------------------------------------------------------------------
+# Containment vs Jaccard invariants
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_containment_bounds_and_identity(spark, docs):
+    """containment >= jaccard for every reported pair (min(|A|,|B|) <=
+    |A∪B|), both in (0, 1], and a doc paired with an exact copy of
+    itself reports containment 1.0."""
+    from hadoop_formats_spark.operators.dedup import shingle_containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    rows.append((len(rows), rows[0][1]))  # exact copy of doc 0
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = shingle_containment_pairs(d, threshold=0.0).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in got}
+    for r in got:
+        assert 0 < r.jaccard <= r.containment <= 1.0
+    dup = by_pair.get((0, len(rows) - 1))
+    assert dup is not None and dup.containment == 1.0 and dup.jaccard == 1.0
