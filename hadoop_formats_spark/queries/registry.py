@@ -180,7 +180,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     machinery inside a strictly harder plan).
 # Round-6 rotation (VERDICT r5 #1-#3, #7): the largest rotation yet —
 # ALL 50 round-5 rows were driver-graded GREEN, so 34 slots turn over
-# to never-graded queries (cumulative driver-graded 77 → 111 of 190).
+# to never-graded queries (cumulative driver-graded 77 → 111 of the
+# 196 registered at end of round 6).
 # Incoming: the 13 round-5 operators (HLL, BM25, RRF, streaming HLL,
 # bigram LM, char entropy, z-score outliers, quantile normalization,
 # co-occurrence, triangles, label propagation, Pareto skyline, band
