@@ -1,0 +1,80 @@
+"""Record linkage / fuzzy entity resolution — blocked candidate
+generation plus edit-distance scoring, the Fellegi-Sunter-shaped
+pattern (blocking key → candidate pairs → field similarity → best
+match) every warehouse dedup/master-data pipeline runs.
+
+Scale shape: the ONLY join is an equi-join on the blocking key, so
+candidate-pair count is sum(|block_L| x |block_R|), bounded by the
+blocking design — never the |L| x |R| cross product (plan-asserted in
+tests: no CartesianProduct / BroadcastNestedLoopJoin).  Scoring
+(``levenshtein``) is a map-side Catalyst expression over candidate
+rows, and best-match selection is one window per left entity (Spark
+plans it as WindowGroupLimit: per-partition top-1 before the shuffle).
+On 100 TB the knobs are the blocking key itself (coarser key = bigger
+blocks = more pairs) and ``max_block``, which drops pathological
+blocks (the empty-name / placeholder-value blocks that would
+otherwise go quadratic) — the standard trade documented in the
+linkage literature (Christen 2012, "Data Matching").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_text: str,
+    right_text: str,
+    block: str,
+    max_dist: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Best fuzzy match per LEFT entity.
+
+    ``block`` is a SQL expression over the placeholder ``__text__``,
+    rebound to each side's text column (e.g. ``"substr(__text__, 1,
+    4)"``); rows only pair within equal block values.  A match
+    is a candidate with ``levenshtein <= max_dist``; the winner per
+    left entity is the (lowest distance, lowest right key) pair, so
+    results are deterministic under ties.  ``max_block`` drops blocks
+    whose RIGHT side exceeds the cap (quadratic-blowup guard).
+
+    Returns columns: ``<left_key>``, ``<right_key>``, ``lev``.
+    """
+    lb = left.select(
+        F.col(left_key),
+        F.col(left_text).alias("_l_text"),
+        block_on(block, left_text).alias("_blk"),
+    )
+    rb = right.select(
+        F.col(right_key),
+        F.col(right_text).alias("_r_text"),
+        block_on(block, right_text).alias("_blk"),
+    )
+    if max_block is not None:
+        # tiny per-block counts (partial agg), broadcast back as a
+        # semi-filter — the right rows themselves never shuffle twice
+        sizes = rb.groupBy("_blk").count().filter(F.col("count") <= max_block)
+        rb = rb.join(F.broadcast(sizes.select("_blk")), "_blk")
+    cand = lb.join(rb, "_blk").withColumn(
+        "lev", F.levenshtein("_l_text", "_r_text")
+    )
+    cand = cand.filter(F.col("lev") <= max_dist)
+    w = Window.partitionBy(left_key).orderBy("lev", right_key)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(left_key, right_key, "lev")
+    )
+
+
+def block_on(block: str, text_col: str) -> Column:
+    """Rebind a blocking SQL expression written over the placeholder
+    ``__text__`` to a side's actual text column."""
+    return F.expr(block.replace("__text__", f"`{text_col}`"))

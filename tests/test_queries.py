@@ -489,3 +489,15 @@ def test_containment_partial_agg_no_cross_join(spark, sf_dir):
     p = plans.executed_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_linkage_blocked_join_and_group_limit(spark, sf_dir):
+    # candidate generation must be the blocking EQUI-join (never a
+    # cross product scored row-by-row), and best-match-per-entity must
+    # plan as WindowGroupLimit (map-side top-1 before the shuffle)
+    df = _df(spark, sf_dir, "link_fuzzy_customer_names")
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    assert plans.has_partial_aggregation(df)
