@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -169,4 +169,62 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type")
+    )
+
+
+def point_in_time_enrich(
+    dim: DataFrame,
+    facts: DataFrame,
+    *,
+    key_col: str,
+    valid_from_col: str,
+    fact_ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks up the
+    SCD2 dimension version valid at its timestamp — the lookup every
+    star-schema query against a type-2 dimension runs.
+
+    Expressed WITHOUT a range join: SCD2 validity intervals are
+    gap-free per key (each version runs from its ``valid_from`` to the
+    next version's), so "the version valid at ts" == "the last version
+    opened at-or-before ts".  That makes the temporal join an as-of
+    join: union dimension-open events with facts, one window per key
+    ordered by (ts, is_fact) — dimension rows sort first at equal
+    timestamps, giving inclusive ``valid_from <= ts`` semantics — and
+    ``last(attr, ignorenulls)`` carries each version's attributes
+    forward onto the facts that fall inside it.
+
+    Scale shape: ONE shuffle on the dimension key for the union'd
+    stream (versions + facts), no interval binning, no
+    BroadcastNestedLoopJoin, and no dimension blow-up — on 100 TB of
+    facts the cost is the same as any keyed window.  Facts before the
+    key's first version get NULL attributes (the LEFT-join semantics
+    of the definitional BETWEEN form).
+    """
+    fact_cols = [c for c in facts.columns if c not in (key_col, fact_ts_col)]
+    dim_u = dim.select(
+        F.col(key_col),
+        F.col(valid_from_col).alias("_ts"),
+        F.lit(0).alias("_is_fact"),
+        *[F.col(a) for a in attr_cols],
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fact_cols],
+    )
+    fact_u = facts.select(
+        F.col(key_col),
+        F.col(fact_ts_col).alias("_ts"),
+        F.lit(1).alias("_is_fact"),
+        *[F.lit(None).cast(dim.schema[a].dataType).alias(a) for a in attr_cols],
+        *[F.col(c) for c in fact_cols],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_ts", "_is_fact")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = dim_u.unionByName(fact_u)
+    for a in attr_cols:
+        enriched = enriched.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    return enriched.filter(F.col("_is_fact") == 1).select(
+        key_col, F.col("_ts").alias(fact_ts_col), *fact_cols, *attr_cols
     )

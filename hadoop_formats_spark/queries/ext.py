@@ -3356,3 +3356,79 @@ def link_fuzzy_customer_names(spark, sf_dir):
         )
         .orderBy("lev")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM s WHERE prev IS NULL OR event_type <> prev
+    ),
+    f AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(f.value), 2) AS total_value
+    FROM f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (f.ts < d.valid_to OR d.valid_to IS NULL)
+    GROUP BY d.state ORDER BY d.state
+    """,
+    doc="Point-in-time join against an SCD2 dimension: the user's "
+    "then-current activity state (last non-purchase event type, "
+    "collapsed to change rows exactly like a type-2 dimension) is "
+    "attached to every purchase at the purchase's own timestamp, then "
+    "purchases are profiled per state.  The oracle is the DEFINITIONAL "
+    "validity-interval form (LEFT JOIN ON valid_from <= ts < valid_to); "
+    "the Spark plan is operators/cdc.py point_in_time_enrich — an as-of "
+    "rewrite with ONE keyed window and no range join, the shape that "
+    "survives 100 TB fact tables (a BETWEEN-only join would plan "
+    "BroadcastNestedLoopJoin; plan-asserted absent).",
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.cdc import point_in_time_enrich
+
+    ev = table(spark, sf_dir, "events")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    w0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        nonp.withColumn("prev", F.lag("event_type").over(w0))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    enriched = point_in_time_enrich(
+        dim,
+        facts,
+        key_col="user_id",
+        valid_from_col="valid_from",
+        fact_ts_col="ts",
+        attr_cols=["state"],
+    )
+    return (
+        enriched.groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("state")
+    )

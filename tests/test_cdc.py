@@ -232,3 +232,74 @@ def test_streaming_scd2_foreachbatch_matches_batch(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{dim_dir}/v2").collect())
     )
     assert got == expect
+
+
+def test_point_in_time_enrich_matches_interval_join(spark):
+    """The as-of window rewrite must equal the definitional
+    valid_from <= ts < valid_to interval join, including facts before
+    the key's first version (NULL attrs) and facts at exactly a
+    version boundary (inclusive of the NEW version)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators.cdc import point_in_time_enrich
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def t(h):
+        return T0 + dt.timedelta(hours=h)
+
+    dim = spark.createDataFrame(
+        [(1, t(2), "bronze"), (1, t(5), "gold"), (2, t(0), "silver")],
+        "k long, valid_from timestamp, tier string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, t(1), 10.0),   # before first version -> NULL tier
+            (1, t(2), 11.0),   # exactly at open -> bronze (inclusive)
+            (1, t(4), 12.0),   # inside bronze
+            (1, t(5), 13.0),   # exactly at change -> gold
+            (1, t(9), 14.0),   # open-ended gold
+            (2, t(3), 15.0),   # silver
+            (3, t(1), 16.0),   # key with no dimension at all -> NULL
+        ],
+        "k long, ts timestamp, v double",
+    )
+    got = sorted(
+        map(
+            tuple,
+            point_in_time_enrich(
+                dim,
+                facts,
+                key_col="k",
+                valid_from_col="valid_from",
+                fact_ts_col="ts",
+                attr_cols=["tier"],
+            ).collect(),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("valid_from")
+    d2 = dim.withColumn("valid_to", F.lead("valid_from").over(w))
+    ref = sorted(
+        map(
+            tuple,
+            facts.alias("f")
+            .join(
+                d2.alias("d"),
+                (F.col("f.k") == F.col("d.k"))
+                & (F.col("d.valid_from") <= F.col("f.ts"))
+                & (
+                    F.col("d.valid_to").isNull()
+                    | (F.col("f.ts") < F.col("d.valid_to"))
+                ),
+                "left",
+            )
+            .select("f.k", "f.ts", "f.v", "d.tier")
+            .collect(),
+        )
+    )
+    assert got == ref
+    assert len(got) == 7

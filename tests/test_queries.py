@@ -501,3 +501,16 @@ def test_fuzzy_linkage_blocked_join_and_group_limit(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
     assert plans.has_partial_aggregation(df)
+
+
+def test_point_in_time_join_no_range_join(spark, sf_dir):
+    # the temporal join must be the as-of window rewrite — never the
+    # definitional interval join (which plans BroadcastNestedLoopJoin)
+    df = _df(spark, sf_dir, "scd2_point_in_time_join")
+    p = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # budget: dim change-detect window + enrich window (both keyed on
+    # user_id) + final agg + sort
+    assert plans.shuffle_count(df) <= 4
+    assert plans.has_partial_aggregation(df)
