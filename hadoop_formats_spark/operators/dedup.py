@@ -359,6 +359,96 @@ def shingle_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join via prefix filtering —
+    the AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08), the deterministic counterpart to MinHash-LSH banding.
+
+    Under any global total order on tokens, if ``J(a,b) >= t`` then the
+    globally-smallest token of ``a ∩ b`` lies within the first
+    ``|x| - ceil(t·|x|) + 1`` tokens of BOTH sets (were it later in
+    ``x``, fewer than ``ceil(t·|x|) <= |a ∩ b|`` slots would remain
+    after it).  So indexing only those *prefixes* — ordered by
+    ascending document frequency, rarest tokens first — finds every
+    qualifying pair, while hot boilerplate shingles land at the END of
+    each doc's ordering and mostly fall outside every prefix: the
+    inverted-index join that is quadratic-per-hot-key in the exhaustive
+    formulation shrinks to rare-token posting lists, with NO loss
+    (unlike ``max_doc_freq`` capping, which trades recall).  A length
+    filter (``t·|a| <= |b| <= |a|/t``, also implied by ``J >= t``)
+    prunes candidates inside the join condition before the shuffle
+    output materializes.
+
+    Scale shape: shuffle on shingle (df count), shuffle on doc_id (two
+    keyed windows share one sort), the prefix self-join on rare
+    shingles, then the O(|candidates|) verify join of
+    :func:`shingle_jaccard_pairs` — never a cross join, never an
+    estimate.  Candidates are generated at a threshold half an ulp (of
+    the 3-decimal rounding) below ``t`` so the rounded verify filter
+    ``round(J, 3) >= t`` keeps exactly the oracle's pair set.
+
+    Returns (doc_a, doc_b, jaccard) with ``round(jaccard, 3) >=
+    threshold``.
+    """
+    from pyspark.sql import Window
+
+    # verify filters on round(J, 3) >= threshold, so candidate
+    # generation must be complete for true J >= threshold - 0.0005
+    t = threshold - 0.5e-3
+    tok = _spread(docs, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        # word_shingles is array_distinct — rows are unique (doc, shingle)
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    df_tbl = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_all = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(df_tbl, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w_pos).alias("pos"),
+            F.count("*").over(w_all).alias("sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "shingle", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.sz", "b.sz")
+                >= F.lit(t) * F.greatest("a.sz", "b.sz")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return shingle_jaccard_pairs(
+        docs,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        candidates=cand,
+    )
+
+
 def minhash_band_precision_recall(
     docs: DataFrame,
     id_col: str = "doc_id",

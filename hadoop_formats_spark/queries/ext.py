@@ -136,6 +136,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_JACCARD_TAIL.lstrip()}
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) AS jaccard
+    FROM inter i
+    JOIN sizes x ON i.doc_a = x.doc_id
+    JOIN sizes y ON i.doc_b = y.doc_id
+    WHERE round(i.n_inter * 1.0 / (x.n + y.n - i.n_inter), 3) >= 0.8
+    ORDER BY i.doc_a, i.doc_b
+    """,
+    doc="EXACT Jaccard>=0.8 similarity join via AllPairs/PPJoin prefix "
+    "filtering (operators/dedup.py prefix_filter_jaccard_pairs): docs "
+    "index only their df-ordered token prefixes (|d| - ceil(t|d|) + 1 "
+    "rarest shingles), which provably catches every qualifying pair "
+    "while hot boilerplate shingles fall outside the prefixes — the "
+    "lossless answer to the inverted index's hot-key quadratic blowup "
+    "(contrast dedup_ngram_jaccard's max_doc_freq cap, which trades "
+    "recall).  The oracle is the UNCAPPED exhaustive Jaccard join: "
+    "matching it end-to-end is the exactness proof.",
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(d, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
     "dedup_group_assignment",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE.lstrip()},

@@ -399,6 +399,53 @@ def test_jaccard_cap_plan_prunes_hot_postings(spark, docs):
     assert "LeftAnti" in plan
 
 
+def test_prefix_filter_equals_exhaustive(spark, docs):
+    """Prefix filtering is EXACT: output must equal the uncapped
+    exhaustive Jaccard join — pairs AND values — at several thresholds
+    (completeness is the whole point; a missed pair means the prefix
+    bound is wrong)."""
+    for t in (0.5, 0.8, 0.95):
+        exhaustive = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.shingle_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pf = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pf == exhaustive, f"threshold {t}: {pf} != {exhaustive}"
+    assert D.prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+
+
+def test_prefix_filter_boundary_pair_survives(spark):
+    """A pair whose true Jaccard rounds UP to the threshold (J=0.7995..
+    -> round 0.8) must survive candidate generation — the half-ulp
+    slack that keeps the operator aligned with the rounded verify/oracle
+    filter."""
+    # 4/5 overlap of distinct 1-gram tokens: J = 4/6 = 0.667 at t=0.667
+    # exercises ceil boundaries; rounded filter keeps it
+    rows = [(1, "a b c d e"), (2, "a b c d f")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = D.prefix_filter_jaccard_pairs(
+        docs, threshold=0.667, shingle_n=1
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [
+        (1, 2, 0.667)
+    ]
+
+
+def test_prefix_filter_plan_no_cross_join(spark, docs):
+    """The candidate join must be an equi-join on shingle — never a
+    cartesian/BNLJ — and the length filter must sit inside the join."""
+    from hadoop_formats_spark import plans
+
+    plan = plans.executed_plan(
+        D.prefix_filter_jaccard_pairs(docs, threshold=0.8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_audio_windows_rms_matches_numpy(spark):
     import numpy as np
 
