@@ -3462,3 +3462,150 @@ def scd2_point_in_time_join(spark, sf_dir):
         )
         .orderBy("state")
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+               AS act_week
+      FROM events
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    )
+    SELECT c.cohort_week,
+           CAST((a.act_week - c.cohort_week) / 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           round(count(DISTINCT a.user_id) * 1.0 / s.cohort_size, 4)
+             AS retention
+    FROM acts a
+    JOIN cohort c USING (user_id)
+    JOIN sizes s ON c.cohort_week = s.cohort_week
+    GROUP BY c.cohort_week, week_offset, s.cohort_size
+    ORDER BY c.cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: users are cohorted by the Monday-"
+    "truncated week of their FIRST event, and each later active week "
+    "becomes a (cohort_week, week_offset) cell with distinct-user "
+    "count and retention rate vs the cohort size — the engagement "
+    "triangle every product-analytics stack computes.  Scale shape: "
+    "first-touch agg and the activity distinct both key on user_id "
+    "(co-partitioned join, no row blow-up), the retention matrix is "
+    "|weeks|^2 rows, and the tiny cohort-size table broadcasts.",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    acts = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+    ).distinct()
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    off = (F.datediff("act_week", "cohort_week") / 7).cast("int")
+    return (
+        acts.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", off.alias("week_offset"), "cohort_size")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "intervals_merge_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, island_id, max(e) - min(s) AS cov
+      FROM isl GROUP BY user_id, island_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cov) AS BIGINT) AS covered_seconds
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gaps-and-islands interval union: each event projects a "
+    "5-minute activity interval; overlapping/touching intervals per "
+    "user merge into islands (new island iff start > running max of "
+    "prior ends), yielding per-user island count and total covered "
+    "seconds — the interval-coverage primitive behind session "
+    "stitching, uptime/SLA math, and sensor-gap audits.  Scale shape: "
+    "ONE shuffle on user_id feeds both windows and the island "
+    "grouping (sort reused), island state is O(1) per row, and the "
+    "output is one row per user.",
+)
+def intervals_merge_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn("pme", F.max("e").over(w_prev)).withColumn(
+        "island_id",
+        F.sum(
+            F.when(
+                F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    islands = flagged.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum("cov").alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )

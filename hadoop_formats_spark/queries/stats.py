@@ -715,3 +715,108 @@ def stats_outlier_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch(min(ts)) AS BIGINT) AS e0,
+             CAST(epoch(max(ts)) AS BIGINT) AS e1,
+             min(value) AS v0, max(value) AS v1
+      FROM events
+    ),
+    sided AS (
+      SELECT CASE WHEN CAST(epoch(ts) AS BIGINT)
+                       <= CAST(floor((e0 + e1) / 2.0) AS BIGINT)
+                  THEN 'ref' ELSE 'cur' END AS side,
+             CAST(least(9, floor((value - v0) / (v1 - v0) * 10)) AS INT)
+               AS bin
+      FROM events, b
+    ),
+    counts AS (
+      SELECT CAST(t.i AS INT) AS bin,
+             CAST(coalesce(sum(CASE WHEN side = 'ref' THEN 1 END), 0)
+                  AS BIGINT) AS n_ref,
+             CAST(coalesce(sum(CASE WHEN side = 'cur' THEN 1 END), 0)
+                  AS BIGINT) AS n_cur
+      FROM range(10) t(i) LEFT JOIN sided ON sided.bin = t.i
+      GROUP BY t.i
+    ),
+    terms AS (
+      SELECT bin, n_ref, n_cur,
+             ((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0)
+              - (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0))
+             * ln(((n_ref + 0.5) / (sum(n_ref) OVER () + 5.0))
+                  / ((n_cur + 0.5) / (sum(n_cur) OVER () + 5.0))) AS term
+      FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           round(term, 6) AS psi_term,
+           round(sum(term) OVER (), 6) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+    doc="Population Stability Index between the first and second half "
+    "of the events time range over 10 equal-width value bins — the "
+    "distribution-drift check a training pipeline runs between corpus "
+    "snapshots before trusting a refreshed mixture.  Laplace-smoothed "
+    "(+0.5 per bin) so empty bins contribute finite terms; PSI >= 0.25 "
+    "is the conventional 'population shifted' alarm.  Scale shape: one "
+    "1-row bounds aggregate broadcast back onto the stream (rows never "
+    "shuffle for binning), ONE partial-agg groupBy on (bin), then all "
+    "window math runs on the 10-row bin table.",
+)
+def stats_psi_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select("ts", "value")
+    bounds = e.agg(
+        F.min(F.unix_timestamp("ts")).alias("e0"),
+        F.max(F.unix_timestamp("ts")).alias("e1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    j = e.crossJoin(F.broadcast(bounds))
+    mid = F.floor((F.col("e0") + F.col("e1")) / F.lit(2.0)).cast("long")
+    bin_ = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("value") - F.col("v0"))
+            / (F.col("v1") - F.col("v0"))
+            * 10
+        ),
+    ).cast("int")
+    sided = j.select(
+        F.when(F.unix_timestamp("ts") <= mid, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("side"),
+        bin_.alias("bin"),
+    )
+    counts = sided.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    # 10-bin spine so bins empty on BOTH sides still appear (smoothed)
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        spine.join(counts, "bin", "left")
+        .fillna(0, ["n_ref", "n_cur"])
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w) + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + 5.0)
+    term = (p - q) * F.log(p / q)
+    return counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
+    ).orderBy("bin")

@@ -514,3 +514,36 @@ def test_point_in_time_join_no_range_join(spark, sf_dir):
     # user_id) + final agg + sort
     assert plans.shuffle_count(df) <= 4
     assert plans.has_partial_aggregation(df)
+
+
+def test_psi_drift_rows_never_shuffle_for_binning(spark, sf_dir):
+    # bounds come back as a 1-row broadcast; the only row-data shuffle
+    # is the (bin) partial agg — window math runs on the 10-row table
+    df = _df(spark, sf_dir, "stats_psi_drift")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 5
+    rows = df.collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    assert len({r["psi_total"] for r in rows}) == 1  # one global PSI
+
+
+def test_cohort_retention_broadcasts_sizes(spark, sf_dir):
+    df = _df(spark, sf_dir, "cohort_retention_weekly")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    rows = df.collect()
+    # offset-0 retention is 1.0 by construction (first week = active)
+    assert all(
+        r["retention"] == 1.0 for r in rows if r["week_offset"] == 0
+    )
+
+
+def test_intervals_merge_single_user_shuffle(spark, sf_dir):
+    # both windows + both groupBys key on user_id: one data shuffle
+    # (plus the final presentation sort)
+    df = _df(spark, sf_dir, "intervals_merge_coverage")
+    assert plans.shuffle_count(df) <= 3
+    rows = df.collect()
+    # covered time can never exceed islands * interval ... actually
+    # each island covers >= 300s (one event) so cov >= n_islands * 300
+    assert all(r["covered_seconds"] >= r["n_islands"] * 300 for r in rows)
