@@ -820,3 +820,53 @@ def stats_psi_drift(spark, sf_dir):
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(w), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+@register(
+    "stats_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4)
+             AS prob
+    FROM pairs ORDER BY prev_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current) — the behavioral model "
+    "behind next-action prediction, anomalous-session scoring, and "
+    "synthetic-sequence generation.  Scale shape: ONE shuffle on "
+    "user_id for the lag window (the sequence state is one row), a "
+    "partial-agg count to the |types|^2 transition table, and the "
+    "probability normalization runs on that tiny table.",
+)
+def stats_markov_transitions(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 4).alias("prob"),
+    ).orderBy("prev_type", "next_type")

@@ -547,3 +547,18 @@ def test_intervals_merge_single_user_shuffle(spark, sf_dir):
     # covered time can never exceed islands * interval ... actually
     # each island covers >= 300s (one event) so cov >= n_islands * 300
     assert all(r["covered_seconds"] >= r["n_islands"] * 300 for r in rows)
+
+
+def test_markov_transitions_single_data_shuffle(spark, sf_dir):
+    # lag window keys on user_id; the pair agg partial-aggregates; the
+    # probability window runs on the |types|^2 table
+    df = _df(spark, sf_dir, "stats_markov_transitions")
+    assert plans.has_partial_aggregation(df)
+    rows = df.collect()
+    import collections
+
+    by_prev = collections.defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["prob"]
+    # each row of the transition matrix sums to ~1 (rounding slack)
+    assert all(abs(v - 1.0) < 0.01 for v in by_prev.values())
