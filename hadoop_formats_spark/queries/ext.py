@@ -3609,3 +3609,49 @@ def intervals_merge_coverage(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_trigram_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t3,
+             lag(event_type, 1) OVER w AS t2,
+             lag(event_type, 2) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 10
+    """,
+    doc="Frequent-sequence mining (order-3): sliding event-type "
+    "trigrams over each user's time-ordered stream, counted corpus-"
+    "wide — the sequential-pattern primitive behind funnel discovery "
+    "and next-action heuristics.  Scale shape: trigrams come from two "
+    "lags inside ONE user_id-keyed window (no positional self-join, "
+    "same discipline as text_bigram_lm_score), counts partial-agg to "
+    "the |types|^3-bounded table, TakeOrderedAndProject top-10 with a "
+    "total tiebreak order.",
+)
+def events_trigram_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(10)
+    )

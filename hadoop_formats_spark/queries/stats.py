@@ -870,3 +870,58 @@ def stats_markov_transitions(spark: SparkSession, sf_dir: str):
         "n",
         F.round(F.col("n") / F.sum("n").over(w_prev), 4).alias("prob"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "stats_decayed_engagement",
+    oracle="""
+    WITH b AS (
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events
+    ),
+    scored AS (
+      SELECT user_id,
+             sum(value * exp(-(ln(2) / 604800.0)
+                             * (tmax - CAST(floor(epoch(ts)) AS BIGINT))))
+               AS score,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events, b
+      GROUP BY user_id
+    )
+    SELECT user_id, round(score, 6) AS decayed_score, n_events
+    FROM scored
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 20
+    """,
+    doc="Exponentially time-decayed engagement leaderboard: each "
+    "event's value is discounted by exp(-ln2/halflife * age) with a "
+    "7-day half-life anchored at the corpus max timestamp — the "
+    "recency-weighted scoring behind trending ranks and freshness-"
+    "aware sampling weights (a decayed sum is ALSO incrementally "
+    "maintainable: scaling yesterday's total by one decay factor "
+    "absorbs a new day without rescanning history).  Scale shape: "
+    "1-row max-ts aggregate broadcast back, per-user partial agg, "
+    "TakeOrderedAndProject top-20.",
+)
+def stats_decayed_engagement(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tmax = e.agg(F.max(F.unix_timestamp("ts")).alias("tmax"))
+    lam = 0.6931471805599453 / 604800.0  # ln(2) / 7 days
+    return (
+        e.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        -F.lit(lam)
+                        * (F.col("tmax") - F.unix_timestamp("ts"))
+                    )
+                ),
+                6,
+            ).alias("decayed_score"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(20)
+    )

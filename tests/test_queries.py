@@ -562,3 +562,29 @@ def test_markov_transitions_single_data_shuffle(spark, sf_dir):
         by_prev[r["prev_type"]] += r["prob"]
     # each row of the transition matrix sums to ~1 (rounding slack)
     assert all(abs(v - 1.0) < 0.01 for v in by_prev.values())
+
+
+def test_decayed_engagement_topk_plan(spark, sf_dir):
+    from hadoop_formats_spark import plans as P
+
+    df = _df(spark, sf_dir, "stats_decayed_engagement")
+    p = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert P.has_partial_aggregation(df)
+    rows = df.collect()
+    # sf0.001 has only 15 users; the limit caps at 20
+    assert 0 < len(rows) <= 20
+    assert all(r["decayed_score"] >= 0 for r in rows)
+    scores = [r["decayed_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_trigram_mining_no_self_join(spark, sf_dir):
+    from hadoop_formats_spark import plans as P
+
+    df = _df(spark, sf_dir, "events_trigram_mining")
+    p = P.executed_plan(df)
+    # trigrams must come from lags in ONE window, never positional joins
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert P.has_partial_aggregation(df)
