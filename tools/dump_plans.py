@@ -48,6 +48,10 @@ QUERIES_TO_DUMP = [
     ("parquet_schema_evolution", "mergeSchema scan over divergent file generations (round 4)"),
     ("sketch_kmv_distinct_union", "KMV sketch: partial-agg distinct + WindowGroupLimit top-k, lossless merge (round 4)"),
     ("scd2_dimension_merge", "SCD2 MERGE: open-rows full-outer join vs last-change-per-key, history unions through (round 4)"),
+    ("dedup_prefix_filter_join", "AllPairs/PPJoin prefix filter: df-ordered prefixes, lossless hot-key avoidance (round 6)"),
+    ("scd2_point_in_time_join", "temporal join as as-of window rewrite: one keyed shuffle, no range join (round 6)"),
+    ("stats_psi_drift", "PSI drift: 1-row bounds broadcast, rows never shuffle for binning (round 6)"),
+    ("intervals_merge_coverage", "gaps-and-islands: one user_id shuffle feeds windows + grouping (round 6)"),
     ("layout_zorder_clustering", "Z-order: Morton interleave map-side, broadcast bounds, per-bucket boxes (round 4)"),
     ("chunk_sliding_windows", "sliding-window chunking: map-only posexplode+slice fan-out (round 4)"),
     ("bpe_train_merges", "BPE training: vocabulary partial-agg + per-round fold, driver-held merges (round 4)"),
