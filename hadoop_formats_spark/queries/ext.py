@@ -3655,3 +3655,88 @@ def events_trigram_mining(spark, sf_dir):
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(10)
     )
+
+
+@register(
+    "timeseries_ewma_anomaly",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY event_type, h
+    ),
+    idx AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hourly
+    ),
+    rec AS (
+      SELECT event_type, rn, c, c AS ewma, FALSE AS is_anom
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn, i.c,
+             0.3 * i.c + 0.7 * r.ewma AS ewma,
+             i.c > 2.0 * r.ewma AS is_anom
+      FROM idx i JOIN rec r
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max_by(ewma, rn), 6) AS ewma_final
+    FROM rec GROUP BY event_type ORDER BY event_type
+    """,
+    doc="EWMA control-chart anomaly detection over per-type hourly "
+    "event counts (alpha=0.3; a point is anomalous when it exceeds "
+    "2x the smoothed level BEFORE it): the drift/spike monitor for "
+    "ingest volumes.  An EWMA is an inherently sequential recurrence "
+    "no window frame expresses stably (the closed form overflows "
+    "(1-a)^-n at series length), so this is the showcase for the "
+    "applyInPandas GROUPED-MAP pattern: the hourly partial agg "
+    "first reduces 100 TB of raw events to |types| x |hours| rows, "
+    "and only that tiny series — never the raw stream — enters the "
+    "per-group pandas recurrence.  Oracle: the same recurrence as a "
+    "DuckDB recursive CTE, same arithmetic order, so doubles match "
+    "bit-for-bit.",
+)
+def timeseries_ewma_anomaly(spark, sf_dir):
+    import pandas as pd
+
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+
+    def ewma_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        ewma = 0.0
+        n_anom = 0
+        for i, c in enumerate(pdf["c"]):
+            if i == 0:
+                ewma = c
+            else:
+                if c > 2.0 * ewma:
+                    n_anom += 1
+                ewma = 0.3 * c + 0.7 * ewma
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "n_anomalies": [n_anom],
+                "ewma_final": [round(ewma, 6)],
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            ewma_series,
+            "event_type string, n_hours long, n_anomalies long, "
+            "ewma_final double",
+        )
+        .orderBy("event_type")
+    )

@@ -588,3 +588,36 @@ def test_trigram_mining_no_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert P.has_partial_aggregation(df)
+
+
+def test_ewma_anomaly_known_series(spark):
+    """Hand-checked recurrence: series 10,10,10,100,10 with alpha=0.3
+    flags exactly the 100 spike (100 > 2*10) and ends at the recurrence
+    value; the grouped-map sees the REDUCED hourly series, not raw rows."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    counts = [10, 10, 10, 100, 10]
+    eid = 0
+    for hr, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=hr), 1, "x", 0.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        # registry table() routes events through the ts-cast cache; the
+        # builder only needs the sf_dir layout
+        out = QUERIES["timeseries_ewma_anomaly"].builder(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hours"] == 5 and r["n_anomalies"] == 1
+    # recurrence: 10 -> 10 -> 10 -> 0.3*100+0.7*10=37 -> 0.3*10+0.7*37=28.9
+    assert abs(r["ewma_final"] - 28.9) < 1e-9
