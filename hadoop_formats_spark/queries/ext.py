@@ -3740,3 +3740,97 @@ def timeseries_ewma_anomaly(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "session_entry_exit_flows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                       > 1800
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    stamped AS (
+      SELECT user_id, sess_id, event_type,
+             first_value(event_type) OVER s AS entry_type,
+             last_value(event_type) OVER s AS exit_type
+      FROM numbered
+      WINDOW s AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    ),
+    sessions AS (
+      SELECT user_id, sess_id, entry_type, exit_type,
+             count(*) AS n_events
+      FROM stamped GROUP BY user_id, sess_id, entry_type, exit_type
+    )
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events
+    FROM sessions GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+    doc="Session flow analysis: how users ENTER and LEAVE sessions — "
+    "each 30-min-gap session (same boundary convention as "
+    "sessionize_events_batch) is stamped with its first and last "
+    "event type, then flows aggregate to an (entry, exit) matrix with "
+    "session counts and mean length: the landing/exit-page analysis "
+    "every funnel review starts from.  Scale shape: ONE shuffle on "
+    "user_id; the session-id window, the entry/exit stamping window "
+    "(partitioned by (user_id, sess_id), satisfied by the same hash "
+    "partitioning — new SORT, no new exchange), and the per-session "
+    "group all run co-partitioned; only the tiny \\|types\\|² flow "
+    "matrix aggregates globally.",
+)
+def session_entry_exit_flows(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = (
+        Window.partitionBy("user_id", "sess_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    stamped = numbered.select(
+        "user_id",
+        "sess_id",
+        F.first("event_type").over(s).alias("entry_type"),
+        F.last("event_type").over(s).alias("exit_type"),
+    )
+    sessions = stamped.groupBy(
+        "user_id", "sess_id", "entry_type", "exit_type"
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        sessions.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )

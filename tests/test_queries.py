@@ -621,3 +621,14 @@ def test_ewma_anomaly_known_series(spark):
     assert r["n_hours"] == 5 and r["n_anomalies"] == 1
     # recurrence: 10 -> 10 -> 10 -> 0.3*100+0.7*10=37 -> 0.3*10+0.7*37=28.9
     assert abs(r["ewma_final"] - 28.9) < 1e-9
+
+
+def test_session_flows_single_user_shuffle(spark, sf_dir):
+    # the (user_id, sess_id) stamping window must be satisfied by the
+    # user_id hash partitioning: no extra exchange beyond the user_id
+    # shuffle, the flow-matrix agg, and the presentation sort
+    df = _df(spark, sf_dir, "session_entry_exit_flows")
+    assert plans.shuffle_count(df) <= 3
+    assert plans.has_partial_aggregation(df)
+    rows = df.collect()
+    assert all(r["avg_events"] >= 1.0 for r in rows)
