@@ -99,7 +99,15 @@ def bloom_probe_filter(
     """Filter ``probe`` to rows whose key passes the Bloom test —
     a map-side prune with no false negatives.  ``bloom`` is the 1-row
     output of :func:`bloom_build`; it is broadcast, so the prune adds
-    no shuffle."""
+    no shuffle.
+
+    NULL-key rows are KEPT (``md5(NULL)`` is NULL, so the bit test is
+    indeterminate, and the contract is "only remove rows that CANNOT
+    match" — a caller feeding the pruned side into an outer join or
+    null-safe join must still see them; ADVICE r6 #3).  NULL never
+    equi-joins, so for plain inner-join pruning the kept rows are
+    harmless; pre-filter ``key IS NOT NULL`` yourself when you want
+    them gone too."""
     out = probe.crossJoin(F.broadcast(bloom))
     key = F.col(key_col).cast("string")
     for i, p in enumerate(_positions(key, k, m)):
@@ -119,6 +127,7 @@ def bloom_probe_filter(
             )
             == 1
         )
+    cond = cond | F.col(key_col).isNull()  # indeterminate ≠ removable
     return out.filter(cond).drop(
         "bloom_words", *[f"_bjp{i}" for i in range(k)]
     )

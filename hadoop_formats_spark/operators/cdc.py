@@ -192,8 +192,17 @@ def point_in_time_enrich(
     join: union dimension-open events with facts, one window per key
     ordered by (ts, is_fact) — dimension rows sort first at equal
     timestamps, giving inclusive ``valid_from <= ts`` semantics — and
-    ``last(attr, ignorenulls)`` carries each version's attributes
-    forward onto the facts that fall inside it.
+    ``last(ignorenulls)`` carries each version's attributes forward
+    onto the facts that fall inside it.
+
+    The carried value is ONE struct of all ``attr_cols`` per dimension
+    row — never the attributes individually.  ``struct(...)`` is
+    non-null for every dimension row even when individual attribute
+    values are NULL, so "this version's attribute is legitimately
+    NULL" stays distinguishable from "no version opened yet": facts
+    inside a NULL-valued version see that NULL, not the previous
+    version's value (ADVICE r6 #2; per-attribute ``last(attr,
+    ignorenulls)`` would skip the NULL and leak the older value).
 
     Scale shape: ONE shuffle on the dimension key for the union'd
     stream (versions + facts), no interval binning, no
@@ -202,19 +211,23 @@ def point_in_time_enrich(
     key's first version get NULL attributes (the LEFT-join semantics
     of the definitional BETWEEN form).
     """
+    from pyspark.sql import types as T
+
     fact_cols = [c for c in facts.columns if c not in (key_col, fact_ts_col)]
+    dim_struct_t = T.StructType([dim.schema[a] for a in attr_cols])
     dim_u = dim.select(
         F.col(key_col),
         F.col(valid_from_col).alias("_ts"),
         F.lit(0).alias("_is_fact"),
-        *[F.col(a) for a in attr_cols],
+        # one NON-NULL struct per dim row: NULL attr values representable
+        F.struct(*[F.col(a) for a in attr_cols]).alias("_dim"),
         *[F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fact_cols],
     )
     fact_u = facts.select(
         F.col(key_col),
         F.col(fact_ts_col).alias("_ts"),
         F.lit(1).alias("_is_fact"),
-        *[F.lit(None).cast(dim.schema[a].dataType).alias(a) for a in attr_cols],
+        F.lit(None).cast(dim_struct_t).alias("_dim"),
         *[F.col(c) for c in fact_cols],
     )
     w = (
@@ -222,9 +235,12 @@ def point_in_time_enrich(
         .orderBy("_ts", "_is_fact")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    enriched = dim_u.unionByName(fact_u)
-    for a in attr_cols:
-        enriched = enriched.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    enriched = dim_u.unionByName(fact_u).withColumn(
+        "_dim", F.last("_dim", ignorenulls=True).over(w)
+    )
     return enriched.filter(F.col("_is_fact") == 1).select(
-        key_col, F.col("_ts").alias(fact_ts_col), *fact_cols, *attr_cols
+        key_col,
+        F.col("_ts").alias(fact_ts_col),
+        *fact_cols,
+        *[F.col("_dim")[a].alias(a) for a in attr_cols],
     )

@@ -419,8 +419,15 @@ def prefix_filter_jaccard_pairs(
             F.count("*").over(w_all).alias("sz"),
         )
     )
+    # ceil/>= guards: round(t*sz, 9) strips float noise before the
+    # boundary test — when t*sz is mathematically integral, binary
+    # error (0.4995*2000 -> 999.0000000000001) would otherwise bump
+    # ceil by one and shorten the prefix below the provable bound
+    # (ADVICE r6 #4); 1e-9 is far above double ulp at these magnitudes
+    # and far below the half-ulp-of-0.001 candidate slack in t.
     prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.round(F.lit(t) * F.col("sz"), 9)) + 1
     ).select("doc_id", "shingle", "sz")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -430,7 +437,7 @@ def prefix_filter_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.least("a.sz", "b.sz")
-                >= F.lit(t) * F.greatest("a.sz", "b.sz")
+                >= F.round(F.lit(t) * F.greatest("a.sz", "b.sz"), 9)
             ),
         )
         .select(

@@ -30,6 +30,7 @@ def _run_to_memory(
     spark: SparkSession,
     output_mode: str = "complete",
     state_partitions: int = 8,
+    assert_no_watermark_drops: bool = False,
 ) -> DataFrame:
     # state_partitions sizes the state store (see run_available_now):
     # these replays are one bounded micro-batch, so per-partition store
@@ -38,7 +39,11 @@ def _run_to_memory(
     # the parallelism unit (measured: stateful stats 1.7s at 8 vs 3.2s
     # at 2).  A real deployment sizes this to peak keys × throughput.
     return run_available_now(
-        stream_df, spark, output_mode=output_mode, state_partitions=state_partitions
+        stream_df,
+        spark,
+        output_mode=output_mode,
+        state_partitions=state_partitions,
+        assert_no_watermark_drops=assert_no_watermark_drops,
     )
 
 
@@ -611,8 +616,20 @@ def stream_ttl_band_registry(spark, sf_dir):
         "doc_id",
         "ts",
         ttl_seconds=10**9,  # horizon >> replay span: nothing evicts
+        # explicit lateness bound (required arg, ADVICE r6 #1): governs
+        # how fast eviction chases event time — irrelevant here since
+        # ttl >> span, but stated rather than defaulted; the assert
+        # below additionally certifies via the per-batch metric that no
+        # input row was watermark-dropped before the stateful update
+        watermark_delay="1 hour",
     )
-    out = _run_to_memory(regs, spark, output_mode="update", state_partitions=2)
+    out = _run_to_memory(
+        regs,
+        spark,
+        output_mode="update",
+        state_partitions=2,
+        assert_no_watermark_drops=True,
+    )
     return (
         out.groupBy("band_id", "band_key")
         .agg(F.min("doc_id").alias("owner"))

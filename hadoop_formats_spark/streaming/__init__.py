@@ -39,10 +39,18 @@ def run_available_now(
     *,
     output_mode: str = "complete",
     state_partitions: int | None = 8,
+    assert_no_watermark_drops: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow trigger)
     into a memory sink and return the sink table.  For tests/oracles:
     a streaming agg over a static source must equal the batch answer.
+
+    ``assert_no_watermark_drops=True`` raises if any micro-batch's
+    state operators report ``numRowsDroppedByWatermark > 0`` — a row
+    later than the watermark is discarded BEFORE reaching a stateful
+    operator, which silently falsifies "matches the batch answer"
+    claims; oracle-checked replays turn that into a hard failure
+    (ADVICE r6 #1).
 
     ``spark.sql.shuffle.partitions`` fixes the number of state-store
     instances for the life of a streaming query (it's baked into the
@@ -63,6 +71,18 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        if assert_no_watermark_drops:
+            dropped = sum(
+                int(op.get("numRowsDroppedByWatermark", 0))
+                for p in (q.recentProgress or [])
+                for op in (p.get("stateOperators") or [])
+            )
+            if dropped:
+                raise AssertionError(
+                    f"watermark dropped {dropped} late row(s) before the "
+                    "stateful operator — raise watermark_delay to cover "
+                    "the ingest's event-time disorder"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -141,7 +161,7 @@ def ttl_min_registry(
     ts_col: str,
     *,
     ttl_seconds: int,
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str,
 ) -> DataFrame:
     """Bounded-state ownership registry: min(``id_col``) per key with
     EVENT-TIME TTL eviction (the 100 TB state story for
@@ -167,6 +187,29 @@ def ttl_min_registry(
     ledger (``seqfile/setfile.py``) on a schedule and consult it as a
     static side input (stream-static join) in front of this operator.
 
+    Out-of-order ingest (ADVICE r6 #1): rows behind the watermark ARE
+    dropped before they reach the stateful update — not evicted and
+    re-registered, just silently discarded — so ``watermark_delay`` is
+    REQUIRED, not defaulted, and must cover the ingest's maximum
+    event-time disorder (the lateness SLA).  Empirical fine print,
+    pinned by ``tests/test_streaming_semantics.py``: the late-input
+    filter uses the PREVIOUS micro-batch's watermark (Spark's
+    late-events watermark trails the eviction watermark by one batch),
+    so a late row sneaks through if its batch started before the
+    watermark overtook it — never rely on that lag; size the delay for
+    the disorder.  ``'0 seconds'`` is only sound for event-time-
+    monotone replays.  Oracle-checked paths must run under
+    ``run_available_now(..., assert_no_watermark_drops=True)`` (the
+    registered query does), which turns any silent drop into a hard
+    failure via the per-batch ``numRowsDroppedByWatermark`` metric.
+    A larger delay only postpones eviction; it never changes owners
+    within the horizon.  Timeout timestamps are clamped to just above
+    the current watermark: a row that passes the lagging late-filter
+    with ``last_seen + ttl`` already at-or-behind the eviction
+    watermark would otherwise make ``setTimeoutTimestamp`` throw and
+    kill the query — clamped, the key registers and simply evicts at
+    the next watermark advance.
+
     Output (update mode): one row per key per batch it was touched in —
     ``key_cols + [id_col (owner), 'last_seen' timestamp]``.
     """
@@ -191,7 +234,11 @@ def ttl_min_registry(
                 last_ms, int(pdf[ts_col].astype("int64").max()) // 1_000_000
             )
         state.update((owner, last_ms))
-        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        # clamp: a late row can put last_seen + ttl at-or-behind the
+        # watermark, which setTimeoutTimestamp rejects (query death);
+        # clamped, the stale key evicts at the next watermark advance
+        timeout_ms = max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             {
                 **{k: [key[i]] for i, k in enumerate(key_cols)},

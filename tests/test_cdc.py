@@ -303,3 +303,43 @@ def test_point_in_time_enrich_matches_interval_join(spark):
     )
     assert got == ref
     assert len(got) == 7
+
+
+def test_point_in_time_enrich_null_attr_version(spark):
+    """A dimension version whose attribute is legitimately NULL must be
+    distinguishable from 'no version yet': facts inside it see NULL,
+    NOT the previous version's value (ADVICE r6 #2 — the struct carry;
+    per-attribute last(ignorenulls) would leak 'bronze' forward)."""
+    import datetime as dt
+
+    from hadoop_formats_spark.operators.cdc import point_in_time_enrich
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def t(h):
+        return T0 + dt.timedelta(hours=h)
+
+    dim = spark.createDataFrame(
+        [(1, t(0), "bronze", 10.0), (1, t(2), None, 20.0), (1, t(4), "gold", None)],
+        "k long, valid_from timestamp, tier string, score double",
+    )
+    facts = spark.createDataFrame(
+        [(1, t(1), 1.0), (1, t(3), 2.0), (1, t(5), 3.0)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r["v"]: (r["tier"], r["score"])
+        for r in point_in_time_enrich(
+            dim,
+            facts,
+            key_col="k",
+            valid_from_col="valid_from",
+            fact_ts_col="ts",
+            attr_cols=["tier", "score"],
+        ).collect()
+    }
+    assert got == {
+        1.0: ("bronze", 10.0),
+        2.0: (None, 20.0),  # NULL-tier version, not inherited bronze
+        3.0: ("gold", None),  # NULL-score version, not inherited 20.0
+    }

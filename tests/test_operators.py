@@ -434,6 +434,32 @@ def test_prefix_filter_boundary_pair_survives(spark):
     ]
 
 
+def test_prefix_filter_ceil_float_guard(spark):
+    """When t*|d| is mathematically integral, binary float error must
+    not bump the ceil and shorten the prefix below the provable bound
+    (ADVICE r6 #4): at threshold 0.138, t = 0.138 - 0.0005 and
+    t*400 evaluates to 55.00000000000001 (924 such noisy integral
+    (threshold, sz) combos exist below sz=4000), so the unguarded ceil
+    gives 56 and shortens the prefix by one token.  Assert the guarded
+    expressions used by prefix_filter_jaccard_pairs land on the
+    mathematical value, and that the bug is real (the unguarded forms
+    get it wrong)."""
+    from pyspark.sql import functions as F
+
+    t, sz = 0.138 - 0.5e-3, 400  # t*sz = 55 mathematically
+    row = spark.range(1).select(
+        F.ceil(F.round(F.lit(t) * F.lit(sz), 9)).alias("guarded_ceil"),
+        F.ceil(F.lit(t) * F.lit(sz)).alias("raw_ceil"),
+        # length filter at the exact boundary: least=55, greatest=400
+        (F.lit(55) >= F.round(F.lit(t) * F.lit(sz), 9)).alias("guarded_len"),
+        (F.lit(55) >= F.lit(t) * F.lit(sz)).alias("raw_len"),
+    ).first()
+    assert row["guarded_ceil"] == 55  # prefix = 400 - 55 + 1 = 346
+    assert row["raw_ceil"] == 56  # the float-noise failure the guard fixes
+    assert row["guarded_len"] is True
+    assert row["raw_len"] is False
+
+
 def test_prefix_filter_plan_no_cross_join(spark, docs):
     """The candidate join must be an equi-join on shingle — never a
     cartesian/BNLJ — and the length filter must sit inside the join."""
@@ -1322,3 +1348,25 @@ def test_bloom_prefilter_prunes_and_never_drops_matches(spark):
     kept = {r.k for r in pruned.collect()}
     assert set(range(50)) <= kept          # no false negatives, ever
     assert len(kept) < 50 + 0.05 * 4950    # actually pruned (~fp<5%)
+
+
+def test_bloom_prefilter_keeps_null_keys(spark):
+    """NULL-key probe rows must survive the prune (ADVICE r6 #3): the
+    bit test on md5(NULL) is indeterminate, and the contract is 'only
+    remove rows that CANNOT match' — outer-join / null-safe-join
+    callers need the rows preserved; inner equi-joins drop them anyway."""
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_probe_filter,
+    )
+
+    build = spark.range(0, 10).select(F.col("id").alias("k"))
+    probe = spark.createDataFrame(
+        [(1,), (999,), (None,), (None,)], "k bigint"
+    )
+    bloom = bloom_build(build, "k", m=2048, k=3)
+    kept = [r.k for r in bloom_probe_filter(probe, "k", bloom, m=2048, k=3).collect()]
+    assert kept.count(None) == 2  # both NULL-key rows preserved
+    assert 1 in kept

@@ -205,7 +205,7 @@ def test_stream_band_registry_order_insensitive(spark, tmp_path):
     assert 2 not in owners_of  # the dup owns nothing — doc 1 holds its bands
 
 
-def _ttl_replay(spark, tmp_path, batches, ttl_seconds):
+def _ttl_replay(spark, tmp_path, batches, ttl_seconds, watermark_delay="0 seconds"):
     """Replay ``batches`` (list of row-lists) as one file each
     (maxFilesPerTrigger=1 → one micro-batch per file, mtimes forced
     increasing so the file source preserves batch order) through
@@ -236,16 +236,30 @@ def _ttl_replay(spark, tmp_path, batches, ttl_seconds):
     )
     out = run_available_now(
         ttl_min_registry(
-            s, ["band_key"], "doc_id", "ts", ttl_seconds=ttl_seconds
+            s,
+            ["band_key"],
+            "doc_id",
+            "ts",
+            ttl_seconds=ttl_seconds,
+            # callers replay in event-time order unless a test is
+            # deliberately exercising lateness; the assert proves it
+            watermark_delay=watermark_delay,
         ),
         spark,
         output_mode="update",
         state_partitions=2,
+        assert_no_watermark_drops=True,
     )
     final = {}
     for r in out.collect():
         prev = final.get(r["band_key"])
-        if prev is None or r["last_seen"] > prev[1]:
+        # max last_seen wins; on ties the owner is monotonically
+        # non-increasing within an epoch, so min(owner) is the fold
+        if (
+            prev is None
+            or r["last_seen"] > prev[1]
+            or (r["last_seen"] == prev[1] and r["doc_id"] < prev[0])
+        ):
             final[r["band_key"]] = (r["doc_id"], r["last_seen"])
     return {k: v[0] for k, v in final.items()}
 
@@ -284,3 +298,56 @@ def test_ttl_registry_evicts_past_horizon(spark, tmp_path):
     owners = _ttl_replay(spark, tmp_path, batches, ttl_seconds=3600)
     assert owners["K"] == 20  # unbounded registry would say 10
     assert owners["J"] == 77  # J stayed live throughout — still min()
+
+
+def test_ttl_registry_late_arrival_detected_not_silent(spark, tmp_path):
+    """Rows behind the watermark are dropped BEFORE the stateful update
+    (ADVICE r6 #1) — with a lateness bound smaller than the ingest's
+    disorder that silently corrupts ownership, so the replay asserts
+    numRowsDroppedByWatermark == 0 and must FAIL loudly instead.  The
+    late-input filter lags the eviction watermark by ONE batch (the
+    12:00 row survives a 15:00 watermark if its batch starts right
+    after, but not one batch later — that lag is why the bound must be
+    sized to the disorder, never to observed luck).  A delay covering
+    the disorder admits the row and restores the unbounded answer."""
+    from datetime import datetime
+
+    import pytest
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    batches = [
+        [("K", 10, t(15))],      # watermark -> 15:00 after this batch
+        [("L", 50, t(15, 10))],  # spacer: late-filter wm now 15:00
+        [("K", 2, t(12))],       # 3h late: silently dropped -> detected
+    ]
+    with pytest.raises(AssertionError, match="watermark dropped"):
+        _ttl_replay(spark, tmp_path, batches, ttl_seconds=100 * 3600)
+    # a lateness bound covering the disorder admits the row: min re-folds
+    owners = _ttl_replay(
+        spark, tmp_path, batches, ttl_seconds=100 * 3600,
+        watermark_delay="4 hours",
+    )
+    assert owners == {"K": 2, "L": 50}
+
+
+def test_ttl_registry_late_row_for_evicted_key_no_crash(spark, tmp_path):
+    """The crash window the timeout clamp guards: a row that PASSES the
+    (one-batch-lagging) late filter but whose last_seen + ttl is
+    already at-or-behind the current eviction watermark.  Without the
+    clamp setTimeoutTimestamp throws (timestamps must exceed the
+    watermark) and kills the query; clamped, the key registers and
+    evicts at the next watermark advance."""
+    from datetime import datetime
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+    batches = [
+        [("A", 70, t(10))],       # watermark -> 10:00
+        [("B", 80, t(16))],       # watermark -> 16:00; late-filter wm 10:00
+        # K@10:30 passes the lagging late filter (>= 10:00) but its
+        # timeout 11:30 is far behind the 16:00 eviction watermark
+        [("K", 2, t(10, 30))],
+        [("C", 90, t(17))],       # advances watermark; K evicts quietly
+    ]
+    owners = _ttl_replay(spark, tmp_path, batches, ttl_seconds=3600)
+    assert owners["K"] == 2   # registered and emitted, not a query crash
+    assert owners["A"] == 70 and owners["B"] == 80 and owners["C"] == 90
