@@ -245,67 +245,120 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     window_range_frame_spend grade the window family wider; top-k
 #     plan shape (TakeOrderedAndProject) is plan-asserted in pytest;
 #     grouping-sets stays sweep-covered and inside q13's oracle family.
+# Round-7 rotation (VERDICT r6 #1-#2): ALL 50 round-6 rows were
+# driver-graded GREEN (CORRECTNESS_r06.json), so the entire window
+# turns over to never-driver-graded queries — the only axis left
+# (cumulative driver-graded coverage 111 → 161 of 207 when green).
+# Incoming: all 17 round-6 operators (landed after the r6 rotation
+# froze — VERDICT #1 names them), plus the families VERDICT #2 calls
+# out as having no graded representative: base parity
+# (filter/projection/null-handling/multikey-sort/set-union), the four
+# ungraded scalar-fn shapes, five join variants
+# (left/full-outer/semi/anti/theta), rollup + cube, window
+# lag-lead + running frames, BOTH remaining UDF-surface queries, the
+# scalar subquery, unpivot, the csv source roundtrip, and the 10
+# remaining never-graded TPC-H shapes.  Every retiree was graded
+# green in r06 (historical certification stands) and its machinery
+# stays covered by pytest + the full-registry sweep, and transitively:
+#   - seqfile_roundtrip_returnflag_counts / seqfile_stream_source_counts
+#     / mapfile_point_lookup: golden-fixture + JVM-interop + streaming
+#     pytest drive the same reader/writer/stream/index paths daily; the
+#     incoming csv_write_read_roundtrip keeps a sources row graded;
+#   - parquet_partitioned_pruned_read: partition pruning is
+#     plan-asserted in tests/test_queries.py and inside
+#     ann_ivf_index_persisted's pruning contract;
+#   - dedup_* (group_assignment, minhash_band_pr, embedding_lsh_gemm):
+#     the incoming round-6 dedup rows (substring spans, containment,
+#     prefix-filter exact join) grade the family's inverted-index +
+#     verify machinery on strictly harder shapes; band P/R and the
+#     GEMM path keep their r06 certification + sweep coverage;
+#   - ann_ivf_recall_at_3 / ann_pq_adc_recall_at_3 / search_hybrid_rrf
+#     / text_bm25_search / text_bigram_lm_score / text_char_entropy:
+#     r06-green; recall-vs-exact and ranking machinery sweep-covered;
+#   - sketch_hll_distinct_merge / sketch_histogram_quantiles: the
+#     incoming sketch_kmv_jaccard_intersect keeps the sketch family
+#     graded; HLL/histogram stay pytest + sweep-covered;
+#   - stats_outlier_zscore / stats_quantile_normalize /
+#     dq_constraint_suite / privacy_k_anonymity: four incoming stats
+#     rows (MAD outliers, PSI drift, Markov transitions, decayed
+#     engagement) grade the same broadcast-stats/partial-agg shapes;
+#   - graph_* (3 rows): r06-green; iterative-join machinery stays
+#     pytest + sweep-covered;
+#   - pareto / timeseries_resample_ffill / multimodal_audio_window_counts
+#     / corpus_build_pipeline / curation_pipeline_docs /
+#     scd2_dimension_merge: r06-green; the incoming
+#     scd2_point_in_time_join and timeseries_ewma_anomaly grade the
+#     CDC + time-series families on harder shapes; the curation
+#     capstones stay sweep-covered (their stages also run inside
+#     retained pytest oracle spot checks);
+#   - streaming (5 rows): the incoming stream_ttl_band_registry grades
+#     the stateful path with TTL semantics on top; the other shapes
+#     (stateful stats, stream-stream join, HLL, band dedup, sliding)
+#     are r06-green and pytest-covered incl. checkpoint recovery;
+#   - TPC-H q1/q2/q5/q7/q8/q13/q18/q20/q22 + join_asof + window_rank/
+#     range_frame + set_intersect + array_explode + date_functions +
+#     udf_pandas_grouped + sql_entry: r06-green; the 10 incoming TPC-H
+#     shapes and the parity rows grade the same operator classes on
+#     new plans (q15=view+scalar-max, q16=anti-join+count-distinct,
+#     q19=disjunctive pushdown, udf_python/udf_pandas_scalar = the two
+#     remaining UDF surfaces).
 PRIORITY_ORDER = [
-    # format layer (SURVEY §2.1): roundtrip (writer+reader+agg), the
-    # streaming source, the MapFile family rep, and partitioned parquet
-    "seqfile_roundtrip_returnflag_counts",
-    "seqfile_stream_source_counts",
-    "mapfile_point_lookup",
-    "parquet_partitioned_pruned_read",
-    # [ext] dedup / similarity / search (§2.3)
-    "dedup_group_assignment",
-    "dedup_minhash_band_pr",
-    "dedup_embedding_lsh_gemm",
-    "ann_ivf_recall_at_3",
-    "ann_pq_adc_recall_at_3",
-    "search_hybrid_rrf",
-    "text_bm25_search",
-    # text analysis (round-5 ops, never graded)
-    "text_bigram_lm_score",
-    "text_char_entropy",
-    # sketches / stats / DQ / privacy
-    "sketch_hll_distinct_merge",
-    "sketch_histogram_quantiles",
-    "stats_outlier_zscore",
-    "stats_quantile_normalize",
-    "dq_constraint_suite",
-    "privacy_k_anonymity",
-    # graph (round-5 ops, never graded)
-    "graph_copurchase_pairs",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    # misc extensions
-    "pareto_frontier_quality_length",
-    "timeseries_resample_ffill",
-    "multimodal_audio_window_counts",
-    "corpus_build_pipeline",
-    "curation_pipeline_docs",
-    "scd2_dimension_merge",
-    # streaming (SURVEY §2.2 last row): two kept + three never-graded
-    "stream_stateful_user_stats",
-    "stream_stream_join_click_to_purchase",
-    "stream_hll_distinct_users",
-    "stream_minhash_band_dedup",
-    "stream_sliding_window_counts",
-    # TPC-H: flagship + 8 never-graded shapes (VERDICT r5 #2)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q18_large_volume_customer",
-    "q20_excess_suppliers",
-    "q22_global_sales_opportunity",
-    # parity representatives
-    "join_asof_purchase_last_click",
-    "window_rank_dense_ntile",
-    "window_range_frame_spend",
-    "set_intersect_except",
-    "array_explode_word_counts",
-    "date_functions",
-    "udf_pandas_grouped_weighted_avg",
-    "sql_entry_revenue_by_segment",
+    # round-6 operators (VERDICT r6 #1 — the 17 that landed post-freeze)
+    "stream_ttl_band_registry",
+    "dedup_substring_spans",
+    "dedup_containment_excerpts",
+    "dedup_prefix_filter_join",
+    "sketch_kmv_jaccard_intersect",
+    "stats_outlier_mad",
+    "join_bloom_prefiltered",
+    "link_fuzzy_customer_names",
+    "scd2_point_in_time_join",
+    "stats_psi_drift",
+    "cohort_retention_weekly",
+    "intervals_merge_coverage",
+    "stats_markov_transitions",
+    "stats_decayed_engagement",
+    "events_trigram_mining",
+    "timeseries_ewma_anomaly",
+    "session_entry_exit_flows",
+    # base parity (never graded; VERDICT r6 #2)
+    "filter_predicates",
+    "projection_compute",
+    "null_handling_fill_nullsafe",
+    "sort_multikey_nulls",
+    "set_union_distinct",
+    # scalar-fn shapes (never graded)
+    "math_conditional",
+    "struct_map_collect",
+    "map_constructor_lookup",
+    "json_from_json_struct",
+    # join variants (never graded)
+    "join_left_outer_customer_orders",
+    "join_full_outer_nation_coverage",
+    "join_semi_customers_with_urgent",
+    "join_anti_customers_without_orders",
+    "join_theta_quantity_near_size",
+    # grouping sets / windows / UDFs / subquery / unpivot / sources
+    "rollup_region_nation",
+    "cube_status_priority",
+    "window_lag_lead_order_gaps",
+    "window_running_and_frame",
+    "udf_python_bucket",
+    "udf_pandas_scalar_charge",
+    "subquery_scalar_near_max",
+    "unpivot_price_measures",
+    "csv_write_read_roundtrip",
+    # remaining never-graded TPC-H shapes
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q19_discounted_revenue",
 ]
 
 
