@@ -3834,3 +3834,94 @@ def session_entry_exit_flows(spark, sf_dir):
         )
         .orderBy("entry_type", "exit_type")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS half,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT label, dim,
+             avg(CASE WHEN half = 0 THEN v END) AS ca,
+             avg(CASE WHEN half = 1 THEN v END) AS cb
+      FROM dims GROUP BY label, dim
+    ),
+    drift AS (
+      SELECT label,
+             round(sum(ca * cb)
+                   / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 4)
+               AS centroid_cosine,
+             round(sqrt(sum((ca - cb) * (ca - cb))), 4)
+               AS centroid_l2_shift
+      FROM cents GROUP BY label
+    ),
+    ns AS (
+      SELECT label,
+             CAST(sum(CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                                < '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                                < '8' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT d.label, n_a, n_b, centroid_cosine, centroid_l2_shift
+    FROM drift d JOIN ns USING (label) ORDER BY d.label
+    """,
+    doc="Embedding-space drift monitor: per label, split the corpus "
+    "into two deterministic md5 halves (standing in for consecutive "
+    "corpus snapshots), compute each half's centroid, and report "
+    "centroid cosine + L2 shift — the embedding-modality counterpart "
+    "of stats_psi_drift's value-distribution check; a refreshed "
+    "corpus or re-embedded collection whose per-slice centroids move "
+    "is flagged BEFORE it contaminates ANN indexes or dedup "
+    "thresholds downstream.  Scale shape: posexplode to (label, dim) "
+    "keyed rows, ONE partial-agg groupBy over |labels| x dim cells "
+    "(conditional avg per half in a single pass, like PSI's binning "
+    "— raw vectors never shuffle twice), then the cosine reduce runs "
+    "on the cell table and the per-label counts join is "
+    "broadcast-sized.",
+)
+def embedding_centroid_drift(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    half_a = (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    )
+    dims = emb.select(
+        "label",
+        half_a.alias("in_a"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cents = dims.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("in_a"), F.col("v"))).alias("ca"),
+        F.avg(F.when(~F.col("in_a"), F.col("v"))).alias("cb"),
+    )
+    drift = cents.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            4,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)), 4
+        ).alias("centroid_l2_shift"),
+    )
+    ns = emb.groupBy("label").agg(
+        F.sum(half_a.cast("long")).alias("n_a"),
+        F.sum((~half_a).cast("long")).alias("n_b"),
+    )
+    return (
+        drift.join(F.broadcast(ns), "label")
+        .select("label", "n_a", "n_b", "centroid_cosine", "centroid_l2_shift")
+        .orderBy("label")
+    )

@@ -925,3 +925,105 @@ def stats_decayed_engagement(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("decayed_score"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "abtest_cuped_adjusted",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((floor(epoch(min(ts))) + floor(epoch(max(ts))))
+                        / 2.0) AS BIGINT) AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             coalesce(sum(CASE WHEN floor(epoch(ts)) < mid
+                               THEN value END), 0) AS x,
+             coalesce(sum(CASE WHEN floor(epoch(ts)) >= mid
+                               THEN value END), 0) AS y
+      FROM events, b
+      GROUP BY user_id
+    ),
+    theta AS (
+      SELECT covar_pop(x, y) / nullif(var_pop(x), 0) AS th,
+             avg(x) AS mx
+      FROM per_user
+    ),
+    adj AS (
+      SELECT arm, y, y - th * (x - mx) AS y_adj
+      FROM per_user, theta
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT)      AS n_users,
+           round(avg(y), 4)              AS mean_y,
+           round(avg(y_adj), 4)          AS mean_y_cuped,
+           round(100 * (1 - var_pop(y_adj) / var_pop(y)), 2) + 0.0
+                                         AS var_reduction_pct
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B metric (Deng et al., WSDM'13): "
+    "users are deterministically hash-assigned to two arms, the "
+    "events time range is halved into pre/post periods, and the "
+    "post-period metric is adjusted by theta*(x - mean(x)) with "
+    "theta = cov(x,y)/var(x) fit on the pre-period covariate — the "
+    "standard trick that shrinks experiment confidence intervals "
+    "using only data the experiment already has.  Scale shape: ONE "
+    "partial-agg groupBy(user_id) builds both period sums in a "
+    "single events scan (1-row mid-point broadcast first), theta is "
+    "a 1-row aggregate broadcast back onto the per-user table, and "
+    "the final per-arm reduce touches |users| rows.  No row-level "
+    "data is shuffled twice; everything after the first groupBy is "
+    "per-user sized.",
+)
+def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = F.unix_timestamp("ts")
+    b = e.agg(
+        F.floor((F.min(s) + F.max(s)) / F.lit(2.0)).cast("long").alias("mid")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(s < F.col("mid"), F.col("value"))), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(s >= F.col("mid"), F.col("value"))), F.lit(0.0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_pop("x", "y") / F.nullif(F.var_pop("x"), F.lit(0.0))).alias(
+            "th"
+        ),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).withColumn(
+        "y_adj", F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg("y_adj"), 4).alias("mean_y_cuped"),
+            # + 0.0 collapses IEEE -0.0 (a rounded -1e-15) to +0.0 so
+            # both engines hash identically when CUPED gains nothing
+            (
+                F.round(100 * (1 - F.var_pop("y_adj") / F.var_pop("y")), 2)
+                + F.lit(0.0)
+            ).alias("var_reduction_pct"),
+        )
+        .orderBy("arm")
+    )

@@ -632,3 +632,42 @@ def test_session_flows_single_user_shuffle(spark, sf_dir):
     assert plans.has_partial_aggregation(df)
     rows = df.collect()
     assert all(r["avg_events"] >= 1.0 for r in rows)
+
+
+def test_cuped_single_events_scan_and_broadcast_scalars(spark, sf_dir):
+    # both period sums must come from ONE groupBy(user_id) over a
+    # single events scan (mid-point and theta are 1-row broadcast
+    # joins, never per-row shuffles); everything downstream of the
+    # per-user table is |users|-sized
+    df = _df(spark, sf_dir, "abtest_cuped_adjusted")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    # the scalar joins (mid, theta) must be 1-row BROADCASTS, never a
+    # cartesian product of row data
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # budget: mid agg (1) + per-user agg (1) + theta agg (1) +
+    # per-arm agg (1) + sort (1); +2 because the pre-AQE plan text
+    # counts the theta branch's copy of the per-user exchange that
+    # ReusedExchange collapses in the final adaptive plan (verified by
+    # inspection: the executed plan reuses hashpartitioning(user_id))
+    assert plans.shuffle_count(df) <= 7
+    rows = df.collect()
+    assert [r["arm"] for r in rows] == ["A", "B"]
+    assert all(r["n_users"] > 0 for r in rows)
+
+
+def test_centroid_drift_one_cell_groupby(spark, sf_dir):
+    # raw vectors shuffle ONCE into |labels| x dim cells (conditional
+    # avg per half in the same pass); cosine reduces the cell table
+    # and the per-label counts join is broadcast
+    df = _df(spark, sf_dir, "embedding_centroid_drift")
+    assert plans.has_partial_aggregation(df)
+    assert plans.has_broadcast_join(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    # budget: cell agg (1) + label agg (1) + counts agg (1) + sort (1)
+    assert plans.shuffle_count(df) <= 4
+    rows = df.collect()
+    assert all(-1.0 <= r["centroid_cosine"] <= 1.0 for r in rows)
+    assert all(r["n_a"] + r["n_b"] > 0 for r in rows)
