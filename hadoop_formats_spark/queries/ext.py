@@ -3925,3 +3925,103 @@ def embedding_centroid_drift(spark, sf_dir):
         .select("label", "n_a", "n_b", "centroid_cosine", "centroid_l2_shift")
         .orderBy("label")
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH fps AS (
+      SELECT DISTINCT md5(array_to_string(toks[i:i+2], ' ')) AS fp, source
+      FROM (SELECT source, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_fp
+      FROM fps GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_fp
+      FROM fps a JOIN fps b
+        ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, shared_fp,
+           ta.n_fp AS n_fp_a, tb.n_fp AS n_fp_b,
+           round(shared_fp / least(ta.n_fp, tb.n_fp), 4)
+             AS containment,
+           round(shared_fp / (ta.n_fp + tb.n_fp - shared_fp), 4)
+             AS jaccard
+    FROM shared
+    JOIN tot ta ON ta.source = source_a
+    JOIN tot tb ON tb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source content-overlap matrix: for every pair of "
+    "document sources, how many DISTINCT 3-gram shingle fingerprints "
+    "appear in both, with containment (share of the smaller source's "
+    "shingle set that the other also has) and Jaccard — the "
+    "provenance question behind mirror detection, crawl-overlap "
+    "budgeting, and per-source dedup priority ordering in a corpus "
+    "build.  Shingle-level (not whole-document md5) so partial "
+    "mirrors, boilerplate sharing, and cross-posted excerpts all "
+    "register, and the matrix is informative even on corpora with "
+    "zero byte-identical documents.  Scale shape: shingles are "
+    "map-side hashes, ONE distinct groupBy on (fp, source), the pair "
+    "join runs on the fingerprint key (fan-out bounded by |sources| "
+    "rows per fp — never a cross join), and the per-source totals "
+    "join is |sources|-sized broadcast.",
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    from ..operators.dedup import word_shingles
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(word_shingles(F.col("text"), 3)).alias("sh"),
+            "source",
+        )
+        .select(F.md5(F.col("sh")).alias("fp"), "source")
+        .distinct()
+    )
+    tot = d.groupBy("source").agg(F.count("*").alias("n_fp"))
+    shared = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_fp"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("shared_fp") / F.least("n_fp_a", "n_fp_b"), 4
+            ).alias("containment"),
+            F.round(
+                F.col("shared_fp")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

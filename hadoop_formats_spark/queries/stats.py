@@ -1027,3 +1027,157 @@ def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str):
         )
         .orderBy("arm")
     )
+
+
+# Poisson(1) CDF ladder for bootstrap weights — identical double
+# literals in the Spark builder and the DuckDB oracle so the drawn
+# weights match bit-for-bit in both engines.
+_POIS1_CDF = (
+    0.36787944117,  # P(X <= 0)
+    0.73575888234,
+    0.91969860293,
+    0.98101184313,
+    0.99634015317,
+    0.99940581518,
+    0.99991675551,  # P(X <= 6); else 7
+)
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    parts = [
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    ]
+    return "CASE " + " ".join(parts) + " ELSE 7 END"
+
+
+@register(
+    "abtest_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             sum(value) AS y
+      FROM events GROUP BY user_id
+    ),
+    weighted AS (
+      SELECT arm, CAST(t.r AS INT) AS r, y,
+             {_pois_case_sql(
+                 "((('0x' || substr(md5('bs' || CAST(t.r AS VARCHAR) || ':'"
+                 " || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1)"
+                 " / 4294967296.0)"
+             )} AS w
+      FROM per_user, range(16) t(r)
+    ),
+    reps AS (
+      SELECT arm, r, sum(w * y) / nullif(sum(w), 0) AS wmean
+      FROM weighted GROUP BY arm, r
+    ),
+    pt AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             avg(y) AS mean_y
+      FROM per_user GROUP BY arm
+    )
+    SELECT pt.arm, n_users, round(mean_y, 4) AS mean_y,
+           round(stddev_samp(wmean), 4) AS se_bootstrap,
+           round(avg(wmean) - 1.96 * stddev_samp(wmean), 4) AS ci_lo,
+           round(avg(wmean) + 1.96 * stddev_samp(wmean), 4) AS ci_hi
+    FROM reps JOIN pt ON reps.arm = pt.arm
+    GROUP BY pt.arm, n_users, mean_y ORDER BY pt.arm
+    """,
+    doc="Poisson-bootstrap confidence intervals for the A/B metric "
+    "(the scalable bootstrap: instead of resampling rows — impossible "
+    "to coordinate across a cluster — every user draws an independent "
+    "Poisson(1) weight per replicate, which converges to the "
+    "multinomial bootstrap at corpus size).  Weights are DETERMINISTIC "
+    "md5-derived draws through a shared Poisson CDF ladder, so the "
+    "same user gets the same 16 weights across runs, engines, and "
+    "task retries — the reproducibility property rand()-based "
+    "bootstraps cannot give.  Arms match abtest_cuped_adjusted's "
+    "assignment (same experiment).  Scale shape: one partial-agg "
+    "groupBy(user_id), a map-side 16-way replicate fan-out of the "
+    "|users|-sized table (raw events are scanned once and never "
+    "touched again), a (arm, replicate) partial agg of 32 cells, and "
+    "a final per-arm reduce over 16 replicate means.",
+)
+def abtest_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    R = 16
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum("value").alias("y"))
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    rep = per_user.select(
+        "user_id",
+        "arm",
+        "y",
+        F.explode(F.array(*[F.lit(r) for r in range(R)])).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    w = F.lit(7)
+    for k, c in reversed(list(enumerate(_POIS1_CDF))):
+        w = F.when(u < F.lit(c), F.lit(k)).otherwise(w)
+    reps = (
+        rep.withColumn("w", w)
+        .groupBy("arm", "r")
+        .agg(
+            # nullif-guard: a replicate where every user in an arm drew
+            # weight 0 (possible at tiny corpus sizes) yields a NULL
+            # mean that avg/stddev_samp skip — identically in DuckDB.
+            (
+                F.sum(F.col("w") * F.col("y"))
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("wmean")
+        )
+    )
+    pt = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.avg("y").alias("mean_y")
+    )
+    return (
+        reps.groupBy("arm")
+        .agg(
+            F.round(
+                F.avg("wmean") - 1.96 * F.stddev_samp("wmean"), 4
+            ).alias("ci_lo"),
+            F.round(
+                F.avg("wmean") + 1.96 * F.stddev_samp("wmean"), 4
+            ).alias("ci_hi"),
+            F.round(F.stddev_samp("wmean"), 4).alias("se_bootstrap"),
+        )
+        .join(F.broadcast(pt), "arm")
+        .select(
+            "arm",
+            "n_users",
+            F.round("mean_y", 4).alias("mean_y"),
+            "se_bootstrap",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("arm")
+    )

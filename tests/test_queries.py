@@ -671,3 +671,35 @@ def test_centroid_drift_one_cell_groupby(spark, sf_dir):
     rows = df.collect()
     assert all(-1.0 <= r["centroid_cosine"] <= 1.0 for r in rows)
     assert all(r["n_a"] + r["n_b"] > 0 for r in rows)
+
+
+def test_bootstrap_ci_single_events_scan_replicates_after_reduce(spark, sf_dir):
+    # the 16-way replicate fan-out must happen on the per-user table
+    # (raw events scanned once, reduced first); weights are pure
+    # column math, and the replicate cells partial-aggregate
+    df = _df(spark, sf_dir, "abtest_bootstrap_ci")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") + p.count("BatchScan") <= 2  # one reuse pair
+    # budget: per-user agg (1) + (arm,r) agg (1) + per-arm agg (1) +
+    # point-estimate agg (1) + sort (1)
+    assert plans.shuffle_count(df) <= 6
+    rows = df.collect()
+    assert [r["arm"] for r in rows] == ["A", "B"]
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_y"] <= r["ci_hi"]
+
+
+def test_cross_source_matrix_fp_join_no_cross(spark, sf_dir):
+    # pair generation must run on the fingerprint key (inverted-index
+    # shape), never a cartesian of sources x documents
+    df = _df(spark, sf_dir, "dedup_cross_source_matrix")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    rows = df.collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["jaccard"] <= r["containment"] <= 1
