@@ -496,20 +496,28 @@ def join_semi_customers_with_urgent(spark, sf_dir):
 @register(
     "join_anti_customers_without_orders",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    ORDER BY c_custkey
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
-    doc="Left anti join (NOT EXISTS).",
+    doc="Left anti join (NOT EXISTS) — the complement of the semi "
+    "query (customers with no URGENT order), so the pair partitions "
+    "the customer table and the result is non-degenerate at every sf "
+    "(every customer has SOME order in the testdata, so an "
+    "anti-on-all-orders variant would grade an empty result).",
 )
 def join_anti_customers_without_orders(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"))
+        .orderBy("c_mktsegment")
     )
 
 

@@ -302,6 +302,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     new plans (q15=view+scalar-max, q16=anti-join+count-distinct,
 #     q19=disjunctive pushdown, udf_python/udf_pandas_scalar = the two
 #     remaining UDF surfaces).
+#
+# Round-7 late adjustment (avoiding the exact r6 trap VERDICT #1 named:
+# operators landing after the rotation froze and so never being
+# eligible): the four operators ADDED during round 7
+# (abtest_cuped_adjusted, embedding_centroid_drift,
+# abtest_bootstrap_ci, dedup_cross_source_matrix) enter the window so
+# no round-7 addition is ungraded in its own round.  Four TPC-H shapes
+# defer to round 8, each chosen because an in-window row already
+# grades its distinguishing plan shape this round:
+#   - q4 (EXISTS semi-join)        → join_semi_customers_with_urgent;
+#   - q6 (single-table filter agg) → filter_predicates +
+#     projection_compute (and q19 keeps disjunctive pushdown graded);
+#   - q11 (scalar-subquery HAVING) → subquery_scalar_near_max;
+#   - q14 (conditional-sum ratio)  → math_conditional (CASE-in-agg).
+# All four stay oracle-checked in the full-registry sweep and pytest.
 PRIORITY_ORDER = [
     # round-6 operators (VERDICT r6 #1 — the 17 that landed post-freeze)
     "stream_ttl_band_registry",
@@ -348,17 +363,19 @@ PRIORITY_ORDER = [
     "subquery_scalar_near_max",
     "unpivot_price_measures",
     "csv_write_read_roundtrip",
-    # remaining never-graded TPC-H shapes
+    # remaining never-graded TPC-H shapes (q4/q6/q11/q14 defer to r8,
+    # plan shapes represented in-window — see rotation note above)
     "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
     "q10_returned_items",
-    "q11_important_stock",
     "q12_priority_shipping",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q16_parts_supplier_count",
     "q19_discounted_revenue",
+    # round-7 additions (graded in their own round — no post-freeze tail)
+    "abtest_cuped_adjusted",
+    "embedding_centroid_drift",
+    "abtest_bootstrap_ci",
+    "dedup_cross_source_matrix",
 ]
 
 
