@@ -1181,3 +1181,384 @@ def abtest_bootstrap_ci(spark: SparkSession, sf_dir: str):
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "abtest_srm_chisquare",
+    oracle="""
+    WITH armed AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    counts AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users
+      FROM armed GROUP BY arm
+    ),
+    tot AS (
+      SELECT arm, n_users,
+             sum(n_users) OVER () / 2.0 AS expected
+      FROM counts
+    )
+    SELECT arm, n_users, round(expected, 1) AS expected,
+           round(sum((n_users - expected) * (n_users - expected)
+                     / expected) OVER (), 6) AS chi2,
+           sum((n_users - expected) * (n_users - expected)
+               / expected) OVER () > 3.841 AS srm_flag
+    FROM tot ORDER BY arm
+    """,
+    doc="Sample-ratio-mismatch guard for the A/B suite: the FIRST "
+    "check any experiment readout must pass before CUPED or bootstrap "
+    "CIs mean anything.  Users are deterministically hash-assigned "
+    "(same md5 rule as abtest_cuped_adjusted / abtest_bootstrap_ci), "
+    "observed per-arm user counts are tested against the designed "
+    "50/50 split with a one-degree chi-square; chi2 > 3.841 (p<0.05) "
+    "flags a broken randomizer or a logging loss biased by arm — the "
+    "failure mode that silently invalidates every downstream metric.  "
+    "Scale shape: ONE distinct-aggregate on user_id (partial-agg "
+    "friendly), then all chi-square math runs on the 2-row arm table.",
+)
+def abtest_srm_chisquare(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    armed = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    counts = armed.groupBy("arm").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy()
+    expected = F.sum("n_users").over(w) / F.lit(2.0)
+    withexp = counts.withColumn("expected", expected)
+    chi_term = (
+        (F.col("n_users") - F.col("expected"))
+        * (F.col("n_users") - F.col("expected"))
+        / F.col("expected")
+    )
+    return (
+        withexp.withColumn("chi2_raw", F.sum(chi_term).over(w))
+        .select(
+            "arm",
+            "n_users",
+            F.round("expected", 1).alias("expected"),
+            F.round("chi2_raw", 6).alias("chi2"),
+            (F.col("chi2_raw") > 3.841).alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "stats_winsorized_segment_spend",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    pct AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(price) AS raw_mean,
+             quantile_cont(price, 0.05) AS p05,
+             quantile_cont(price, 0.95) AS p95
+      FROM j GROUP BY segment
+    )
+    SELECT j.segment, n,
+           round(raw_mean, 4) AS raw_mean,
+           round(p05, 4) AS p05,
+           round(p95, 4) AS p95,
+           round(avg(greatest(p05, least(p95, price))), 4)
+             AS winsorized_mean,
+           round(avg(CASE WHEN price BETWEEN p05 AND p95
+                          THEN price END), 4) AS trimmed_mean
+    FROM j JOIN pct ON j.segment = pct.segment
+    GROUP BY j.segment, n, raw_mean, p05, p95
+    ORDER BY j.segment
+    """,
+    doc="Robust segment-spend summary: per market segment, the raw "
+    "mean of order totals beside its 5/95-winsorized mean (tails "
+    "clamped to the exact per-segment percentiles) and its trimmed "
+    "mean (tails excluded) — the standard way to report a spend KPI "
+    "that a handful of whale orders would otherwise own.  Scale "
+    "shape: broadcast customer-dim join, ONE exact-percentile "
+    "groupBy per segment, then the tiny per-segment stats broadcast "
+    "back onto the stream for a second partial-agg pass; order rows "
+    "shuffle once (and never for the clamp).",
+)
+def stats_winsorized_segment_spend(spark: SparkSession, sf_dir: str):
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+    pct = j.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.avg("price").alias("raw_mean"),
+        F.percentile("price", 0.05).alias("p05"),
+        F.percentile("price", 0.95).alias("p95"),
+    )
+    clamped = F.greatest("p05", F.least("p95", F.col("price")))
+    return (
+        j.join(F.broadcast(pct), "segment")
+        .groupBy("segment", "n", "raw_mean", "p05", "p95")
+        .agg(
+            F.avg(clamped).alias("w_mean"),
+            F.avg(
+                F.when(
+                    F.col("price").between(F.col("p05"), F.col("p95")),
+                    F.col("price"),
+                )
+            ).alias("t_mean"),
+        )
+        .select(
+            "segment",
+            "n",
+            F.round("raw_mean", 4).alias("raw_mean"),
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            F.round("w_mean", 4).alias("winsorized_mean"),
+            F.round("t_mean", 4).alias("trimmed_mean"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "stats_hhi_concentration",
+    oracle="""
+    WITH srev AS (
+      SELECT n.n_name, l.l_suppkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ),
+    tot AS (
+      SELECT n_name, l_suppkey, rev,
+             sum(rev) OVER (PARTITION BY n_name) AS tot,
+             max(rev) OVER (PARTITION BY n_name) AS top_rev
+      FROM srev
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((rev / tot) * (rev / tot)) * 10000, 2) AS hhi,
+           round(max(top_rev / tot), 4) AS top_share
+    FROM tot GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Herfindahl-Hirschman concentration of supplier revenue per "
+    "nation: HHI = 10000 * sum(share^2) over each nation's supplier "
+    "revenue shares, plus the single largest supplier's share — the "
+    "metric a sourcing (or corpus-mixture!) review uses to spot a "
+    "market one player dominates; the same math flags a training "
+    "mixture one domain dominates.  Scale shape: two broadcast dim "
+    "joins onto lineitem, ONE partial-agg groupBy to "
+    "(nation, supplier) revenue, then windows + the final reduce run "
+    "on the |suppliers|-row table partitioned by nation.",
+)
+def stats_hhi_concentration(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("r").alias("rev"))
+    )
+    w = Window.partitionBy("n_name")
+    tot = srev.select(
+        "n_name",
+        "rev",
+        F.sum("rev").over(w).alias("tot"),
+        F.max("rev").over(w).alias("top_rev"),
+    )
+    share = F.col("rev") / F.col("tot")
+    return (
+        tot.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10000, 2).alias("hhi"),
+            F.round(F.max(F.col("top_rev") / F.col("tot")), 4).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "stats_gini_brand_revenue",
+    oracle="""
+    WITH prev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    ),
+    ranked AS (
+      SELECT p_brand, rev,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY rev, l_partkey) AS i,
+             count(*) OVER (PARTITION BY p_brand) AS n,
+             sum(rev) OVER (PARTITION BY p_brand) AS tot,
+             sum(rev) OVER (PARTITION BY p_brand
+                            ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) - rev AS cum_excl
+      FROM prev
+    )
+    SELECT p_brand,
+           CAST(max(n) AS BIGINT) AS n_parts,
+           round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 4) AS gini,
+           CAST(sum(CASE WHEN cum_excl < 0.8 * tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parts_80pct
+    FROM ranked GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Lorenz-curve concentration per brand: the Gini coefficient "
+    "of revenue across each brand's sold parts (rank formula "
+    "2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending revenue) and "
+    "the Pareto count — how many top parts cover 80% of the brand's "
+    "revenue.  The corpus-curation twin is 'how few documents own "
+    "80% of the tokens'.  Scale shape: broadcast part-dim join, ONE "
+    "partial-agg groupBy to (brand, part) revenue, then both rank "
+    "windows share the single hash partitioning on brand (two sorts, "
+    "one exchange) and the final reduce is per brand.",
+)
+def stats_gini_brand_revenue(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    prev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("r").alias("rev"))
+    )
+    wb = Window.partitionBy("p_brand")
+    asc = wb.orderBy("rev", "l_partkey")
+    desc = wb.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = prev.select(
+        "p_brand",
+        "rev",
+        F.row_number().over(asc).alias("i"),
+        F.count("*").over(wb).alias("n"),
+        F.sum("rev").over(wb).alias("tot"),
+        (F.sum("rev").over(desc) - F.col("rev")).alias("cum_excl"),
+    )
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.max("n").alias("n_parts"),
+            F.round(
+                2.0
+                * F.sum(F.col("i") * F.col("rev"))
+                / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+            F.sum(
+                F.when(F.col("cum_excl") < 0.8 * F.col("tot"), 1).otherwise(
+                    0
+                )
+            ).alias("n_parts_80pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "timeseries_seasonal_dow_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(isodow(date_trunc('day', ts)) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             avg(c) AS mean_c,
+             stddev_pop(c) AS std_c
+      FROM daily GROUP BY event_type, dow
+    )
+    SELECT b.event_type, b.dow, b.n_days,
+           round(b.mean_c, 4) AS mean_c,
+           round(b.std_c, 4) AS std_c,
+           CAST(sum(CASE WHEN abs(d.c - b.mean_c) > 2 * b.std_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.dow = b.dow
+    GROUP BY b.event_type, b.dow, b.n_days, b.mean_c, b.std_c
+    ORDER BY b.event_type, b.dow
+    """,
+    doc="Seasonal-baseline anomaly detection: daily event counts are "
+    "compared against their own day-of-week baseline (mean/std over "
+    "the weeks in range, ISO dow 1=Mon..7=Sun on both engines), "
+    "flagging days more than 2 sigma off their weekday norm — the "
+    "cross-sectional complement to timeseries_ewma_anomaly's "
+    "sequential control chart: a quiet Sunday is normal, the same "
+    "count on a Tuesday is an incident.  Scale shape: ONE partial-agg "
+    "groupBy collapses the stream to |types| x |days| cells; the "
+    "baseline and the re-join both run on that tiny table (broadcast "
+    "hash join), so raw events shuffle exactly once.",
+)
+def timeseries_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "dow", (F.weekday(F.col("d")) + F.lit(1)).cast("int")
+        )
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"),
+        F.avg("c").alias("mean_c"),
+        F.stddev_pop("c").alias("std_c"),
+    )
+    return (
+        daily.join(F.broadcast(base), ["event_type", "dow"])
+        .groupBy("event_type", "dow", "n_days", "mean_c", "std_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("c") - F.col("mean_c"))
+                    > 2 * F.col("std_c"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_anomalous_days")
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.round("mean_c", 4).alias("mean_c"),
+            F.round("std_c", 4).alias("std_c"),
+            "n_anomalous_days",
+        )
+        .orderBy("event_type", "dow")
+    )
