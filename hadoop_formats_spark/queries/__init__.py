@@ -7,3 +7,4 @@ from . import tpch  # noqa: F401
 from . import curation  # noqa: F401
 from . import sources  # noqa: F401
 from . import stats  # noqa: F401
+from . import features  # noqa: F401

@@ -1,0 +1,390 @@
+"""Feature-engineering / decision-support queries: the supervised-ML
+prep layer a training pipeline runs between raw tables and a model —
+leakage-safe target encoding, information-value feature screening,
+RFM entity segmentation, and marketing attribution.
+
+The reference has no analytics surface at all (its only whole-file
+aggregate is the record count, src/Data/Hadoop/SequenceFile.hs:31-36);
+these are north-star scale mandates, all Spark built-ins with the
+per-entity reductions shaped so the fact table shuffles exactly once."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+
+@register(
+    "feature_target_encoding_oof",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(o.o_custkey % 5 AS INT) AS fold,
+             o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    prior AS (SELECT avg(price) AS mu FROM j),
+    per AS (
+      SELECT segment, fold,
+             CAST(count(*) AS BIGINT) AS n_fold,
+             sum(price) AS sum_fold
+      FROM j GROUP BY segment, fold
+    ),
+    tot AS (
+      SELECT segment, fold, n_fold, sum_fold,
+             CAST(sum(n_fold) OVER (PARTITION BY segment) AS BIGINT)
+               AS n_seg,
+             sum(sum_fold) OVER (PARTITION BY segment) AS sum_seg
+      FROM per
+    )
+    SELECT segment, fold, n_fold,
+           round((sum_seg - sum_fold + 20.0 * mu)
+                 / (n_seg - n_fold + 20.0), 4) AS encoded
+    FROM tot, prior ORDER BY segment, fold
+    """,
+    doc="Leakage-safe (out-of-fold) smoothed target encoding: encode "
+    "the categorical c_mktsegment by mean order value, but each "
+    "fold's encoding is fit ONLY on the other folds' rows plus an "
+    "m=20 pseudo-count pull toward the global prior — the standard "
+    "trick that lets a high-cardinality categorical feed a model "
+    "without the feature leaking its own label.  Folds are "
+    "deterministic (custkey % 5).  Scale shape: broadcast dim join, "
+    "ONE partial-agg groupBy to |segments| x 5 cells, a 1-row prior "
+    "broadcast, and all fold-complement math (sum_seg - sum_fold) "
+    "runs on the tiny cell table via a segment-partitioned window.",
+)
+def feature_target_encoding_oof(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_custkey") % 5).cast("int").alias("fold"),
+        F.col("o_totalprice").alias("price"),
+    )
+    prior = j.agg(F.avg("price").alias("mu"))
+    per = j.groupBy("segment", "fold").agg(
+        F.count("*").alias("n_fold"), F.sum("price").alias("sum_fold")
+    )
+    w = Window.partitionBy("segment")
+    tot = per.select(
+        "segment",
+        "fold",
+        "n_fold",
+        "sum_fold",
+        F.sum("n_fold").over(w).alias("n_seg"),
+        F.sum("sum_fold").over(w).alias("sum_seg"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(prior))
+        .select(
+            "segment",
+            "fold",
+            "n_fold",
+            F.round(
+                (F.col("sum_seg") - F.col("sum_fold") + 20.0 * F.col("mu"))
+                / (F.col("n_seg") - F.col("n_fold") + 20.0),
+                4,
+            ).alias("encoded"),
+        )
+        .orderBy("segment", "fold")
+    )
+
+
+@register(
+    "feature_woe_iv",
+    oracle="""
+    WITH labeled AS (
+      SELECT o.o_orderkey, o.o_totalprice AS price,
+             CAST(max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS INT) AS bad
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    edges AS (
+      SELECT round(quantile_cont(price, 0.2), 4) AS e1,
+             round(quantile_cont(price, 0.4), 4) AS e2,
+             round(quantile_cont(price, 0.6), 4) AS e3,
+             round(quantile_cont(price, 0.8), 4) AS e4
+      FROM labeled
+    ),
+    binned AS (
+      SELECT CASE WHEN price <= e1 THEN 1 WHEN price <= e2 THEN 2
+                  WHEN price <= e3 THEN 3 WHEN price <= e4 THEN 4
+                  ELSE 5 END AS bin,
+             bad
+      FROM labeled, edges
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bad) AS BIGINT) AS n_bad,
+             CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+      FROM binned GROUP BY bin
+    ),
+    woe AS (
+      SELECT bin, n, n_bad,
+             n_bad * 1.0 / n AS bad_rate,
+             ln(((n_good + 0.5)
+                 / (sum(n_good) OVER () * 1.0))
+                / ((n_bad + 0.5)
+                   / (sum(n_bad) OVER () * 1.0))) AS w,
+             (n_good * 1.0 / sum(n_good) OVER ()
+              - n_bad * 1.0 / sum(n_bad) OVER ()) AS dp
+      FROM cells
+    )
+    SELECT bin, n, n_bad, round(bad_rate, 4) AS bad_rate,
+           round(w, 6) AS woe,
+           round(sum(dp * w) OVER (), 6) AS iv_total
+    FROM woe ORDER BY bin
+    """,
+    doc="Weight-of-evidence / information-value feature screening: "
+    "order totals are cut into 5 quantile bins (edges = exact "
+    "percentiles broadcast as a 1-row table and rounded identically "
+    "on both engines — NOT a global-sort ntile over the fact table), "
+    "the binary label is 'order had a returned line', and each bin "
+    "reports its smoothed WOE = ln(%good/%bad) with the feature's "
+    "total IV — the classic credit-scoring screen for whether a "
+    "feature separates the classes at all (IV < 0.02 = useless).  "
+    "Scale shape: one groupBy labels orders, a 1-row percentile "
+    "aggregate broadcasts the cut points (rows never shuffle for "
+    "binning), ONE partial-agg groupBy to 5 cells, window math on "
+    "the 5-row table.",
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    labeled = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("bad")
+        )
+        .select(F.col("o_totalprice").alias("price"), "bad")
+    )
+    edges = labeled.agg(
+        *[
+            F.round(F.percentile("price", p), 4).alias(f"e{i}")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    binned = labeled.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("price") <= F.col("e1"), 1)
+        .when(F.col("price") <= F.col("e2"), 2)
+        .when(F.col("price") <= F.col("e3"), 3)
+        .when(F.col("price") <= F.col("e4"), 4)
+        .otherwise(5)
+        .alias("bin"),
+        "bad",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).alias("n_good"),
+    )
+    w = Window.partitionBy()
+    good_tot = F.sum("n_good").over(w).cast("double")
+    bad_tot = F.sum("n_bad").over(w).cast("double")
+    woe = (
+        F.log(
+            ((F.col("n_good") + 0.5) / good_tot)
+            / ((F.col("n_bad") + 0.5) / bad_tot)
+        )
+    ).alias("w")
+    dp = (F.col("n_good") / good_tot - F.col("n_bad") / bad_tot).alias("dp")
+    staged = cells.select(
+        "bin",
+        "n",
+        "n_bad",
+        (F.col("n_bad") / F.col("n")).alias("bad_rate"),
+        woe,
+        dp,
+    )
+    return (
+        staged.select(
+            "bin",
+            "n",
+            "n_bad",
+            F.round("bad_rate", 4).alias("bad_rate"),
+            F.round("w", 6).alias("woe"),
+            F.round(F.sum(F.col("dp") * F.col("w")).over(w), 6).alias(
+                "iv_total"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    maxd AS (SELECT max(o_orderdate) AS d1 FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_d, d1) AS BIGINT) AS rec_days,
+             freq, monetary
+      FROM per_cust, maxd
+    ),
+    scored AS (
+      SELECT rec_days, freq, monetary,
+             5 - ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY freq, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(rec_days), 2) AS avg_recency_days,
+           round(avg(monetary), 2) AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation: "
+    "per-customer order stats are quartile-scored on each axis "
+    "(recency inverted so 4 = most recent; ntile ties broken by "
+    "custkey so both engines bucket identically) and the 4x4x4 "
+    "segment grid reports size and value — the marketing-analytics "
+    "workhorse, and the same shape that buckets documents by "
+    "(freshness, duplication count, quality) for mixture curation.  "
+    "Scale shape: ONE partial-agg groupBy collapses the fact table "
+    "to |customers| rows; the three ntile windows run on that "
+    "per-entity table (orders of magnitude smaller than the facts — "
+    "at extreme |customers| swap ntile for broadcast percentile "
+    "edges as feature_woe_iv does), and the final reduce is 64 cells.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("d1"))
+    rfm = per.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("d1", "last_d").cast("long").alias("rec_days"),
+        "freq",
+        "monetary",
+    )
+    scored = rfm.select(
+        "rec_days",
+        "monetary",
+        (
+            5
+            - F.ntile(4).over(
+                Window.orderBy("rec_days", "o_custkey")
+            )
+        ).alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("freq", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("rec_days"), 2).alias("avg_recency_days"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type, value
+      FROM events WHERE event_type <> 'error'
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM base
+    ),
+    conv AS (
+      SELECT coalesce(last_touch, 'direct') AS channel, value
+      FROM tagged WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(sum(value), 2) AS attributed_value,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (), 4) AS conversion_share
+    FROM conv GROUP BY channel ORDER BY channel
+    """,
+    doc="Last-touch revenue attribution: every purchase event is "
+    "credited to the user's most recent preceding non-purchase "
+    "touch (view / click / signup; errors excluded; no touch = "
+    "'direct'), aggregating conversions and attributed value per "
+    "channel — the single-shuffle formulation of the classic "
+    "marketing as-of join: instead of joining each conversion "
+    "against the touch table, ONE user-partitioned ordered window "
+    "carries the last touch forward (last_value IGNORE NULLS over "
+    "preceding rows), so the event stream shuffles exactly once on "
+    "user_id and no interval/as-of join materializes candidate "
+    "pairs.  The final channel rollup touches |conversions| rows.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = base.withColumn(
+        "last_touch",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = tagged.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_touch", F.lit("direct")).alias("channel"), "value"
+    )
+    per = conv.groupBy("channel").agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "channel",
+        "n_conversions",
+        "attributed_value",
+        F.round(
+            F.col("n_conversions") / F.sum("n_conversions").over(wall), 4
+        ).alias("conversion_share"),
+    ).orderBy("channel")
