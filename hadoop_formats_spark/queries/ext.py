@@ -4025,3 +4025,38 @@ def dedup_cross_source_matrix(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "embedding_covariance_pca",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS i,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 6) + 0.0 AS cov
+    FROM v a JOIN v b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Distributed covariance of the embedding column — the input "
+    "to PCA whitening, matryoshka-truncation decisions, and the "
+    "spectral side of drift monitoring.  NOT the relational "
+    "formulation the oracle uses (explode + self-join materializes "
+    "n*d^2 rows and dies at scale): operators/linalg.py computes a "
+    "per-Arrow-batch partial Gram with one numpy GEMM (mapInPandas), "
+    "shuffles only |partitions| * d(d+1)/2 partial-sum rows — "
+    "independent of corpus size — reduces with ONE tiny groupBy, and "
+    "finishes the cov arithmetic on the d^2-row table via broadcast "
+    "joins.  pca_explained_variance() eigendecomposes the collected "
+    "d x d matrix driver-side (d-bounded state, same contract as "
+    "k-means centroids) — asserted against numpy in pytest.",
+)
+def embedding_covariance_pca(spark, sf_dir):
+    from ..operators.linalg import covariance_matrix
+
+    emb = table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", 64).orderBy("i", "j")

@@ -1370,3 +1370,62 @@ def test_bloom_prefilter_keeps_null_keys(spark):
     kept = [r.k for r in bloom_probe_filter(probe, "k", bloom, m=2048, k=3).collect()]
     assert kept.count(None) == 2  # both NULL-key rows preserved
     assert 1 in kept
+
+
+# ---------- linalg: distributed covariance / PCA ----------
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """The mapInPandas partial-Gram reduction must equal numpy's
+    covariance bit-for-nearly-bit, regardless of partitioning."""
+    import numpy as np
+
+    from hadoop_formats_spark.operators.linalg import (
+        covariance_matrix,
+        pca_explained_variance,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 6, 400
+    base = rng.normal(size=(n, 3))
+    mix = rng.normal(size=(3, d))
+    x = (base @ mix + 0.01 * rng.normal(size=(n, d))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(7)
+
+    got = covariance_matrix(df, "embedding", d, decimals=12).collect()
+    c = np.zeros((d, d))
+    for r in got:
+        c[r.i, r.j] = c[r.j, r.i] = r.cov
+    expect = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+    assert np.abs(c - expect).max() < 1e-9
+
+    # spectrum: rank-3 structure -> top-3 explain ~everything, and the
+    # driver-side eigh agrees with numpy eigh on the same matrix
+    spec = pca_explained_variance(df, "embedding", d, k=d)
+    ratios = [r for _, _, r in spec]
+    assert abs(sum(ratios) - 1.0) < 1e-9
+    assert sum(ratios[:3]) > 0.99
+    ew = np.linalg.eigvalsh(expect)[::-1]
+    for (comp, val, _), exp_val in zip(spec, ew):
+        assert abs(val - exp_val) < 1e-6
+
+
+def test_covariance_partition_invariance(spark):
+    """Partial sums reduce to the SAME rounded matrix whether the data
+    sits in 1 partition or many (the 1000-executor contract)."""
+    import numpy as np
+
+    from hadoop_formats_spark.operators.linalg import covariance_matrix
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(123, 4)).astype(np.float32)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    schema = "vec_id bigint, embedding array<float>"
+    one = spark.createDataFrame(rows, schema).coalesce(1)
+    many = spark.createDataFrame(rows, schema).repartition(13)
+    a = {(r.i, r.j): r.cov for r in covariance_matrix(one, "embedding", 4).collect()}
+    b = {(r.i, r.j): r.cov for r in covariance_matrix(many, "embedding", 4).collect()}
+    assert a == b
