@@ -10,13 +10,13 @@ partial-Gram reduction:
 
 * each Arrow batch computes its LOCAL X^T X (d x d), column sums, and
   row count with one BLAS call (``mapInPandas`` → numpy GEMM), then
-  emits only the d*(d+1)/2 upper-triangle partial sums;
-* ONE tiny groupBy((i, j)) reduces the partials across partitions —
-  shuffle volume is |partitions| * d^2 / 2 rows of doubles,
-  independent of n;
-* the final covariance arithmetic (cov = s_ij/n - mean_i * mean_j)
-  runs on the d^2-row table with two broadcast joins of the d-row
-  column-sum vector.
+  emits the d*(d+1)/2 upper-triangle rows (i, j, sxy, sx_i, sx_j, n)
+  — every row self-contained, so the whole matrix reduces in ONE
+  groupBy with NO joins and the corpus is scanned exactly once;
+* shuffle volume is |partitions| * d^2 / 2 short rows, independent of
+  corpus size;
+* the final covariance arithmetic (cov = sxy/n - (sx_i/n)(sx_j/n))
+  is a projection over the d^2-row reduced table.
 
 Reference parity: none — the reference (a record-format decoder,
 src/Data/Hadoop/SequenceFile.hs) has no numeric layer; this is a
@@ -31,13 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# sentinel j-index for column-sum rows; (-1, -1) carries the row count
-_SUM = -1
-
 
 def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """Per-batch partial sums for the Gram matrix: rows (i, j, s) with
-    i <= j for sum(x_i * x_j), (i, -1, s) for sum(x_i), and (-1, -1, n).
+    """Per-batch partial sums, one self-contained row per upper-triangle
+    cell: (i, j, sxy=sum(x_i*x_j), sx_i=sum(x_i), sx_j=sum(x_j), n).
     float32 vectors are widened to float64 BEFORE any product so both
     engines multiply identical doubles."""
     import numpy as np
@@ -50,65 +47,51 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if x.shape[1] != dim:
-                raise ValueError(
-                    f"expected dim={dim}, got {x.shape[1]}"
-                )
+                raise ValueError(f"expected dim={dim}, got {x.shape[1]}")
             s = x.T @ x
+            cs = x.sum(axis=0)
             yield pd.DataFrame(
                 {
-                    "i": np.concatenate(
-                        [iu[0], np.arange(dim), [_SUM]]
-                    ).astype("int32"),
-                    "j": np.concatenate(
-                        [iu[1], np.full(dim, _SUM), [_SUM]]
-                    ).astype("int32"),
-                    "s": np.concatenate(
-                        [s[iu], x.sum(axis=0), [float(len(x))]]
-                    ),
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "sxy": s[iu],
+                    "sx_i": cs[iu[0]],
+                    "sx_j": cs[iu[1]],
+                    "n": np.full(len(iu[0]), float(len(x))),
                 }
             )
 
-    parts = df.select(vec_col).mapInPandas(gen, "i int, j int, s double")
-    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    parts = df.select(vec_col).mapInPandas(
+        gen, "i int, j int, sxy double, sx_i double, sx_j double, n double"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("sx_j").alias("sx_j"),
+        F.sum("n").alias("n"),
+    )
 
 
 def covariance_matrix(
     df: DataFrame, vec_col: str, dim: int, decimals: int = 6
 ) -> DataFrame:
     """Population covariance of a vector column as an upper-triangle
-    (i, j, cov) DataFrame — cov = E[x_i x_j] - E[x_i] E[x_j].  The
-    reduced partial table is d^2-sized, so every join below is a
-    broadcast of driver-negligible state."""
-    sums = gram_partials(df, vec_col, dim)
-    n = (
-        sums.filter((F.col("i") == _SUM) & (F.col("j") == _SUM))
-        .select(F.col("s").alias("nn"))
-    )
-    means = sums.filter(
-        (F.col("j") == _SUM) & (F.col("i") >= 0)
-    ).select(F.col("i").alias("d"), F.col("s").alias("sx"))
-    gram = sums.filter(F.col("j") >= 0)
-    mi = means.select(F.col("d").alias("i"), F.col("sx").alias("sx_i"))
-    mj = means.select(F.col("d").alias("j"), F.col("sx").alias("sx_j"))
-    return (
-        gram.crossJoin(F.broadcast(n))
-        .join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .select(
-            "i",
-            "j",
-            # + 0.0 collapses IEEE -0.0 (a rounded -1e-15) to +0.0 so
-            # both engines stringify identically
-            (
-                F.round(
-                    F.col("s") / F.col("nn")
-                    - (F.col("sx_i") / F.col("nn"))
-                    * (F.col("sx_j") / F.col("nn")),
-                    decimals,
-                )
-                + 0.0
-            ).alias("cov"),
-        )
+    (i, j, cov) DataFrame — cov = E[x_i x_j] - E[x_i] E[x_j].  One
+    corpus scan, one shuffle of d^2-bounded partials, zero joins."""
+    return gram_partials(df, vec_col, dim).select(
+        "i",
+        "j",
+        # + 0.0 collapses IEEE -0.0 (a rounded -1e-15) to +0.0 so
+        # both engines stringify identically
+        (
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx_i") / F.col("n"))
+                * (F.col("sx_j") / F.col("n")),
+                decimals,
+            )
+            + 0.0
+        ).alias("cov"),
     )
 
 

@@ -4048,12 +4048,14 @@ def dedup_cross_source_matrix(spark, sf_dir):
     "formulation the oracle uses (explode + self-join materializes "
     "n*d^2 rows and dies at scale): operators/linalg.py computes a "
     "per-Arrow-batch partial Gram with one numpy GEMM (mapInPandas), "
-    "shuffles only |partitions| * d(d+1)/2 partial-sum rows — "
-    "independent of corpus size — reduces with ONE tiny groupBy, and "
-    "finishes the cov arithmetic on the d^2-row table via broadcast "
-    "joins.  pca_explained_variance() eigendecomposes the collected "
-    "d x d matrix driver-side (d-bounded state, same contract as "
-    "k-means centroids) — asserted against numpy in pytest.",
+    "emits SELF-CONTAINED partial rows (sxy, sx_i, sx_j, n per cell) "
+    "so the corpus is scanned exactly once and the whole matrix "
+    "reduces in ONE joinless groupBy of |partitions| * d(d+1)/2 "
+    "short rows — shuffle volume independent of corpus size; the cov "
+    "arithmetic is a projection over the d^2-row reduced table.  "
+    "pca_explained_variance() eigendecomposes the collected d x d "
+    "matrix driver-side (d-bounded state, same contract as k-means "
+    "centroids) — asserted against numpy in pytest.",
 )
 def embedding_covariance_pca(spark, sf_dir):
     from ..operators.linalg import covariance_matrix

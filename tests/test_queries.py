@@ -703,3 +703,107 @@ def test_cross_source_matrix_fp_join_no_cross(spark, sf_dir):
     for r in rows:
         assert r["source_a"] < r["source_b"]
         assert 0 <= r["jaccard"] <= r["containment"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: plan-shape assertions
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_spend_broadcast_stats(spark, sf_dir):
+    # customer dim AND the per-segment percentile table must both come
+    # back as broadcasts (order rows shuffle once, never for the clamp)
+    df = _df(spark, sf_dir, "stats_winsorized_segment_spend")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 4
+
+
+def test_hhi_one_fact_shuffle(spark, sf_dir):
+    # two dim joins broadcast; the only fact-sized shuffle is the
+    # (nation, supplier) revenue groupBy — window + final agg run on
+    # the |suppliers|-row table
+    df = _df(spark, sf_dir, "stats_hhi_concentration")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 4
+
+
+def test_gini_windows_share_brand_partitioning(spark, sf_dir):
+    # both rank windows and the final reduce run on the (brand, part)
+    # revenue table: one fact shuffle + one brand exchange + sort
+    df = _df(spark, sf_dir, "stats_gini_brand_revenue")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 4
+
+
+def test_seasonal_dow_single_fact_shuffle(spark, sf_dir):
+    # events collapse to |types| x |days| cells in ONE partial-agg
+    # groupBy; baseline + re-join are cell-table-sized broadcasts
+    # (budget 5: the daily-cell groupBy appears on both join sides in
+    # the static plan and collapses to a ReusedExchange at runtime)
+    df = _df(spark, sf_dir, "timeseries_seasonal_dow_anomaly")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 5
+
+
+def test_srm_distinct_partial_agg(spark, sf_dir):
+    df = _df(spark, sf_dir, "abtest_srm_chisquare")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+
+
+def test_target_encoding_cell_table_math(spark, sf_dir):
+    # fold-complement math must run on the |segments| x 5 cell table:
+    # one fact shuffle (groupBy), segment window on the cell table,
+    # prior as 1-row broadcast
+    df = _df(spark, sf_dir, "feature_target_encoding_oof")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 5
+
+
+def test_woe_binning_never_shuffles_rows(spark, sf_dir):
+    # bin assignment is a broadcast CASE over percentile edges — no
+    # global-sort ntile over the fact table (no Window before the
+    # 5-cell aggregate touches order rows)
+    df = _df(spark, sf_dir, "feature_woe_iv")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert plans.shuffle_count(df) <= 7
+
+
+def test_rfm_facts_collapse_before_windows(spark, sf_dir):
+    # the fact table reduces to |customers| rows in ONE partial-agg
+    # groupBy before any ntile window runs
+    df = _df(spark, sf_dir, "customer_rfm_segments")
+    assert plans.has_partial_aggregation(df)
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    # the carry-forward window IS the join: events shuffle once on
+    # user_id, no as-of/interval join materializes candidate pairs
+    df = _df(spark, sf_dir, "attribution_last_touch")
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert plans.shuffle_count(df) <= 4
+    assert plans.has_partial_aggregation(df)
+
+
+def test_covariance_shuffles_only_partials(spark, sf_dir):
+    # the corpus is scanned ONCE (exactly one MapInPandas — the
+    # partial rows are self-contained, so no second consumer re-scans
+    # the vectors), never shuffles row data, and reduces in one
+    # joinless groupBy: budget = that exchange + the output sort
+    df = _df(spark, sf_dir, "embedding_covariance_pca")
+    p = plans.executed_plan(df)
+    assert p.count("MapInPandas") == 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 2
