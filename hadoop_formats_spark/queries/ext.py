@@ -4062,3 +4062,164 @@ def embedding_covariance_pca(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return covariance_matrix(emb, "embedding", 64).orderBy("i", "j")
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, tok FROM (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    cnt AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tok) AS r
+      FROM cnt
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+           round(regr_intercept(ln(c), ln(r)), 4) AS zipf_intercept,
+           round(regr_r2(ln(c), ln(r)), 4) AS r2
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    doc="Zipf's-law fit per language: OLS regression of log(freq) on "
+    "log(rank) over the word-frequency table — natural text fits "
+    "slope ~ -1 with high r^2; LM-generated or templated corpora "
+    "flatten the head and show up immediately in the slope, making "
+    "this a standard corpus-forensics screen (cf. Gopher's quality "
+    "heuristics).  Scale shape: ONE partial-agg groupBy to the "
+    "(lang, token) vocab table, rank window partitioned by lang on "
+    "that |vocab|-sized table, and the regression is a built-in "
+    "partial-aggregating regr_* reduce — no data leaves the JVM.",
+)
+def text_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    ranked = cnt.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("c"), "tok")
+        ),
+    )
+    y, x = F.log(F.col("c").cast("double")), F.log(F.col("r").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_vocab"),
+            F.sum("c").alias("n_tokens"),
+            F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS h FROM b) g
+    ),
+    cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT grid.event_type, grid.h,
+             CAST(coalesce(cnt.c, 0) AS DOUBLE) AS c
+      FROM grid LEFT JOIN cnt USING (event_type, h)
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS c1,
+             lag(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS c24
+      FROM filled
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(c, c1), 4) + 0.0 AS acf_lag1,
+           round(corr(c, c24), 4) + 0.0 AS acf_lag24
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Lag-1 and lag-24 autocorrelation of hourly event counts per "
+    "type over a ZERO-FILLED hour grid (missing hours are real zeros, "
+    "not gaps — skipping them biases the ACF toward busy periods): "
+    "lag-24 exposes daily seasonality, lag-1 short-term burstiness; "
+    "together they are the pre-flight for choosing between the EWMA "
+    "control chart and the seasonal-baseline detector.  Scale shape: "
+    "ONE partial-agg groupBy collapses events to |types| x |hours| "
+    "cells, the grid is a 1-row bounds aggregate exploded against "
+    "the distinct-type list (broadcast), and the lag windows + corr "
+    "reduce run on the dense cell table keyed by type.",
+)
+def timeseries_autocorrelation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                b.select(
+                    F.explode(
+                        F.sequence(
+                            "h0", "h1", F.expr("INTERVAL 1 HOUR")
+                        )
+                    ).alias("h")
+                )
+            )
+        )
+    )
+    cnt = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    filled = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("c", F.lit(0)).cast("double").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = filled.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 24).over(w).alias("c24"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            (F.round(F.corr("c", "c1"), 4) + 0.0).alias("acf_lag1"),
+            (F.round(F.corr("c", "c24"), 4) + 0.0).alias("acf_lag24"),
+        )
+        .orderBy("event_type")
+    )

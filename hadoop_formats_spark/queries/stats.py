@@ -1562,3 +1562,70 @@ def timeseries_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str):
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS INT) AS digit
+      FROM orders
+    ),
+    cells AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (
+      SELECT digit, n,
+             CAST(sum(n) OVER () AS DOUBLE) AS tot,
+             log10(1 + 1.0 / digit) AS p
+      FROM cells
+    )
+    SELECT digit, n,
+           round(n / tot, 4) AS obs_pct,
+           round(p, 4) AS benford_pct,
+           round(sum((n - tot * p) * (n - tot * p) / (tot * p))
+                 OVER (), 4) AS chi2_total
+    FROM t ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals: observed "
+    "leading-digit frequencies against log10(1 + 1/d), with the "
+    "8-degree chi-square — the classic forensic-accounting / "
+    "data-quality screen for fabricated or re-scaled numeric columns "
+    "(synthetic uniform data fails it loudly, which is itself "
+    "informative for test fixtures).  The digit is taken from the "
+    "decimal string on BOTH engines so no log10/pow float edge can "
+    "disagree at a power-of-ten boundary.  Scale shape: map-side "
+    "digit extraction, ONE partial-agg groupBy to 9 cells, window "
+    "math on the 9-row table.",
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "orders").select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("string"), "[1-9]", 0
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cells = d.groupBy("digit").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    t = cells.select(
+        "digit",
+        "n",
+        F.sum("n").over(w).cast("double").alias("tot"),
+        F.log10(1 + 1.0 / F.col("digit")).alias("p"),
+    )
+    chi = (
+        (F.col("n") - F.col("tot") * F.col("p"))
+        * (F.col("n") - F.col("tot") * F.col("p"))
+        / (F.col("tot") * F.col("p"))
+    )
+    return t.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 4).alias("obs_pct"),
+        F.round("p", 4).alias("benford_pct"),
+        F.round(F.sum(chi).over(w), 4).alias("chi2_total"),
+    ).orderBy("digit")

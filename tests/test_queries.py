@@ -807,3 +807,28 @@ def test_covariance_shuffles_only_partials(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 2
+
+
+def test_zipf_fit_regression_is_builtin_partial_agg(spark, sf_dir):
+    # regr_* must reduce JVM-side with partial aggregation; rank
+    # window runs on the |vocab| table, never the token stream
+    df = _df(spark, sf_dir, "text_zipf_fit")
+    assert plans.has_partial_aggregation(df)
+    p = plans.executed_plan(df)
+    assert "CartesianProduct" not in p
+
+
+def test_autocorrelation_dense_grid_no_cartesian(spark, sf_dir):
+    # the grid is distinct-types x exploded-bounds (1-row broadcast) —
+    # the only fact-sized shuffle is the hourly-cell groupBy
+    df = _df(spark, sf_dir, "timeseries_autocorrelation")
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plans.executed_plan(df)
+
+
+def test_benford_nine_cell_reduce(spark, sf_dir):
+    # digit extraction is map-side; the only fact shuffle is the
+    # 9-cell groupBy (+ its exchange and the output sort)
+    df = _df(spark, sf_dir, "stats_benford_first_digit")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 4
