@@ -641,3 +641,56 @@ def stream_ttl_band_registry(spark, sf_dir):
         )
         .orderBy("band_id")
     )
+
+
+@register(
+    "stream_attribution_last_touch",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type, value
+      FROM events WHERE event_type <> 'error'
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM base
+    ),
+    conv AS (
+      SELECT coalesce(last_touch, 'direct') AS channel, value
+      FROM tagged WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(sum(value), 2) AS attributed_value
+    FROM conv GROUP BY channel ORDER BY channel
+    """,
+    doc="STREAMING last-touch attribution: the real-time form of "
+    "attribution_last_touch — an applyInPandasWithState operator "
+    "holds one O(1) (ts, order, touch_type) triple per user and "
+    "credits each purchase to the carried touch the moment it "
+    "arrives, so attribution is emitted per-conversion with no "
+    "window re-scan.  The oracle is the IDENTICAL batch window SQL, "
+    "proving stream/batch parity on the same input.  State never "
+    "grows with history (unlike the batch window, there is nothing "
+    "to recompute at 100 TB — per-user state is a single triple); "
+    "channel rollup is batch post-processing of the emitted "
+    "conversions.",
+)
+def stream_attribution_last_touch(spark, sf_dir):
+    from ..streaming import stateful_last_touch
+
+    s = _events_stream(spark, sf_dir).filter(F.col("event_type") != "error")
+    out = stateful_last_touch(s)
+    res = _run_to_memory(out, spark, output_mode="append")
+    return (
+        res.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -289,3 +289,68 @@ def stateful_group_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_last_touch(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Streaming last-touch attribution (applyInPandasWithState): per
+    user, the state is the single most recent non-conversion touch
+    (its event type + event-time position); every conversion row is
+    emitted immediately, credited to that carried touch or 'direct'.
+
+    State is O(1) per user — one (ts, order, type) triple — so unlike
+    the batch window formulation there is nothing to compact and the
+    operator runs forever.  Within each micro-batch rows are walked in
+    (ts, order) event-time order, and the carried state makes results
+    exact across batch boundaries provided batches arrive in event-time
+    order (the same in-order replay contract as ttl_min_registry,
+    asserted by its pytest; for disordered ingest put a watermarked
+    sort-buffer upstream).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        # state: (ts_micros, order, touch_type); sentinel order<0 = none
+        t_us, t_ord, t_type = (
+            state.get if state.exists else (0, -1, "")
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((t_us, t_ord, t_type))
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        rows = rows.sort_values([ts_col, order_col]).reset_index(drop=True)
+        channels, values = [], []
+        for _, r in rows.iterrows():
+            if r[type_col] == conversion:
+                channels.append(t_type if t_ord >= 0 else "direct")
+                values.append(float(r[value_col]))
+            else:
+                t_us = int(r[ts_col].value // 1000)
+                t_ord = int(r[order_col])
+                t_type = str(r[type_col])
+        state.update((t_us, t_ord, t_type))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]] * len(channels),
+                "channel": channels,
+                "value": values,
+            }
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} bigint, channel string, value double",
+        stateStructType="t_us bigint, t_ord bigint, t_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -351,3 +351,76 @@ def test_ttl_registry_late_row_for_evicted_key_no_crash(spark, tmp_path):
     owners = _ttl_replay(spark, tmp_path, batches, ttl_seconds=3600)
     assert owners["K"] == 2   # registered and emitted, not a query crash
     assert owners["A"] == 70 and owners["B"] == 80 and owners["C"] == 90
+
+
+def test_stateful_last_touch_state_carries_across_batches(spark, tmp_path):
+    """A touch in batch 1 must be credited for a purchase in batch 2
+    (the whole point of the O(1) carried state), and a purchase with
+    no prior touch attributes to 'direct'."""
+    import glob
+    import os
+    import shutil
+
+    from hadoop_formats_spark.streaming import (
+        run_available_now,
+        stateful_last_touch,
+    )
+
+    src = tmp_path / "lt_src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def write_file(rows, name, mtime):
+        tmp = str(tmp_path / ("t_" + name))
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts string, user_id bigint, "
+            "event_type string, value double",
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        ).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = "2024-01-01 10:0{}:00"
+    # batch 1: user 1 clicks; user 2 purchases cold (direct)
+    write_file(
+        [
+            (1, t.format(0), 1, "click", 0.0),
+            (2, t.format(1), 2, "purchase", 5.0),
+        ],
+        "b1.parquet",
+        1_700_000_000,
+    )
+    # batch 2: user 1 purchases (credit: click from batch 1), then
+    # views, then purchases again (credit: view from this batch)
+    write_file(
+        [
+            (3, t.format(2), 1, "purchase", 10.0),
+            (4, t.format(3), 1, "view", 0.0),
+            (5, t.format(4), 1, "purchase", 20.0),
+        ],
+        "b2.parquet",
+        1_700_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        stateful_last_touch(stream), spark, output_mode="append",
+        state_partitions=2,
+    )
+    got = {
+        (r.user_id, r.channel, r.value) for r in out.collect()
+    }
+    assert got == {
+        (2, "direct", 5.0),
+        (1, "click", 10.0),
+        (1, "view", 20.0),
+    }
