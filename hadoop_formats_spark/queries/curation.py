@@ -1517,3 +1517,61 @@ def dedup_containment_excerpts(spark: SparkSession, sf_dir: str):
     return shingle_containment_pairs(
         d, shingle_n=3, threshold=0.85
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "sample_mixture_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, n_chars,
+             pow(n_chars, 0.7) / sum(pow(n_chars, 0.7)) OVER () AS weight
+      FROM counts
+    )
+    SELECT lang, n_docs, n_chars,
+           round(weight, 6) AS weight,
+           round(100000 * weight, 1) AS expected_draws,
+           round(100000 * weight / n_chars, 4) AS epochs
+    FROM w ORDER BY lang
+    """,
+    doc="Temperature-based mixture reweighting (the alpha=0.7 "
+    "p^alpha/sum(p^alpha) formula from multilingual LM training, cf. "
+    "XLM-R / PaLM data mixing): per-language sampling weights over "
+    "character mass, the expected draws for a 100k-char budget, and "
+    "the implied per-language epoch count — the diagnostic that "
+    "tells you how many times low-resource data repeats before the "
+    "head languages see their corpus once.  Scale shape: ONE "
+    "partial-agg groupBy to |langs| rows; all temperature math runs "
+    "on that tiny table (window over |langs|).",
+)
+def sample_mixture_temperature(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    weight = F.pow("n_chars", 0.7) / F.sum(F.pow("n_chars", 0.7)).over(w)
+    return (
+        counts.withColumn("weight_raw", weight)
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.round("weight_raw", 6).alias("weight"),
+            F.round(100000 * F.col("weight_raw"), 1).alias(
+                "expected_draws"
+            ),
+            F.round(
+                100000 * F.col("weight_raw") / F.col("n_chars"), 4
+            ).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
