@@ -71,6 +71,19 @@ QUERIES_TO_DUMP = [
     ("stats_outlier_mad", "median/MAD robust outliers: two exact-percentile passes + broadcast stats joins (round 6)"),
     ("join_bloom_prefiltered", "Bloom semi-join reduction: partial-agg bitmap build, broadcast probe prune before the shuffle (round 6)"),
     ("dedup_containment_excerpts", "containment pairs: inverted-index generation, no cross join, two size joins (round 6)"),
+    ("link_fuzzy_customer_names", "fuzzy linkage: blocking equi-join + Levenshtein verify + WindowGroupLimit argmin (round 6)"),
+    ("abtest_cuped_adjusted", "CUPED: one per-user groupBy builds both periods, theta 1-row broadcast (round 7)"),
+    ("abtest_bootstrap_ci", "Poisson bootstrap: deterministic per-user weights, replicate fan-out on the reduced table (round 7)"),
+    ("embedding_centroid_drift", "centroid drift: vectors shuffle once into |labels|*dim cells (round 7)"),
+    ("dedup_cross_source_matrix", "cross-source overlap: distinct fingerprints, fp-keyed pair join, never a cross join (round 7)"),
+    ("embedding_covariance_pca", "distributed covariance: one MapInPandas GEMM scan, joinless d^2 reduce, shuffle independent of n (round 8)"),
+    ("attribution_last_touch", "last-touch attribution: carry-forward window replaces the as-of join, one user shuffle (round 8)"),
+    ("feature_woe_iv", "WOE/IV: broadcast percentile-edge binning, never a fact-table ntile (round 8)"),
+    ("feature_target_encoding_oof", "OOF target encoding: fold-complement math on |segments|x5 cells (round 8)"),
+    ("stats_gini_brand_revenue", "Gini/Pareto: both rank windows share one brand exchange (round 8)"),
+    ("timeseries_autocorrelation", "ACF: zero-filled hour grid from 1-row bounds, cell-table windows (round 8)"),
+    ("stats_benford_first_digit", "Benford audit: map-side digit extraction, 9-cell reduce (round 8)"),
+    ("text_zipf_fit", "Zipf fit: vocab groupBy + lang-ranked window + built-in regr_* partial agg (round 8)"),
 ]
 
 
