@@ -1629,3 +1629,157 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str):
         F.round("p", 4).alias("benford_pct"),
         F.round(F.sum(chi).over(w), 4).alias("chi2_total"),
     ).orderBy("digit")
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((floor(epoch(min(ts))) + floor(epoch(max(ts))))
+                        / 2.0) AS BIGINT) AS mid
+      FROM events
+    ),
+    sided AS (
+      SELECT value,
+             CASE WHEN floor(epoch(ts)) < mid THEN 1 ELSE 0 END AS is_ref
+      FROM events, b
+    ),
+    pervalue AS (
+      SELECT value,
+             CAST(sum(is_ref) AS BIGINT) AS n1,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n2
+      FROM sided GROUP BY value
+    ),
+    cum AS (
+      SELECT sum(n1) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) * 1.0
+               / sum(n1) OVER () AS f1,
+             sum(n2) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) * 1.0
+               / sum(n2) OVER () AS f2,
+             sum(n1) OVER () AS tot1,
+             sum(n2) OVER () AS tot2
+      FROM pervalue
+    )
+    SELECT CAST(max(tot1) AS BIGINT) AS n_ref,
+           CAST(max(tot2) AS BIGINT) AS n_cur,
+           round(max(abs(f1 - f2)), 6) AS ks_d,
+           round(max(abs(f1 - f2))
+                 * sqrt(max(tot1) * max(tot2) * 1.0
+                        / (max(tot1) + max(tot2))), 6) AS ks_stat,
+           max(abs(f1 - f2))
+             * sqrt(max(tot1) * max(tot2) * 1.0
+                    / (max(tot1) + max(tot2))) > 1.358 AS reject_05
+    FROM cum
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test between the first and "
+    "second half of the events time range (same mid-split as "
+    "stats_psi_drift): D = max |F1(x) - F2(x)| over the pooled "
+    "distinct values, with the sqrt(n1*n2/(n1+n2))-scaled statistic "
+    "against the 1.358 alpha=0.05 critical value — the "
+    "exact-distribution drift test PSI approximates with bins.  "
+    "CDFs are evaluated AFTER ties at the distinct-value level so "
+    "both engines agree exactly.  Scale shape: ONE partial-agg "
+    "groupBy collapses the stream to per-distinct-value side "
+    "counts; the exact test then needs one ordered pass over the "
+    "|distinct| table (a global sort — the price of exactness; at "
+    "extreme cardinality use the binned PSI or a deterministic "
+    "hash-sample first).",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select("ts", "value")
+    s = F.unix_timestamp("ts")
+    b = e.agg(
+        F.floor((F.min(s) + F.max(s)) / F.lit(2.0)).cast("long").alias("mid")
+    )
+    sided = e.crossJoin(F.broadcast(b)).select(
+        "value",
+        F.when(s < F.col("mid"), 1).otherwise(0).alias("is_ref"),
+    )
+    pervalue = sided.groupBy("value").agg(
+        F.sum("is_ref").alias("n1"),
+        F.sum(1 - F.col("is_ref")).alias("n2"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pervalue.select(
+        (F.sum("n1").over(wcum) / F.sum("n1").over(wall)).alias("f1"),
+        (F.sum("n2").over(wcum) / F.sum("n2").over(wall)).alias("f2"),
+        F.sum("n1").over(wall).alias("tot1"),
+        F.sum("n2").over(wall).alias("tot2"),
+    )
+    d = F.max(F.abs(F.col("f1") - F.col("f2")))
+    scale = F.sqrt(
+        F.max("tot1") * F.max("tot2") * 1.0
+        / (F.max("tot1") + F.max("tot2"))
+    )
+    return cum.agg(
+        F.max("tot1").alias("n_ref"),
+        F.max("tot2").alias("n_cur"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(d * scale, 6).alias("ks_stat"),
+        (d * scale > 1.358).alias("reject_05"),
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment, c.c_nationkey,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_band,
+             CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_below_l3
+    FROM cells GROUP BY l ORDER BY l
+    """,
+    doc="l-diversity audit over the quasi-identifier (market segment, "
+    "nation, account-balance band — the same QI tuple as "
+    "privacy_k_anonymity) with o_orderpriority as the sensitive "
+    "attribute: the "
+    "distribution of distinct-sensitive-value counts per equivalence "
+    "group and the row mass in groups below l=3 — k-anonymity's "
+    "necessary companion (a large group whose members all share one "
+    "sensitive value is still fully disclosed; "
+    "privacy_k_anonymity cannot see that).  Scale shape: broadcast "
+    "dim join, ONE groupBy with a distinct-count (partial-agg "
+    "Expand), then the rollup runs on the |QI-cells| table.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str):
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("l"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return (
+        cells.groupBy("l")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l") < 3, F.col("n_rows")).otherwise(0)
+            ).alias("rows_below_l3"),
+        )
+        .orderBy("l")
+    )

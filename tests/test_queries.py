@@ -832,3 +832,17 @@ def test_benford_nine_cell_reduce(spark, sf_dir):
     df = _df(spark, sf_dir, "stats_benford_first_digit")
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 4
+
+
+def test_ks_collapses_to_distinct_values_before_sort(spark, sf_dir):
+    # the stream reduces to per-distinct-value side counts in ONE
+    # partial-agg groupBy before the (documented) exact-test sort
+    df = _df(spark, sf_dir, "stats_ks_two_sample")
+    assert plans.has_partial_aggregation(df)
+
+
+def test_l_diversity_broadcast_dim_and_partial_agg(spark, sf_dir):
+    df = _df(spark, sf_dir, "privacy_l_diversity")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 5
