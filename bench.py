@@ -332,6 +332,39 @@ def main() -> None:
         "stats_outlier_mad",
         "join_bloom_prefiltered",
         "dedup_containment_excerpts",
+        # round-6 operators (remainder — landed after the r6 bench froze)
+        "link_fuzzy_customer_names",
+        "scd2_point_in_time_join",
+        "dedup_prefix_filter_join",
+        "stats_psi_drift",
+        "cohort_retention_weekly",
+        "intervals_merge_coverage",
+        "stats_markov_transitions",
+        "stats_decayed_engagement",
+        "events_trigram_mining",
+        "timeseries_ewma_anomaly",
+        "session_entry_exit_flows",
+        # round-7 operators
+        "abtest_cuped_adjusted",
+        "embedding_centroid_drift",
+        "abtest_bootstrap_ci",
+        "dedup_cross_source_matrix",
+        # round-8 operators
+        "embedding_covariance_pca",
+        "attribution_last_touch",
+        "stream_attribution_last_touch",
+        "feature_target_encoding_oof",
+        "feature_woe_iv",
+        "customer_rfm_segments",
+        "abtest_srm_chisquare",
+        "stats_winsorized_segment_spend",
+        "stats_hhi_concentration",
+        "stats_gini_brand_revenue",
+        "timeseries_seasonal_dow_anomaly",
+        "timeseries_autocorrelation",
+        "text_zipf_fit",
+        "stats_benford_first_digit",
+        "sample_mixture_temperature",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
