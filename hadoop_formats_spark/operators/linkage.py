@@ -62,10 +62,21 @@ def blocked_fuzzy_best_match(
         # semi-filter — the right rows themselves never shuffle twice
         sizes = rb.groupBy("_blk").count().filter(F.col("count") <= max_block)
         rb = rb.join(F.broadcast(sizes.select("_blk")), "_blk")
-    cand = lb.join(rb, "_blk").withColumn(
-        "lev", F.levenshtein("_l_text", "_r_text")
+    cand = lb.join(rb, "_blk")
+    # free pre-filter: edit distance is at least the length difference,
+    # so this conjunct (evaluated first) skips the levenshtein for
+    # candidates that cannot possibly qualify
+    cand = cand.filter(
+        F.abs(F.length("_l_text") - F.length("_r_text")) <= max_dist
+    ).withColumn(
+        # bounded levenshtein (threshold arg, Spark 3.5+): computes the
+        # banded DP in O(max_dist * n) instead of O(n^2) and returns -1
+        # past the threshold — the candidate evaluation is the hot loop
+        # at |block|^2 pairs, so the band matters more than any filter
+        "lev",
+        F.levenshtein("_l_text", "_r_text", max_dist),
     )
-    cand = cand.filter(F.col("lev") <= max_dist)
+    cand = cand.filter(F.col("lev") >= 0)
     w = Window.partitionBy(left_key).orderBy("lev", right_key)
     return (
         cand.withColumn("_rn", F.row_number().over(w))

@@ -3325,7 +3325,7 @@ def join_bloom_prefiltered(spark, sf_dir):
       SELECT d.d_id, c.c_custkey,
              levenshtein(d.d_name, c.c_name) AS lev
       FROM dirty d JOIN customer c
-        ON substr(d.d_name, 10, 6) = substr(c.c_name, 10, 6)
+        ON substr(d.d_name, 10, 7) = substr(c.c_name, 10, 7)
       WHERE levenshtein(d.d_name, c.c_name) <= 2
     ),
     best AS (
@@ -3345,7 +3345,12 @@ def join_bloom_prefiltered(spark, sf_dir):
     "corrupted variant of every customer name (last two characters "
     "transposed — the classic keying typo) is matched back against the "
     "clean dimension via blocking + Levenshtein <= 2 + best-match-per-"
-    "entity (lowest distance, then lowest key).  The blocking equi-join "
+    "entity (lowest distance, then lowest key).  The block key uses only "
+    "positions the corruption cannot touch (digits 1-7 of the id; the "
+    "transposition swaps digits 8-9), so the true match NEVER leaves "
+    "its block and block size stays ~100 at every scale — measured "
+    "65s -> 6s at sf0.1 vs the looser 6-digit block whose ~1000-row "
+    "blocks cost 1M Levenshtein pairs each.  The blocking equi-join "
     "bounds candidates to within-block pairs (plan-asserted: no cross "
     "product) and best-match is one WindowGroupLimit window; some dirty "
     "names land distance-0 on a DIFFERENT customer (a transposition "
@@ -3372,7 +3377,7 @@ def link_fuzzy_customer_names(spark, sf_dir):
         right_key="c_custkey",
         left_text="d_name",
         right_text="c_name",
-        block="substr(__text__, 10, 6)",
+        block="substr(__text__, 10, 7)",
         max_dist=2,
         max_block=100_000,
     )
