@@ -388,3 +388,101 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str):
             F.col("n_conversions") / F.sum("n_conversions").over(wall), 4
         ).alias("conversion_share"),
     ).orderBy("channel")
+
+
+def _logreg_oracle() -> str:
+    """Unrolled 3-iteration gradient descent as chained CTEs: each
+    iteration's weights are round(·, 9) on BOTH engines, absorbing the
+    ~1e-16 partial-sum reorder noise so the trajectories stay
+    bit-identical."""
+    feats = """
+    f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             n_chars / 1000.0 AS x1,
+             len(string_split(lower(text), ' ')) / 100.0 AS x2
+      FROM documents
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS wb)"""
+    step = """,
+    g{i} AS (
+      SELECT b, wa, wb,
+             avg(1 / (1 + exp(-(b + wa * x1 + wb * x2))) - y) AS db,
+             avg((1 / (1 + exp(-(b + wa * x1 + wb * x2))) - y) * x1) AS da,
+             avg((1 / (1 + exp(-(b + wa * x1 + wb * x2))) - y) * x2) AS dbb
+      FROM f, w{prev} GROUP BY b, wa, wb
+    ),
+    w{i} AS (
+      SELECT round(b - 1.0 * db, 9) AS b,
+             round(wa - 1.0 * da, 9) AS wa,
+             round(wb - 1.0 * dbb, 9) AS wb
+      FROM g{i}
+    )"""
+    body = "WITH" + feats
+    for i in (1, 2, 3):
+        body += step.format(i=i, prev=i - 1)
+    body += """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(b, 6) AS w_bias,
+           round(wa, 6) AS w_chars,
+           round(wb, 6) AS w_words,
+           round(avg(CASE WHEN ((b + wa * x1 + wb * x2) >= 0)
+                               = (y = 1.0)
+                          THEN 1.0 ELSE 0.0 END), 4) AS train_acc
+    FROM f, w3 GROUP BY b, wa, wb"""
+    return body
+
+
+@register(
+    "ml_logreg_quality_train",
+    oracle=_logreg_oracle(),
+    doc="Distributed logistic-regression training (3 full-batch "
+    "gradient-descent steps, lr=1, is-English target over "
+    "length-derived features): the supervised counterpart of the "
+    "k-means/SemDeDup iterative loop — each step is ONE partial-agg "
+    "aggregation over the corpus producing a 3-float gradient, the "
+    "weights are driver-held k-bounded state broadcast back as "
+    "literals (the k-means-centroid contract; the corpus never "
+    "shuffles at all), and a final pass scores training accuracy.  "
+    "Per-iteration weights are round(·,9) on BOTH engines so the "
+    "trajectories match bit-for-bit; the oracle unrolls the identical "
+    "3 steps as chained CTEs.  This is the fastText-style quality/"
+    "lang classifier training shape a curation pipeline runs over "
+    "100 TB: O(iterations) scans, O(features) driver state, zero "
+    "shuffles.",
+)
+def ml_logreg_quality_train(spark, sf_dir):
+    import math
+
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.split(F.lower("text"), " ")) / 100.0).alias("x2"),
+    )
+    b, wa, wb = 0.0, 0.0, 0.0
+    for _ in range(3):
+        z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
+        p = 1 / (1 + F.exp(-z))
+        g = f.agg(
+            F.avg(p - F.col("y")).alias("db"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("da"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("dbb"),
+        ).collect()[0]
+        b = round(b - 1.0 * g.db, 9)
+        wa = round(wa - 1.0 * g.da, 9)
+        wb = round(wb - 1.0 * g.dbb, 9)
+    z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
+    return f.agg(
+        F.count("*").alias("n"),
+        F.round(F.lit(b), 6).alias("w_bias"),
+        F.round(F.lit(wa), 6).alias("w_chars"),
+        F.round(F.lit(wb), 6).alias("w_words"),
+        F.round(
+            F.avg(
+                F.when((z >= 0) == (F.col("y") == 1.0), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("train_acc"),
+    )

@@ -846,3 +846,12 @@ def test_l_diversity_broadcast_dim_and_partial_agg(spark, sf_dir):
     assert plans.has_broadcast_join(df)
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 5
+
+
+def test_logreg_training_never_shuffles_corpus(spark, sf_dir):
+    # each GD step is one partial-agg scan to a 3-float gradient;
+    # weights are driver-held literals — the only exchange in the
+    # final scoring pass is the single-row aggregate's
+    df = _df(spark, sf_dir, "ml_logreg_quality_train")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 1
