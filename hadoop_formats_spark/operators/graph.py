@@ -182,3 +182,48 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: DataFrame,
+    *,
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Breadth-first shortest-path distances from ``source`` nodes over
+    an (a, b) DIRECTED edge list (symmetrize first for undirected),
+    bounded at ``max_hops``.  Returns (node, dist).
+
+    The Pregel-lite frontier shape: each hop is one equi-join of the
+    CURRENT frontier against the edge list plus an anti-join against
+    the visited set — so per-hop cost is |frontier| x avg-degree, never
+    the path-count explosion a naive unioned expansion produces (paths
+    multiply exponentially; first-visit pruning keeps every node at
+    most once).  At cluster scale, pre-partition ``edges`` by
+    ``src_col`` so every hop's join reuses one co-located
+    partitioning — the same discipline as pagerank_scores above.
+    Iteration count is driver-held (max_hops), data never collects.
+    """
+    dist = source.select(
+        F.col(source.columns[0]).alias("node"), F.lit(0).alias("dist")
+    ).distinct()
+    frontier = dist.select("node")
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.node == e._s)
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist.select("node"), "node", "left_anti")
+        if not fresh.take(1):
+            break
+        dist = dist.union(
+            fresh.select("node", F.lit(hop).alias("dist"))
+        )
+        frontier = fresh
+    return dist

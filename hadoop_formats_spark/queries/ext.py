@@ -4228,3 +4228,67 @@ def timeseries_autocorrelation(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_PAIRS_CTE},
+    e AS (
+      SELECT item_a AS a, item_b AS b FROM pairs WHERE support >= 2
+      UNION ALL
+      SELECT item_b, item_a FROM pairs WHERE support >= 2
+    ),
+    src AS (SELECT min(a) AS s FROM e),
+    bfs(node, d) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT e.b, bfs.d + 1
+      FROM bfs JOIN e ON e.a = bfs.node WHERE bfs.d < 4
+    ),
+    firstvisit AS (
+      SELECT node, CAST(min(d) AS INT) AS dist FROM bfs GROUP BY node
+    )
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM firstvisit GROUP BY dist ORDER BY dist
+    """,
+    doc="BFS shortest-path distance histogram over the co-purchase "
+    "graph (support >= 2 edges, symmetrized) from the lowest-keyed "
+    "node, bounded at 4 hops — the graph-traversal primitive "
+    "(reachability, blast-radius, neighborhood-size curves) the "
+    "iterative family lacked beside PageRank / label propagation / "
+    "triangles.  operators/graph.py bfs_distances is the Pregel-lite "
+    "frontier loop: per hop ONE frontier-edges equi-join plus an "
+    "anti-join against the visited set, so cost is "
+    "|frontier| x degree per hop and a node is expanded at most once "
+    "— never the exponential path-count union; the oracle is the "
+    "same search as a recursive CTE whose UNION-dedup plays the "
+    "visited-set role.  Iteration count is driver-held; data never "
+    "collects (the early-exit take(1) reads one row).",
+)
+def graph_bfs_distances(spark, sf_dir):
+    from ..operators import graph as G
+    from ..operators.graph import bfs_distances
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = G.cooccurrence_pairs(
+        li.select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("l_partkey").alias("item"),
+        ),
+        min_support=2,
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("a"), F.col("item_b").alias("b")
+    ).union(
+        pairs.select(
+            F.col("item_b").alias("a"), F.col("item_a").alias("b")
+        )
+    )
+    src = edges.agg(F.min("a").alias("s"))
+    dist = bfs_distances(edges, src, max_hops=4)
+    return (
+        dist.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("dist")
+    )

@@ -1429,3 +1429,35 @@ def test_covariance_partition_invariance(spark):
     a = {(r.i, r.j): r.cov for r in covariance_matrix(one, "embedding", 4).collect()}
     b = {(r.i, r.j): r.cov for r in covariance_matrix(many, "embedding", 4).collect()}
     assert a == b
+
+
+def test_bfs_distances_first_visit_pruning(spark):
+    """Path-count explosion must not happen: a diamond graph reaches
+    each node once at its true shortest distance, and unreachable
+    nodes are absent."""
+    from hadoop_formats_spark.operators.graph import bfs_distances
+
+    #   1 -> 2 -> 4 -> 5,  1 -> 3 -> 4  (diamond), 9 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    src = spark.createDataFrame([(1,)], "s bigint")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, src, max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_distances_hop_bound(spark):
+    from hadoop_formats_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a bigint, b bigint"
+    )
+    src = spark.createDataFrame([(0,)], "s bigint")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(chain, src, max_hops=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}  # bounded at 2 hops
