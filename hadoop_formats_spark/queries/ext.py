@@ -4292,3 +4292,108 @@ def graph_bfs_distances(spark, sf_dir):
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY event_type, d
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(avg(c), 9) AS mu,
+             round(stddev_pop(c), 9) AS sd
+      FROM daily GROUP BY event_type
+    ),
+    idx AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ),
+    rec AS (
+      SELECT i.event_type, i.rn,
+             greatest(0, (i.c - s.mu) / s.sd - 0.5) AS s_hi,
+             greatest(0, -(i.c - s.mu) / s.sd - 0.5) AS s_lo
+      FROM idx i JOIN stats s USING (event_type) WHERE i.rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn,
+             greatest(0, r.s_hi + (i.c - s.mu) / s.sd - 0.5),
+             greatest(0, r.s_lo - (i.c - s.mu) / s.sd - 0.5)
+      FROM idx i
+      JOIN rec r ON i.event_type = r.event_type AND i.rn = r.rn + 1
+      JOIN stats s ON s.event_type = i.event_type
+    )
+    SELECT s.event_type, s.n_days,
+           CAST(sum(CASE WHEN r.s_hi > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_hi,
+           CAST(sum(CASE WHEN r.s_lo > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_lo,
+           round(max_by(r.s_hi, r.rn), 6) AS cusum_hi_final,
+           round(max_by(r.s_lo, r.rn), 6) AS cusum_lo_final
+    FROM rec r JOIN stats s USING (event_type)
+    GROUP BY s.event_type, s.n_days ORDER BY s.event_type
+    """,
+    doc="Two-sided CUSUM change-point detection over per-type daily "
+    "counts (standardized increments, slack k=0.5, alarm h=4 — the "
+    "Page 1954 chart): the mean-SHIFT detector that completes the "
+    "monitoring family (EWMA catches spikes, the seasonal baseline "
+    "catches weekday outliers, CUSUM accumulates small persistent "
+    "drifts both charts forgive).  Same scale shape as the EWMA "
+    "showcase: ONE partial-agg groupBy reduces the stream to "
+    "|types| x |days| cells, per-type mean/std are round(·,9) on "
+    "BOTH engines (pinning the recurrence trajectory bit-for-bit), "
+    "and only the tiny series enters the applyInPandas grouped-map "
+    "recurrence; oracle = the identical recursion as a recursive "
+    "CTE.",
+)
+def timeseries_cusum_changepoint(spark, sf_dir):
+    import pandas as pd
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("c"), 9).alias("mu"),
+        F.round(F.stddev_pop("c"), 9).alias("sd"),
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+
+    def cusum_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        mu, sd = pdf["mu"].iloc[0], pdf["sd"].iloc[0]
+        s_hi = s_lo = 0.0
+        hi = lo = 0
+        for c in pdf["c"]:
+            z = (c - mu) / sd
+            s_hi = max(0.0, s_hi + z - 0.5)
+            s_lo = max(0.0, s_lo - z - 0.5)
+            hi += s_hi > 4
+            lo += s_lo > 4
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [int(pdf["n_days"].iloc[0])],
+                "n_alarms_hi": [hi],
+                "n_alarms_lo": [lo],
+                "cusum_hi_final": [round(s_hi, 6)],
+                "cusum_lo_final": [round(s_lo, 6)],
+            }
+        )
+
+    return (
+        joined.groupBy("event_type")
+        .applyInPandas(
+            cusum_series,
+            "event_type string, n_days long, n_alarms_hi long, "
+            "n_alarms_lo long, cusum_hi_final double, "
+            "cusum_lo_final double",
+        )
+        .orderBy("event_type")
+    )
