@@ -376,6 +376,38 @@ PRIORITY_ORDER = [
     "embedding_centroid_drift",
     "abtest_bootstrap_ci",
     "dedup_cross_source_matrix",
+    # ---- 50-slot window boundary ----
+    # Round-8 decision: the window above is HELD, not rotated.  The
+    # round-7 grading artifacts (CORRECTNESS_r07.json / BENCH_r07.json)
+    # never appeared during round 8 — the 50 queries above therefore
+    # still have NO driver row, and rotating them away would orphan
+    # them (the exact trap the r6->r7 rotations were built to avoid).
+    # The 20 round-8 additions queue directly below the boundary in
+    # priority order, first in line for the round-9 rotation together
+    # with the 50-query never-graded remainder (q4/q6/q11/q14 and the
+    # families enumerated in the round-7 note stay deferred one more
+    # round; all remain green in the full-registry oracle sweep,
+    # SWEEP_r08_local.txt, and pytest's per-query oracle spot checks).
+    "embedding_covariance_pca",
+    "stream_attribution_last_touch",
+    "attribution_last_touch",
+    "ml_logreg_quality_train",
+    "feature_target_encoding_oof",
+    "feature_woe_iv",
+    "customer_rfm_segments",
+    "abtest_srm_chisquare",
+    "stats_winsorized_segment_spend",
+    "stats_hhi_concentration",
+    "stats_gini_brand_revenue",
+    "timeseries_seasonal_dow_anomaly",
+    "timeseries_autocorrelation",
+    "timeseries_cusum_changepoint",
+    "stats_ks_two_sample",
+    "privacy_l_diversity",
+    "graph_bfs_distances",
+    "text_zipf_fit",
+    "stats_benford_first_digit",
+    "sample_mixture_temperature",
 ]
 
 
