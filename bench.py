@@ -365,6 +365,11 @@ def main() -> None:
         "text_zipf_fit",
         "stats_benford_first_digit",
         "sample_mixture_temperature",
+        "ml_logreg_quality_train",
+        "stats_ks_two_sample",
+        "privacy_l_diversity",
+        "graph_bfs_distances",
+        "timeseries_cusum_changepoint",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
