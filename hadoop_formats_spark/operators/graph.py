@@ -209,21 +209,34 @@ def bfs_distances(
     dist = source.select(
         F.col(source.columns[0]).alias("node"), F.lit(0).alias("dist")
     ).distinct()
-    frontier = dist.select("node")
+    # iterative lineage discipline: each hop's frontier is persisted
+    # (and the previous one released) so hop k never re-executes hops
+    # 1..k-1's joins — without this the recomputation is quadratic in
+    # hop count; a long-running traversal would localCheckpoint per
+    # hop exactly like the pagerank note above
+    frontier = dist.select("node").persist()
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     )
+    pinned = [frontier]
     for hop in range(1, max_hops + 1):
         reached = (
             frontier.join(e, frontier.node == e._s)
             .select(F.col("_d").alias("node"))
             .distinct()
         )
-        fresh = reached.join(dist.select("node"), "node", "left_anti")
+        fresh = reached.join(
+            dist.select("node"), "node", "left_anti"
+        ).persist()
+        pinned.append(fresh)
         if not fresh.take(1):
             break
         dist = dist.union(
             fresh.select("node", F.lit(hop).alias("dist"))
         )
         frontier = fresh
+    dist = dist.persist()
+    dist.count()  # materialize before releasing the per-hop pins
+    for df in pinned:
+        df.unpersist(blocking=False)
     return dist
