@@ -408,6 +408,7 @@ PRIORITY_ORDER = [
     "text_zipf_fit",
     "stats_benford_first_digit",
     "sample_mixture_temperature",
+    "stats_selfjoin_blowup_estimate",
 ]
 
 

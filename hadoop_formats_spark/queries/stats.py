@@ -1783,3 +1783,50 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str):
         )
         .orderBy("l")
     )
+
+
+@register(
+    "stats_selfjoin_blowup_estimate",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(c * c) AS BIGINT) AS predicted_pairs,
+           CAST(max(c) * max(c) AS BIGINT) AS max_key_pairs,
+           round(max(c) * max(c) / (sum(c * c) * 1.0), 4)
+             AS top_key_share,
+           round(sum(c * c) / (sum(c) * 1.0), 4) AS blowup_factor
+    FROM k
+    """,
+    doc="Self-join blowup prediction WITHOUT executing the join: "
+    "|A ⋈_k A| = sum over keys of c_k^2, computed from one "
+    "per-key count pass — the pre-flight every inverted-index / "
+    "blocking join in this repo should run before committing (the "
+    "round-8 fuzzy-linkage fix was exactly a blowup_factor reduction; "
+    "dedup's max_doc_freq cap and the prefix filter exist because "
+    "this number explodes on hot keys).  blowup_factor = predicted "
+    "pairs per input row; top_key_share says whether ONE hot key "
+    "owns the cost (salt or cap it) or the mass is spread (repartition "
+    "helps).  Scale shape: ONE partial-agg groupBy to |keys| rows, "
+    "then a single-row reduce — cost O(|A|), vs the join's O(answer).",
+)
+def stats_selfjoin_blowup_estimate(spark: SparkSession, sf_dir: str):
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    k = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(F.col("c") * F.col("c")).alias("predicted_pairs"),
+        (F.max("c") * F.max("c")).alias("max_key_pairs"),
+        F.round(
+            (F.max("c") * F.max("c"))
+            / (F.sum(F.col("c") * F.col("c")) * 1.0),
+            4,
+        ).alias("top_key_share"),
+        F.round(
+            F.sum(F.col("c") * F.col("c")) / (F.sum("c") * 1.0), 4
+        ).alias("blowup_factor"),
+    )
