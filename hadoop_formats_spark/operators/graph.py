@@ -235,8 +235,12 @@ def bfs_distances(
             fresh.select("node", F.lit(hop).alias("dist"))
         )
         frontier = fresh
-    dist = dist.persist()
-    dist.count()  # materialize before releasing the per-hop pins
+    # copy the result OFF the pinned lineage before releasing the pins:
+    # localCheckpoint materializes dist into executor-local blocks that
+    # the ContextCleaner reclaims when the caller drops the DataFrame —
+    # unlike a bare persist()+count(), nothing stays pinned across
+    # repeated calls (bench runs the query many times)
+    dist = dist.localCheckpoint(eager=True)
     for df in pinned:
         df.unpersist(blocking=False)
     return dist

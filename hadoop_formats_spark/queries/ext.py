@@ -4316,13 +4316,13 @@ def graph_bfs_distances(spark, sf_dir):
     ),
     rec AS (
       SELECT i.event_type, i.rn,
-             greatest(0, (i.c - s.mu) / s.sd - 0.5) AS s_hi,
-             greatest(0, -(i.c - s.mu) / s.sd - 0.5) AS s_lo
+             greatest(0, coalesce((i.c - s.mu) / nullif(s.sd, 0), 0) - 0.5) AS s_hi,
+             greatest(0, -coalesce((i.c - s.mu) / nullif(s.sd, 0), 0) - 0.5) AS s_lo
       FROM idx i JOIN stats s USING (event_type) WHERE i.rn = 1
       UNION ALL
       SELECT i.event_type, i.rn,
-             greatest(0, r.s_hi + (i.c - s.mu) / s.sd - 0.5),
-             greatest(0, r.s_lo - (i.c - s.mu) / s.sd - 0.5)
+             greatest(0, r.s_hi + coalesce((i.c - s.mu) / nullif(s.sd, 0), 0) - 0.5),
+             greatest(0, r.s_lo - coalesce((i.c - s.mu) / nullif(s.sd, 0), 0) - 0.5)
       FROM idx i
       JOIN rec r ON i.event_type = r.event_type AND i.rn = r.rn + 1
       JOIN stats s ON s.event_type = i.event_type
@@ -4371,7 +4371,9 @@ def timeseries_cusum_changepoint(spark, sf_dir):
         s_hi = s_lo = 0.0
         hi = lo = 0
         for c in pdf["c"]:
-            z = (c - mu) / sd
+            # sd == 0 (constant daily counts) => no deviation signal;
+            # mirror the oracle's coalesce(.. / nullif(sd,0), 0)
+            z = (c - mu) / sd if sd else 0.0
             s_hi = max(0.0, s_hi + z - 0.5)
             s_lo = max(0.0, s_lo - z - 0.5)
             hi += s_hi > 4

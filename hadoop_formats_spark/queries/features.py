@@ -451,14 +451,25 @@ def _logreg_oracle() -> str:
     "shuffles.",
 )
 def ml_logreg_quality_train(spark, sf_dir):
-    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r9(x: float) -> float:
+        # DuckDB round() is half-AWAY-FROM-ZERO; Python round() is
+        # banker's half-even — a gradient landing on a 1e-9 decimal
+        # midpoint would fork the whole trajectory, so quantize with
+        # the SQL semantics
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
 
     d = table(spark, sf_dir, "documents")
     f = d.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         (F.col("n_chars") / 1000.0).alias("x1"),
         (F.size(F.split(F.lower("text"), " ")) / 100.0).alias("x2"),
-    )
+    ).persist()  # 4 full scans (3 gradient steps + accuracy): 1 read
     b, wa, wb = 0.0, 0.0, 0.0
     for _ in range(3):
         z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
@@ -468,11 +479,11 @@ def ml_logreg_quality_train(spark, sf_dir):
             F.avg((p - F.col("y")) * F.col("x1")).alias("da"),
             F.avg((p - F.col("y")) * F.col("x2")).alias("dbb"),
         ).collect()[0]
-        b = round(b - 1.0 * g.db, 9)
-        wa = round(wa - 1.0 * g.da, 9)
-        wb = round(wb - 1.0 * g.dbb, 9)
+        b = _r9(b - 1.0 * g.db)
+        wa = _r9(wa - 1.0 * g.da)
+        wb = _r9(wb - 1.0 * g.dbb)
     z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
-    return f.agg(
+    res = f.agg(
         F.count("*").alias("n"),
         F.round(F.lit(b), 6).alias("w_bias"),
         F.round(F.lit(wa), 6).alias("w_chars"),
@@ -486,3 +497,8 @@ def ml_logreg_quality_train(spark, sf_dir):
             4,
         ).alias("train_acc"),
     )
+    # score accuracy while the cache is hot (1-row materialization),
+    # then release the feature frame — nothing stays pinned
+    res = res.localCheckpoint(eager=True)
+    f.unpersist(blocking=False)
+    return res

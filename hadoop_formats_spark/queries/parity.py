@@ -125,7 +125,7 @@ def q3_shipping_priority(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
       AND l_shipdate <  TIMESTAMP '1995-01-01'
@@ -143,7 +143,11 @@ def q6_forecast_revenue(spark, sf_dir):
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        # money sum round(·,2) at source on BOTH engines (partial-sum
+        # order is engine-dependent in the last ulp)
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue")
     )
 
 
@@ -1350,8 +1354,8 @@ def date_functions(spark, sf_dir):
            round(l_extendedprice, 1)         AS price_r1,
            floor(l_quantity)                 AS qty_floor,
            ceil(l_extendedprice / 100)       AS price_h,
-           pow(1 + l_tax, 2)                 AS tax_sq,
-           ln(l_extendedprice + 1)           AS log_price,
+           round(pow(1 + l_tax, 2), 6)       AS tax_sq,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
            CASE WHEN l_quantity > 25 THEN 'bulk'
                 WHEN l_quantity > 10 THEN 'mid'
                 ELSE 'small' END             AS qty_class,
@@ -1369,8 +1373,10 @@ def math_conditional(spark, sf_dir):
         F.round("l_extendedprice", 1).alias("price_r1"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_extendedprice") / 100).alias("price_h"),
-        F.pow(1 + F.col("l_tax"), 2).alias("tax_sq"),
-        F.log(F.col("l_extendedprice") + 1).alias("log_price"),
+        # rounded on both engines: pow/ln go through libm vs JVM StrictMath
+        # and differ in the last ULP, which the driver's value hash catches
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
         F.when(F.col("l_quantity") > 25, "bulk")
         .when(F.col("l_quantity") > 10, "mid")
         .otherwise("small")
@@ -1433,7 +1439,7 @@ def struct_map_collect(spark, sf_dir):
     "json_from_json_struct",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS INT))      AS k_sum,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
            count(json_extract_string(props, '$.tag'))        AS n_tagged
     FROM events GROUP BY event_type ORDER BY event_type
     """,

@@ -317,77 +317,70 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   - q11 (scalar-subquery HAVING) → subquery_scalar_near_max;
 #   - q14 (conditional-sum ratio)  → math_conditional (CASE-in-agg).
 # All four stay oracle-checked in the full-registry sweep and pytest.
+# Round-9 rotation (VERDICT r8 #1-#2): the held round-7 window finally
+# got its driver rows in CORRECTNESS_r08.json — 47/50 green, 3 hash
+# fails (math_conditional, json_from_json_struct, q12_priority_shipping;
+# all three oracle-formulation bugs, fixed this round: round(·,6) on
+# the pow/ln columns, CAST(sum(int) AS BIGINT)).  The window therefore
+# rotates: the 3 fixed queries stay in to re-grade green, the 21
+# round-8 additions promote (queued since the r8 boundary), the four
+# deferred TPC-H shapes q4/q6/q11/q14 promote (oracles re-audited this
+# round: q6 money sum + q14 double ratio now round at source on both
+# engines, q11's HAVING threshold now derives from ROUNDED per-part
+# values so row membership is deterministic), and 22 of the remaining
+# 46 never-graded fill the window (cumulative driver-graded 161 → 208
+# of 232 when green).  Every entrant was strict-preflighted
+# (tools/check_correctness.py --strict) before the freeze.
+# The 24 deferrals (listed below the boundary, first in line for
+# round 10) each have a graded or in-window representative of their
+# machinery:
+#   - agg_count_distinct / agg_collect_sorted: distinct-agg Expand is
+#     graded via q16_parts_supplier_count (r08) + privacy_l_diversity
+#     (in-window); collect_list ordering via struct_map_collect (r08)
+#     and agg_having/agg_exact_percentiles (in-window);
+#   - join_5way / join_6way: the same broadcast-dim inner-join stack as
+#     r08-green q3/q10 and in-window q11/q14; join_cross_region_status
+#     keeps a cross-shape row in-window; both stay plan-asserted in
+#     pytest (broadcast counts, no BNLJ);
+#   - approx_distinct_quantiles / multimodal_decode_features: rows-only
+#     BY DESIGN (sketch tolerance / stubbed decode) — grading them adds
+#     a weaker row than the value-checked family reps already in
+#     (sketch_kmv_jaccard_intersect r08, multimodal_frame_sample
+#     in-window);
+#   - ann_ivf_nprobe2_topk / ann_projected_recall_at_3 /
+#     ann_matryoshka_recall_at_3: the IVF index + exact-arm machinery
+#     is in-window via ann_ivf_index_persisted; recall-vs-exact shapes
+#     were graded green r06 (ann_ivf_recall_at_3, ann_pq_adc_recall_at_3);
+#   - text_rolling_fingerprint / text_unigram_surprisal /
+#     bpe_apply_compression: text family keeps three in-window rows
+#     (bpe_token_counts, pmi_collocations, repetition_metrics) over the
+#     same tokenize/ngram/join machinery;
+#   - chunk_sliding_windows: same posexplode-span machinery as
+#     in-window pack_sequences_stats and r08-green dedup_substring_spans;
+#   - sample_* (hash_deterministic, mixture_balanced, mixture_epochs,
+#     negatives_contrastive): deterministic-hash sampling is in-window
+#     twice (sample_stratified_lang, sample_domain_quota) plus the r8
+#     addition sample_mixture_temperature; the hash primitive is
+#     pytest-asserted (xxhash64 stability);
+#   - split_train_holdout / filter_length_percentile /
+#     stats_column_profile / contamination_ngram_overlap /
+#     dedup_chunk_boilerplate / curation_drop_waterfall: the curation
+#     capstone family — hash-split, percentile filter, profile, n-gram
+#     overlap all run INSIDE r02-green corpus_build_pipeline /
+#     curation_pipeline_docs stages and stay sweep-covered.
+# All 24 remain green in the full-registry oracle sweep
+# (SWEEP_r09_local.txt) and pytest's per-query oracle spot checks.
 PRIORITY_ORDER = [
-    # round-6 operators (VERDICT r6 #1 — the 17 that landed post-freeze)
-    "stream_ttl_band_registry",
-    "dedup_substring_spans",
-    "dedup_containment_excerpts",
-    "dedup_prefix_filter_join",
-    "sketch_kmv_jaccard_intersect",
-    "stats_outlier_mad",
-    "join_bloom_prefiltered",
-    "link_fuzzy_customer_names",
-    "scd2_point_in_time_join",
-    "stats_psi_drift",
-    "cohort_retention_weekly",
-    "intervals_merge_coverage",
-    "stats_markov_transitions",
-    "stats_decayed_engagement",
-    "events_trigram_mining",
-    "timeseries_ewma_anomaly",
-    "session_entry_exit_flows",
-    # base parity (never graded; VERDICT r6 #2)
-    "filter_predicates",
-    "projection_compute",
-    "null_handling_fill_nullsafe",
-    "sort_multikey_nulls",
-    "set_union_distinct",
-    # scalar-fn shapes (never graded)
+    # r8 hash-fails, oracle-fixed this round — re-grade first
     "math_conditional",
-    "struct_map_collect",
-    "map_constructor_lookup",
     "json_from_json_struct",
-    # join variants (never graded)
-    "join_left_outer_customer_orders",
-    "join_full_outer_nation_coverage",
-    "join_semi_customers_with_urgent",
-    "join_anti_customers_without_orders",
-    "join_theta_quantity_near_size",
-    # grouping sets / windows / UDFs / subquery / unpivot / sources
-    "rollup_region_nation",
-    "cube_status_priority",
-    "window_lag_lead_order_gaps",
-    "window_running_and_frame",
-    "udf_python_bucket",
-    "udf_pandas_scalar_charge",
-    "subquery_scalar_near_max",
-    "unpivot_price_measures",
-    "csv_write_read_roundtrip",
-    # remaining never-graded TPC-H shapes (q4/q6/q11/q14 defer to r8,
-    # plan shapes represented in-window — see rotation note above)
-    "q3_shipping_priority",
-    "q10_returned_items",
     "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q19_discounted_revenue",
-    # round-7 additions (graded in their own round — no post-freeze tail)
-    "abtest_cuped_adjusted",
-    "embedding_centroid_drift",
-    "abtest_bootstrap_ci",
-    "dedup_cross_source_matrix",
-    # ---- 50-slot window boundary ----
-    # Round-8 decision: the window above is HELD, not rotated.  The
-    # round-7 grading artifacts (CORRECTNESS_r07.json / BENCH_r07.json)
-    # never appeared during round 8 — the 50 queries above therefore
-    # still have NO driver row, and rotating them away would orphan
-    # them (the exact trap the r6->r7 rotations were built to avoid).
-    # The 20 round-8 additions queue directly below the boundary in
-    # priority order, first in line for the round-9 rotation together
-    # with the 50-query never-graded remainder (q4/q6/q11/q14 and the
-    # families enumerated in the round-7 note stay deferred one more
-    # round; all remain green in the full-registry oracle sweep,
-    # SWEEP_r08_local.txt, and pytest's per-query oracle spot checks).
+    # the four deferred TPC-H shapes (oracles re-audited, see note)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    # round-8 additions (queued since the r8 window boundary)
     "embedding_covariance_pca",
     "stream_attribution_last_touch",
     "attribution_last_touch",
@@ -409,6 +402,59 @@ PRIORITY_ORDER = [
     "stats_benford_first_digit",
     "sample_mixture_temperature",
     "stats_selfjoin_blowup_estimate",
+    # never-graded remainder: aggregation / window / join shapes
+    "agg_having",
+    "agg_exact_percentiles",
+    "window_distribution_functions",
+    "join_cross_region_status",
+    # dedup / text / multimodal / layout / ANN / streaming
+    "dedup_keeper_by_quality",
+    "text_bpe_token_counts",
+    "text_pmi_collocations",
+    "text_repetition_metrics",
+    "multimodal_frame_sample",
+    "layout_zorder_clustering",
+    "ann_ivf_index_persisted",
+    "stream_static_join_enrichment",
+    # stats / sampling / packing / funnel
+    "stats_join_key_skew",
+    "stats_correlation_matrix",
+    "sample_stratified_lang",
+    "sample_domain_quota",
+    "pack_sequences_stats",
+    "funnel_conversion",
+    # sources / maintenance
+    "json_lines_roundtrip",
+    "orc_write_roundtrip",
+    "compact_small_files",
+    "parquet_schema_evolution",
+    # ---- 50-slot window boundary ----
+    # round-9 deferrals, first in line for the round-10 rotation
+    # (transitive-coverage justification in the note above)
+    "agg_count_distinct",
+    "agg_collect_sorted",
+    "join_5way_region_rollup_revenue",
+    "join_6way_supplier_nation_revenue",
+    "approx_distinct_quantiles",
+    "dedup_embedding_lsh_recall",
+    "dedup_chunk_boilerplate",
+    "ann_ivf_nprobe2_topk",
+    "ann_projected_recall_at_3",
+    "ann_matryoshka_recall_at_3",
+    "text_rolling_fingerprint",
+    "text_unigram_surprisal",
+    "multimodal_decode_features",
+    "chunk_sliding_windows",
+    "sample_negatives_contrastive",
+    "sample_hash_deterministic",
+    "sample_mixture_balanced",
+    "sample_mixture_epochs",
+    "bpe_apply_compression",
+    "split_train_holdout",
+    "filter_length_percentile",
+    "stats_column_profile",
+    "contamination_ngram_overlap",
+    "curation_drop_waterfall",
 ]
 
 

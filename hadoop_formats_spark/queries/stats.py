@@ -1637,12 +1637,13 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str):
     WITH b AS (
       SELECT CAST(floor((floor(epoch(min(ts))) + floor(epoch(max(ts))))
                         / 2.0) AS BIGINT) AS mid
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     sided AS (
       SELECT value,
              CASE WHEN floor(epoch(ts)) < mid THEN 1 ELSE 0 END AS is_ref
       FROM events, b
+      WHERE value IS NOT NULL
     ),
     pervalue AS (
       SELECT value,
@@ -1689,7 +1690,14 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str):
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events").select("ts", "value")
+    # NULL values would sort first in Spark's window ORDER BY but last
+    # in DuckDB's, shifting every cumulative sum — and a NULL sample
+    # has no place in an empirical CDF anyway: drop on BOTH engines
+    e = (
+        table(spark, sf_dir, "events")
+        .select("ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
     s = F.unix_timestamp("ts")
     b = e.agg(
         F.floor((F.min(s) + F.max(s)) / F.lit(2.0)).cast("long").alias("mid")

@@ -315,10 +315,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str):
     "q12_priority_shipping",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -326,7 +326,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str):
     GROUP BY l_linestatus
     ORDER BY l_linestatus
     """,
-    doc="TPC-H Q12 (adapted: no l_shipmode — grouped by l_linestatus, "
+    doc="TPC-H Q12 (adapted: l_shipmode does not exist in the driver's "
+    "testdata lineitem schema, so the split groups by l_linestatus — "
     "'late' = shipped >30 days after order): CASE-sum priority split "
     "with a non-equi date predicate on the join.",
 )
@@ -398,10 +399,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str):
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0 END)
-           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+             AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -419,10 +421,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str):
     return (
         li.join(broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (
+            # round(·,6) on BOTH engines: the double ratio's partial-sum
+            # order differs between Spark and DuckDB in the last ulp
+            F.round(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
+                / F.sum(rev),
+                6,
             ).alias("promo_revenue")
         )
     )
@@ -881,10 +886,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str):
         JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_2'
     )
-    SELECT l_partkey, sum(val) AS value
-    FROM natval
-    GROUP BY l_partkey
-    HAVING sum(val) > (SELECT sum(val) * 0.002 FROM natval)
+    , per_part AS (
+      SELECT l_partkey, round(sum(val), 2) AS value
+      FROM natval GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM per_part
+    WHERE value > (SELECT sum(value) * 0.002 FROM per_part)
     ORDER BY value DESC, l_partkey
     """,
     doc="TPC-H Q11 (adapted: no partsupp — 'stock value' is shipped "
@@ -904,7 +912,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str):
             (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
         )
     )
-    per_part = natval.groupBy("l_partkey").agg(F.sum("val").alias("value"))
+    # money sums round(·,2) at source on BOTH engines, and the HAVING
+    # threshold is derived from the ROUNDED per-part values so the
+    # row-membership cut is deterministic across engines
+    per_part = natval.groupBy("l_partkey").agg(
+        F.round(F.sum("val"), 2).alias("value")
+    )
     threshold = per_part.agg((F.sum("value") * 0.002).alias("t"))
     return (
         per_part.join(broadcast(threshold))
