@@ -231,27 +231,28 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str):
       SELECT o_custkey,
              max(o_orderdate) AS last_d,
              CAST(count(*) AS BIGINT) AS freq,
-             sum(o_totalprice) AS monetary
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ),
     maxd AS (SELECT max(o_orderdate) AS d1 FROM orders),
     rfm AS (
       SELECT o_custkey,
              CAST(date_diff('day', last_d, d1) AS BIGINT) AS rec_days,
-             freq, monetary
+             freq, cents
       FROM per_cust, maxd
     ),
     scored AS (
-      SELECT rec_days, freq, monetary,
+      SELECT rec_days, freq, cents,
              5 - ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r_score,
              ntile(4) OVER (ORDER BY freq, o_custkey) AS f_score,
-             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+             ntile(4) OVER (ORDER BY cents, o_custkey) AS m_score
       FROM rfm
     )
     SELECT r_score, f_score, m_score,
            CAST(count(*) AS BIGINT) AS n_customers,
            round(avg(rec_days), 2) AS avg_recency_days,
-           round(avg(monetary), 2) AS avg_monetary
+           round(CAST(sum(cents) AS BIGINT) / (100.0 * count(*)), 2)
+             AS avg_monetary
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
     """,
@@ -272,21 +273,27 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
+    # per-customer money is quantized to INTEGER cents at source: the
+    # double sum's partial-order differs between engines in the last
+    # ulp, and round(avg(double), 2) straddles a half-cent boundary for
+    # some segment sooner or later (it did, at sf0.01).  Integer cents
+    # sum exactly, so the segment average is bit-identical on both
+    # engines by construction.
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
         F.count("*").alias("freq"),
-        F.sum("o_totalprice").alias("monetary"),
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     maxd = o.agg(F.max("o_orderdate").alias("d1"))
     rfm = per.crossJoin(F.broadcast(maxd)).select(
         "o_custkey",
         F.datediff("d1", "last_d").cast("long").alias("rec_days"),
         "freq",
-        "monetary",
+        "cents",
     )
     scored = rfm.select(
         "rec_days",
-        "monetary",
+        "cents",
         (
             5
             - F.ntile(4).over(
@@ -297,7 +304,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str):
         .over(Window.orderBy("freq", "o_custkey"))
         .alias("f_score"),
         F.ntile(4)
-        .over(Window.orderBy("monetary", "o_custkey"))
+        .over(Window.orderBy("cents", "o_custkey"))
         .alias("m_score"),
     )
     return (
@@ -305,7 +312,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str):
         .agg(
             F.count("*").alias("n_customers"),
             F.round(F.avg("rec_days"), 2).alias("avg_recency_days"),
-            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            F.round(
+                F.sum("cents") / (100.0 * F.count("*")), 2
+            ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -482,8 +491,13 @@ def ml_logreg_quality_train(spark, sf_dir):
         b = _r9(b - 1.0 * g.db)
         wa = _r9(wa - 1.0 * g.da)
         wb = _r9(wb - 1.0 * g.dbb)
+    # release the cache now that the 3 driver-held gradient collects
+    # are done (1 parquet read + 2 cache hits); the returned plan stays
+    # LAZY over the source so the caller sees the real aggregate plan —
+    # the accuracy pass is one fresh codegen scan (4 scans → 2 reads)
+    f.unpersist(blocking=False)
     z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
-    res = f.agg(
+    return f.agg(
         F.count("*").alias("n"),
         F.round(F.lit(b), 6).alias("w_bias"),
         F.round(F.lit(wa), 6).alias("w_chars"),
@@ -497,8 +511,3 @@ def ml_logreg_quality_train(spark, sf_dir):
             4,
         ).alias("train_acc"),
     )
-    # score accuracy while the cache is hot (1-row materialization),
-    # then release the feature frame — nothing stays pinned
-    res = res.localCheckpoint(eager=True)
-    f.unpersist(blocking=False)
-    return res

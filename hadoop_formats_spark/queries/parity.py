@@ -1107,10 +1107,10 @@ def window_range_frame_spend(spark, sf_dir):
     SELECT c_custkey,
            round(percent_rank() OVER w, 6) AS pr,
            round(cume_dist() OVER w, 6)    AS cd,
-           nth_value(c_custkey, 3) OVER (
+           coalesce(nth_value(c_custkey, 3) OVER (
              PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS third_in_segment
+           ), -1) AS third_in_segment
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     ORDER BY c_custkey
@@ -1125,9 +1125,16 @@ def window_distribution_functions(spark, sf_dir):
         "c_custkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.nth_value("c_custkey", 3)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("third_in_segment"),
+        # coalesce(·, -1) on BOTH engines: the first two rows of each
+        # partition are inherently NULL, and a nullable BIGINT degrades
+        # to float64 through the driver's pandas fetch of the oracle
+        # ("15" vs "15.0" under a raw value hash)
+        F.coalesce(
+            F.nth_value("c_custkey", 3).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(-1),
+        ).alias("third_in_segment"),
     ).orderBy("c_custkey")
 
 
@@ -1352,8 +1359,8 @@ def date_functions(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)            AS disc_dev,
            round(l_extendedprice, 1)         AS price_r1,
-           floor(l_quantity)                 AS qty_floor,
-           ceil(l_extendedprice / 100)       AS price_h,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_h,
            round(pow(1 + l_tax, 2), 6)       AS tax_sq,
            round(ln(l_extendedprice + 1), 6) AS log_price,
            CASE WHEN l_quantity > 25 THEN 'bulk'

@@ -23,7 +23,12 @@ pins it down:
   tolerance.  Pass ``--strict`` to hash floats raw (``repr``) when
   separating "ulp noise" from "genuinely different values".
 
-Usage: python tools/check_correctness.py [--strict] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--strict|--loose] [sf_dir] [query ...]
+
+Default mode is WINDOW-STRICT: queries inside the driver's 50-slot
+grading window (the first 50 of ``queries()``) hash floats raw, the
+rest tolerantly.  ``--strict`` forces raw everywhere, ``--loose``
+restores the tolerant hash everywhere.
 """
 
 from __future__ import annotations
@@ -115,8 +120,10 @@ def _hash_rows(cols, rows) -> str:
 
 def main() -> int:
     global STRICT
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
-    STRICT = len(argv) != len(sys.argv) - 1
+    argv = [a for a in sys.argv[1:] if a not in ("--strict", "--loose")]
+    force_strict = "--strict" in sys.argv[1:]
+    force_loose = "--loose" in sys.argv[1:]
+    STRICT = force_strict
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -149,10 +156,18 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    # queries inside the driver's 50-slot grading window are hashed
+    # STRICT (raw float repr) by default — any last-ulp divergence must
+    # surface BEFORE the window freezes, not in the driver's grading
+    # (VERDICT r8 #3).  --loose restores tolerant hashing everywhere;
+    # --strict forces raw hashing everywhere.
+    window = set(list(qs)[:50])
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if not (force_strict or force_loose):
+            STRICT = name in window
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
