@@ -1575,3 +1575,62 @@ def sample_mixture_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "shard_assignment_token_balance",
+    oracle="""
+    WITH sharded AS (
+      SELECT ((doc_id * 1103515245 + 12345) % 16777216) % 16 AS shard,
+             len(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens,
+           round(n_tokens * 16.0 / (sum(n_tokens) OVER ()), 4)
+             AS balance_ratio
+    FROM per_shard ORDER BY shard
+    """,
+    doc="Training-shard builder audit: every document is assigned to "
+    "one of 16 output shards by a DETERMINISTIC multiplicative hash "
+    "of doc_id (same LCG arithmetic on both engines — no engine hash "
+    "builtin, those differ), and the report shows per-shard document "
+    "count, whitespace-token mass, and the balance ratio vs the ideal "
+    "1/16 share.  This is the audit a webdataset/shard-writing job "
+    "runs before 1000 trainers stream the shards: a ratio far from "
+    "1.0 means stragglers.  Scale shape: map-only hash + ONE "
+    "partial-agg groupBy to 16 cells; the window runs on 16 rows.  "
+    "The same expression feeds DataFrameWriter.partitionBy(shard) to "
+    "actually write the shards.",
+)
+def shard_assignment_token_balance(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+        % F.lit(16777216)
+    ) % F.lit(16)
+    per = (
+        d.select(
+            shard.alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+        )
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * 16.0 / F.sum("n_tokens").over(wall), 4
+        ).alias("balance_ratio"),
+    ).orderBy("shard")

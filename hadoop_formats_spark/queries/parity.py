@@ -1706,3 +1706,137 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str):
         )
         .orderBy("user_id", "grid_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# round-9 additions: deterministic mode / discrete percentile recipes and
+# higher-order array lambdas
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_disc_percentiles",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    modes AS (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS n_mode
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderstatus ORDER BY c DESC, o_orderpriority
+        ) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+             ) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderstatus, o_totalprice AS p50_disc_price
+      FROM ranked WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    )
+    SELECT m.o_orderstatus, m.mode_priority, m.n_mode, d.p50_disc_price
+    FROM modes m JOIN med d USING (o_orderstatus)
+    ORDER BY m.o_orderstatus
+    """,
+    doc="Deterministic mode + discrete (non-interpolating) median per "
+    "group, built from window arithmetic rather than engine mode()/"
+    "quantile_disc() builtins whose tie-breaking differs between "
+    "engines: mode = argmax(count) with lexicographic tiebreak, "
+    "p50_disc = the actual row at position floor((n+1)/2) in "
+    "(value, key) order — it returns a REAL data value, bit-identical "
+    "on both engines (interpolated percentiles are covered by "
+    "agg_exact_percentiles).  Scale shape: mode is ONE partial-agg "
+    "groupBy to |groups x priorities| cells; the disc-percentile "
+    "window shuffles once on the group key.",
+)
+def agg_mode_disc_percentiles(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c")
+    )
+    wmode = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("c"), "o_orderpriority"
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(wmode))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").alias("n_mode"),
+        )
+    )
+    wrank = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wall = Window.partitionBy("o_orderstatus")
+    med = (
+        o.select(
+            "o_orderstatus",
+            "o_totalprice",
+            F.row_number().over(wrank).alias("rn"),
+            F.count("*").over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(
+            "o_orderstatus", F.col("o_totalprice").alias("p50_disc_price")
+        )
+    )
+    return modes.join(med, "o_orderstatus").orderBy("o_orderstatus")
+
+
+@register(
+    "array_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             AS n_pos,
+           round(sqrt(list_sum(list_transform(
+             embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+           ))), 4) AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 100
+    """,
+    doc="Higher-order array lambdas evaluated JVM-side (no UDF): "
+    "filter(x -> x > 0), transform into double squares, aggregate-sum "
+    "into an L2 norm — the whole-stage-codegen path for per-vector "
+    "math that row-at-a-time Python would do 100x slower.  Both "
+    "engines reduce the list SEQUENTIALLY left-to-right over "
+    "identical float inputs widened to double, so the sum is "
+    "bit-identical before the round.  Scale shape: map-only (no "
+    "shuffle except the top-100 TakeOrdered).",
+)
+def array_higher_order_funcs(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.size(F.filter("embedding", lambda x: x > 0))
+            .cast("long")
+            .alias("n_pos"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+                ),
+                4,
+            ).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )

@@ -429,7 +429,14 @@ PRIORITY_ORDER = [
     "compact_small_files",
     "parquet_schema_evolution",
     # ---- 50-slot window boundary ----
-    # round-9 deferrals, first in line for the round-10 rotation
+    # round-9 additions (landed after this round's rotation froze —
+    # queued FIRST for the round-10 window, same discipline as r7/r8)
+    "agg_mode_disc_percentiles",
+    "array_higher_order_funcs",
+    "shard_assignment_token_balance",
+    "stream_sliding_topk_trending",
+    "layout_bucketed_join_no_shuffle",
+    # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",
     "agg_collect_sorted",

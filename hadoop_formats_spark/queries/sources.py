@@ -258,3 +258,80 @@ def parquet_schema_evolution(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@register(
+    "layout_bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Bucketed-layout co-located join: orders and lineitem are "
+    "written ONCE as parquet tables bucketed AND sorted by the join "
+    "key (8 buckets each), so the fact-fact join runs as a "
+    "SortMergeJoin with NO exchange on either side — the bucket "
+    "files are the shuffle, paid at write time (a partition-local "
+    "sort remains: Spark >= 3.0 only trusts bucket sort order under "
+    "spark.sql.legacy.bucketedTableScan.outputOrdering).  At 100 TB "
+    "this is the single biggest join optimization available: a "
+    "lineitem x orders join over bucketed tables moves zero bytes at "
+    "query time, and every downstream join on the same key reuses "
+    "the layout for free.  Plan-asserted in pytest: the only "
+    "exchange in this query is the final groupBy's.  The oracle "
+    "joins the plain parquet originals — physical layout must not "
+    "change results.",
+)
+def layout_bucketed_join_no_shuffle(spark, sf_dir):
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    ot, lt = f"bkt_orders_{key}", f"bkt_lineitem_{key}"
+    if not spark.catalog.tableExists(ot):
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            # ONE file per bucket (repartition by the bucket key uses
+            # the same murmur3 hash as bucketBy): Spark only elides the
+            # read-side sort when every bucket is a single sorted file
+            .repartition(8, "o_orderkey")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(_CACHE, key, "bkt_orders"))
+            .saveAsTable(ot)
+        )
+    if not spark.catalog.tableExists(lt):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .repartition(8, "l_orderkey")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(_CACHE, key, "bkt_lineitem"))
+            .saveAsTable(lt)
+        )
+    o = spark.table(ot)
+    li = spark.table(lt)
+    # hint("merge") pins SortMergeJoin so the bucketed layout is what
+    # gets exercised (a broadcast join at toy scale would also be
+    # shuffle-free, but for the wrong reason)
+    joined = li.join(
+        o.hint("merge"), li.l_orderkey == o.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -699,3 +699,67 @@ def stream_attribution_last_touch(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "stream_sliding_topk_trending",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '4 hours', ts) AS w0,
+             time_bucket(INTERVAL '4 hours', ts, INTERVAL '2 hours') AS w1,
+             event_type
+      FROM events
+    ),
+    counts AS (
+      SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT w0 AS window_start, event_type FROM b
+        UNION ALL
+        SELECT w1 AS window_start, event_type FROM b
+      )
+      GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, n, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type
+      ) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+    doc="'Trending now' — top-3 event types per sliding 4h/2h window: "
+    "the stream maintains the per-(window, type) counts (watermarked "
+    "sliding-window state, each event feeding 2 windows), and the "
+    "rank-within-window is batch post-processing on the emitted "
+    "window table — the standard split, since a global per-window "
+    "sort cannot be emitted incrementally.  At scale the stateful "
+    "half is |windows x types| state with watermark eviction, and "
+    "the ranking half runs on the (tiny) aggregated table each "
+    "refresh.",
+)
+def stream_sliding_topk_trending(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "4 hours", "2 hours"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, spark, state_partitions=2)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), "event_type"
+    )
+    return (
+        out.select(
+            F.col("window.start")
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )

@@ -855,3 +855,70 @@ def test_logreg_training_never_shuffles_corpus(spark, sf_dir):
     df = _df(spark, sf_dir, "ml_logreg_quality_train")
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 1
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions
+# ---------------------------------------------------------------------------
+
+
+def test_mode_disc_percentile_partial_agg(spark, sf_dir):
+    # mode reduces to |status x priority| cells in one partial-agg
+    # groupBy; the disc-percentile window shuffles once on the group key
+    df = _df(spark, sf_dir, "agg_mode_disc_percentiles")
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plans.executed_plan(df)
+
+
+def test_array_hof_stays_jvm_side(spark, sf_dir):
+    # higher-order lambdas must compile to Catalyst expressions —
+    # no Python evaluation anywhere in the plan
+    df = _df(spark, sf_dir, "array_higher_order_funcs")
+    plan = plans.executed_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # top-100 must be TakeOrdered, not a global sort materialization
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_assignment_single_reduce(spark, sf_dir):
+    # map-only hash + ONE partial-agg groupBy to 16 cells
+    df = _df(spark, sf_dir, "shard_assignment_token_balance")
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 3  # 16-cell agg + window + sort
+
+
+def test_shard_assignment_covers_all_docs(spark, sf_dir):
+    import duckdb
+
+    rows = _df(spark, sf_dir, "shard_assignment_token_balance").collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert total == n_docs  # partition of the corpus: no loss, no dup
+    assert all(0 <= r["shard"] < 16 for r in rows)
+
+
+def test_bucketed_join_has_no_exchange_below_the_join(spark, sf_dir):
+    # the whole point: bucketed+sorted layout makes the fact-fact SMJ
+    # exchange-free AND sort-free; the only exchange in the query is
+    # the final 3-cell groupBy's
+    df = _df(spark, sf_dir, "layout_bucketed_join_no_shuffle")
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" in plan
+    # the tree string is top-down: everything after the join node is
+    # its input subtree.  An Exchange there would mean the bucketed
+    # layout failed to satisfy the join's required distribution, a
+    # Sort there that the one-file-per-bucket sorted write failed.
+    below = plan[plan.find("SortMergeJoin"):]
+    assert "Exchange" not in below
+    assert "Bucketed: true" in below
+    # NOTE a partition-local Sort below the join remains: Spark >= 3.0
+    # ignores bucket sort order on read unless
+    # spark.sql.legacy.bucketedTableScan.outputOrdering is set — the
+    # sort is exchange-free, bucket-sized, and spill-free; the scale
+    # win (zero network movement for the fact-fact join) is the
+    # Exchange assertion above.
+    # whole query: groupBy exchange + output orderBy only
+    assert plans.shuffle_count(df) <= 2
