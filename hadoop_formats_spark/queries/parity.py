@@ -1840,3 +1840,108 @@ def array_higher_order_funcs(spark, sf_dir):
         .orderBy("vec_id")
         .limit(100)
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    )
+    SELECT CAST(floor(k / 10) AS BIGINT) AS k_decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(max(k) AS BIGINT) AS k_max
+    FROM k GROUP BY k_decile ORDER BY k_decile
+    """,
+    doc="Spark 4 VARIANT ingestion: parse_json ONCE into the binary "
+    "variant encoding, then variant_get typed field extraction — the "
+    "at-scale JSON path (each get_json_object re-parses the string "
+    "per call; a variant column parses once and every extraction is "
+    "a cheap binary probe, the same argument as parquet vs CSV).  "
+    "Complements json_extract_props (string path functions) and "
+    "json_from_json_struct (full typed struct).",
+)
+def json_variant_extract(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("v"))
+    fields = v.select(F.variant_get("v", "$.k", "int").alias("k"))
+    return (
+        fields.filter(F.col("k").isNotNull())
+        .groupBy(
+            F.floor(F.col("k") / 10).cast("long").alias("k_decile")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+def _sentence_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, sent_idx int, n_words int",
+        useArrow=True,
+    )
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                w = sum(1 for t in s.split(" ") if t)
+                yield doc_id, i, w
+
+    return SentenceSplit
+
+
+@register(
+    "udtf_sentence_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             string_split(text, '. '),
+             s -> len(list_filter(string_split(s, ' '), t -> t <> '')) > 0
+           )) AS BIGINT) AS n_sents,
+           CAST(list_max(list_transform(
+             string_split(text, '. '),
+             s -> len(list_filter(string_split(s, ' '), t -> t <> ''))
+           )) AS BIGINT) AS max_words
+    FROM documents
+    WHERE doc_id <= 50
+    ORDER BY doc_id
+    """,
+    doc="Python UDTF (table function, Spark 3.5+/4 surface): one input "
+    "row expands to N output rows — the sentence splitter every text "
+    "pipeline needs where the expansion logic outgrows "
+    "split+posexplode.  Arrow-optimized (useArrow=True: batched "
+    "transfer, not row pickling); applied via LATERAL join in SQL.  "
+    "The aggregate then collapses back per document, so the oracle "
+    "checks both the expansion and its inverse.  Scale shape: UDTFs "
+    "are map-side (no shuffle at the expansion), partition-parallel "
+    "like any scan-projection.",
+)
+def udtf_sentence_explode(spark, sf_dir):
+    spark.udtf.register("sentence_split", _sentence_udtf())
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    exploded = spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.n_words
+        FROM _udtf_docs d,
+             LATERAL sentence_split(d.doc_id, d.text) s
+        """
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("n_words") > 0).cast("long")).alias("n_sents"),
+            F.max("n_words").cast("long").alias("max_words"),
+        )
+        .orderBy("doc_id")
+    )

@@ -436,6 +436,8 @@ PRIORITY_ORDER = [
     "shard_assignment_token_balance",
     "stream_sliding_topk_trending",
     "layout_bucketed_join_no_shuffle",
+    "json_variant_extract",
+    "udtf_sentence_explode",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

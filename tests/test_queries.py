@@ -922,3 +922,50 @@ def test_bucketed_join_has_no_exchange_below_the_join(spark, sf_dir):
     # Exchange assertion above.
     # whole query: groupBy exchange + output orderBy only
     assert plans.shuffle_count(df) <= 2
+
+
+def test_variant_parse_once_no_python(spark, sf_dir):
+    # parse_json + variant_get are Catalyst expressions — the whole
+    # extraction stays JVM-side, no Python eval nodes
+    df = _df(spark, sf_dir, "json_variant_extract")
+    plan = plans.executed_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_udtf_expansion_matches_posexplode_equivalent(spark, sf_dir):
+    # the UDTF path must agree with the built-in split+posexplode
+    # formulation of the same sentence split
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") <= 50)
+        .select("doc_id", "text")
+    )
+    spark.udtf.register(
+        "sentence_split_t",
+        __import__(
+            "hadoop_formats_spark.queries.parity", fromlist=["_sentence_udtf"]
+        )._sentence_udtf(),
+    )
+    d.createOrReplaceTempView("_udtf_docs_t")
+    via_udtf = spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.n_words "
+        "FROM _udtf_docs_t d, LATERAL sentence_split_t(d.doc_id, d.text) s"
+    )
+    via_builtin = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("sent_idx", "s"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        F.size(F.filter(F.split("s", " "), lambda t: t != "")).alias(
+            "n_words"
+        ),
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["sent_idx"], r["n_words"]) for r in df.collect()
+    )
+    assert key(via_udtf) == key(via_builtin)
