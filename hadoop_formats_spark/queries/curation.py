@@ -1634,3 +1634,77 @@ def shard_assignment_token_balance(spark: SparkSession, sf_dir: str):
             F.col("n_tokens") * 16.0 / F.sum("n_tokens").over(wall), 4
         ).alias("balance_ratio"),
     ).orderBy("shard")
+
+
+@register(
+    "curriculum_stage_assignment",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN n_chars < 500 THEN 'short'
+                  WHEN n_chars < 1500 THEN 'medium'
+                  ELSE 'long' END AS len_bucket,
+             CASE WHEN ttr < 0.5 THEN 'repetitive'
+                  WHEN ttr < 0.75 THEN 'mixed'
+                  ELSE 'diverse' END AS diversity,
+             tok
+      FROM (
+        SELECT n_chars,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS ttr,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM documents
+      )
+    )
+    SELECT len_bucket, diversity,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           round(sum(tok) * 1.0
+                 / (SELECT sum(tok) FROM scored), 4) AS token_share
+    FROM scored
+    GROUP BY len_bucket, diversity
+    ORDER BY len_bucket, diversity
+    """,
+    doc="Curriculum staging grid: every document lands in a "
+    "(length bucket x lexical-diversity tier) cell — type-token "
+    "ratio tiers at fixed 0.5/0.75 cuts, length at 500/1500 chars — "
+    "with doc count, token mass, and token share per cell; the table "
+    "a curriculum schedule samples from (short-diverse early, "
+    "long-everything late) and the mixture-weighting twin of "
+    "sample_mixture_temperature.  TTR is a ratio of small exact "
+    "integers (identical double on both engines), so the tier cuts "
+    "are deterministic.  Scale shape: map-side scoring, ONE "
+    "partial-agg groupBy to <=9 cells.",
+)
+def curriculum_stage_assignment(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        F.when(F.col("n_chars") < 500, "short")
+        .when(F.col("n_chars") < 1500, "medium")
+        .otherwise("long")
+        .alias("len_bucket"),
+        (
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+        ).alias("ttr"),
+        F.size(toks).cast("long").alias("tok"),
+    ).select(
+        "len_bucket",
+        F.when(F.col("ttr") < 0.5, "repetitive")
+        .when(F.col("ttr") < 0.75, "mixed")
+        .otherwise("diverse")
+        .alias("diversity"),
+        "tok",
+    )
+    per = scored.groupBy("len_bucket", "diversity").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "len_bucket",
+        "diversity",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(wall), 4
+        ).alias("token_share"),
+    ).orderBy("len_bucket", "diversity")

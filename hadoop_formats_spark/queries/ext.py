@@ -4399,3 +4399,226 @@ def timeseries_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: embedding QC, semantic contamination, vocab growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             round(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])
+             )), 9) AS nrm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, round(avg(nrm), 9) AS avg_nrm
+      FROM norms GROUP BY label
+    )
+    SELECT n.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(n.nrm), 4) AS min_norm,
+           round(max(n.nrm), 4) AS max_norm,
+           round(s.avg_nrm, 4) AS avg_norm,
+           CAST(sum(CASE WHEN n.nrm < 0.5 * s.avg_nrm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN n.nrm > 1.5 * s.avg_nrm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM norms n JOIN stats s USING (label)
+    GROUP BY n.label, s.avg_nrm ORDER BY n.label
+    """,
+    doc="Embedding-column QC audit: per-label L2-norm distribution with "
+    "counts outside the [0.5x, 1.5x] band around the label mean — the "
+    "pre-flight every ANN index / semantic-dedup run needs (a batch "
+    "of zero or exploded norms means a broken embedding job, and "
+    "cosine against a near-zero vector is noise).  Norms and label "
+    "means are round(·,9) on BOTH engines so the band cuts are "
+    "deterministic.  Scale shape: map-side norm (sequential "
+    "left-to-right double fold, identical on both engines), ONE "
+    "partial-agg groupBy to |labels| cells, broadcast-join back for "
+    "the band counts.",
+)
+def embedding_norm_outliers(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    norms = e.select(
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)), 9
+        ).alias("nrm"),
+    )
+    stats = norms.groupBy("label").agg(
+        F.round(F.avg("nrm"), 9).alias("avg_nrm")
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .groupBy("label", "avg_nrm")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.sum(
+                (F.col("nrm") < 0.5 * F.col("avg_nrm")).cast("long")
+            ).alias("n_low"),
+            F.sum(
+                (F.col("nrm") > 1.5 * F.col("avg_nrm")).cast("long")
+            ).alias("n_high"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "min_norm",
+            "max_norm",
+            F.round("avg_nrm", 4).alias("avg_norm"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "contamination_embedding_cosine",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 37 <> 0
+    ),
+    sims AS (
+      SELECT c.vec_id, c.label,
+             max(round(list_dot_product(c.v, b.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4)) AS max_sim
+      FROM corpus c, bench b
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN max_sim >= 0.35 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(avg(CASE WHEN max_sim >= 0.35 THEN 1.0 ELSE 0.0 END), 4)
+             AS contaminated_share
+    FROM sims GROUP BY label ORDER BY label
+    """,
+    doc="SEMANTIC benchmark decontamination: corpus vectors whose max "
+    "cosine against any held-out benchmark vector (deterministic "
+    "vec_id % 37 subset) reaches 0.35 are flagged per label — the "
+    "embedding-space complement of contamination_ngram_overlap "
+    "(paraphrased test items share no 5-grams but sit next to the "
+    "benchmark in embedding space).  Spark side broadcasts the "
+    "benchmark matrix (eval sets are small by construction) so the "
+    "corpus NEVER shuffles: one documented broadcast crossJoin + "
+    "per-vector max — at 100 TB this is a map-only scan with a "
+    "|bench|xd matrix in each task, the same contract as "
+    "brute_force_topk.  Dot products are sequential double folds, "
+    "identical on both engines; sims round(·,4) before the "
+    "threshold so the cut is deterministic.",
+)
+def contamination_embedding_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    corpus = e.filter(F.col("vec_id") % 37 != 0).select(
+        "vec_id", "label", "embedding"
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sims = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("b_vec"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("b_vec"), F.col("b_vec")))
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    flagged = (F.col("max_sim") >= 0.35).cast("long")
+    return (
+        sims.groupBy("label")
+        .agg(
+            F.count("*").alias("n_corpus"),
+            F.sum(flagged).alias("n_contaminated"),
+            F.round(F.avg(flagged.cast("double")), 4).alias(
+                "contaminated_share"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+      FROM words WHERE w <> ''
+      GROUP BY source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           round(regr_slope(ln(n_distinct), ln(n_words)), 6) AS heaps_beta,
+           round(exp(regr_intercept(ln(n_distinct), ln(n_words))), 4)
+             AS heaps_k,
+           round(regr_r2(ln(n_distinct), ln(n_words)), 6) AS r2
+    FROM per_source
+    """,
+    doc="Heaps'-law vocabulary-growth fit: V = K * N^beta regressed in "
+    "log-log space over per-source (total words, distinct words) — "
+    "natural corpora grow vocabulary at beta ~ 0.4-0.6; a flat beta "
+    "means template/boilerplate sources, beta ~ 1 means id-like noise "
+    "tokens.  Companion diagnostic to text_zipf_fit (rank-frequency) "
+    "on the corpus-forensics shelf.  Scale shape: ONE "
+    "distinct-(source, word) partial agg + per-source count — the "
+    "regression runs on |sources| rows via built-in partial-"
+    "aggregating regr_* (no collect).",
+)
+def text_vocab_growth(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_source = words.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    lnv = F.log(F.col("n_distinct").cast("double"))
+    lnn = F.log(F.col("n_words").cast("double"))
+    return per_source.agg(
+        F.count("*").alias("n_sources"),
+        F.round(F.regr_slope(lnv, lnn), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lnv, lnn)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(lnv, lnn), 6).alias("r2"),
+    )

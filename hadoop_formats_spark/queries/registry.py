@@ -439,6 +439,10 @@ PRIORITY_ORDER = [
     "json_variant_extract",
     "udtf_sentence_explode",
     "stream_tws_running_stats",
+    "embedding_norm_outliers",
+    "contamination_embedding_cosine",
+    "text_vocab_growth",
+    "curriculum_stage_assignment",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

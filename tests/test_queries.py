@@ -989,3 +989,55 @@ def test_tws_running_stats_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_norm_outliers_broadcast_stats(spark, sf_dir):
+    # per-label means broadcast back; the corpus shuffles once into
+    # |labels| cells
+    df = _df(spark, sf_dir, "embedding_norm_outliers")
+    assert plans.has_broadcast_join(df)
+    assert plans.has_partial_aggregation(df)
+
+
+def test_contamination_cosine_corpus_never_shuffles(spark, sf_dir):
+    # the benchmark matrix is the broadcast side of the (documented)
+    # crossJoin; the only exchanges are the per-vector max and the
+    # |labels| reduce
+    df = _df(spark, sf_dir, "contamination_embedding_cosine")
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # documented broadcast cross
+    assert "CartesianProduct" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_contamination_cosine_flags_the_bench_neighbors(spark, sf_dir):
+    # sanity: shares are within [0, 1] and corpus size excludes bench
+    import duckdb
+
+    rows = _df(spark, sf_dir, "contamination_embedding_cosine").collect()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    n_bench = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id % 37 = 0"
+    ).fetchone()[0]
+    assert sum(r["n_corpus"] for r in rows) == n_total - n_bench
+    assert all(0.0 <= r["contaminated_share"] <= 1.0 for r in rows)
+
+
+def test_vocab_growth_single_distinct_pass(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_vocab_growth")
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plans.executed_plan(df)
+
+
+def test_curriculum_grid_partitions_corpus(spark, sf_dir):
+    import duckdb
+
+    rows = _df(spark, sf_dir, "curriculum_stage_assignment").collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 0.01
