@@ -443,6 +443,7 @@ PRIORITY_ORDER = [
     "contamination_embedding_cosine",
     "text_vocab_growth",
     "curriculum_stage_assignment",
+    "privacy_t_closeness",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

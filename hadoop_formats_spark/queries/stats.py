@@ -1838,3 +1838,141 @@ def stats_selfjoin_blowup_estimate(spark: SparkSession, sf_dir: str):
             F.sum(F.col("c") * F.col("c")) / (F.sum("c") * 1.0), 4
         ).alias("blowup_factor"),
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment, c.c_nationkey,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS prio
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    cellpr AS (
+      SELECT c_mktsegment, c_nationkey, bal_band, prio,
+             CAST(count(*) AS BIGINT) AS n
+      FROM joined GROUP BY 1, 2, 3, 4
+    ),
+    cells AS (
+      SELECT c_mktsegment, c_nationkey, bal_band,
+             CAST(sum(n) AS BIGINT) AS cell_rows
+      FROM cellpr GROUP BY 1, 2, 3
+    ),
+    prios AS (SELECT DISTINCT prio FROM joined),
+    gdist AS (
+      SELECT prio, sum(n) * 1.0 / (SELECT sum(n) FROM cellpr) AS gshare
+      FROM cellpr GROUP BY prio
+    ),
+    grid AS (
+      SELECT c.c_mktsegment, c.c_nationkey, c.bal_band, c.cell_rows,
+             p.prio,
+             coalesce(cp.n, 0) * 1.0 / c.cell_rows AS share,
+             g.gshare
+      FROM cells c
+      CROSS JOIN prios p
+      LEFT JOIN cellpr cp USING (c_mktsegment, c_nationkey, bal_band, prio)
+      JOIN gdist g USING (prio)
+    ),
+    cum AS (
+      SELECT c_mktsegment, c_nationkey, bal_band, cell_rows,
+             abs(sum(share) OVER w - sum(gshare) OVER w) AS cumdiff
+      FROM grid
+      WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey, bal_band
+                   ORDER BY prio ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT c_mktsegment, c_nationkey, bal_band, cell_rows,
+             round(sum(cumdiff)
+                   / ((SELECT count(*) FROM prios) - 1), 9) AS t_cell
+      FROM cum GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(max(t_cell), 6) AS max_t,
+           round(avg(t_cell), 6) AS avg_t,
+           CAST(count(*) FILTER (WHERE t_cell > 0.2) AS BIGINT)
+             AS cells_above_t02,
+           CAST(coalesce(sum(cell_rows) FILTER (WHERE t_cell > 0.2), 0)
+                AS BIGINT) AS rows_above_t02
+    FROM t
+    """,
+    doc="t-closeness audit (ordinal EMD) completing the privacy triad "
+    "with privacy_k_anonymity and privacy_l_diversity on the same QI "
+    "tuple (segment, nation, balance band; sensitive = order "
+    "priority): per equivalence cell, earth-mover's distance between "
+    "the cell's priority distribution and the global one (ordinal "
+    "form: mean |cumulative-share difference|), then the release "
+    "gate summary — max/avg t and the cell/row mass above t=0.2 (a "
+    "large l-diverse cell whose distribution still skews to one "
+    "priority leaks; only t-closeness sees it).  Engine parity: "
+    "shares are ratios of exact integers, cumsums run in an ordered "
+    "sequential window frame, per-cell t is round(·,9) before the "
+    "threshold.  Scale shape: the fact table collapses in ONE "
+    "partial-agg groupBy to |cells x 5| rows; everything downstream "
+    "runs on the cell table (grid = cells x 5 via a broadcast cross "
+    "of the 5 priorities).",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("prio")
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    qi = ["c_mktsegment", "c_nationkey", "bal_band"]
+    cellpr = joined.groupBy(*qi, "prio").agg(F.count("*").alias("n"))
+    cells = cellpr.groupBy(*qi).agg(F.sum("n").alias("cell_rows"))
+    prios = cellpr.select("prio").distinct()
+    total = cellpr.agg(F.sum("n").alias("tot"))
+    glob = (
+        cellpr.groupBy("prio")
+        .agg(F.sum("n").alias("gn"))
+        .crossJoin(F.broadcast(total))
+        .select("prio", (F.col("gn") * 1.0 / F.col("tot")).alias("gshare"))
+    )
+    grid = (
+        cells.crossJoin(F.broadcast(prios))
+        .join(cellpr, qi + ["prio"], "left")
+        .join(F.broadcast(glob), "prio")
+        .select(
+            *qi,
+            "cell_rows",
+            "prio",
+            (
+                F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("cell_rows")
+            ).alias("share"),
+            "gshare",
+        )
+    )
+    w = (
+        Window.partitionBy(*qi)
+        .orderBy("prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *qi,
+        "cell_rows",
+        F.abs(F.sum("share").over(w) - F.sum("gshare").over(w)).alias(
+            "cumdiff"
+        ),
+    )
+    m = prios.count()  # 5 priorities; driver-held scalar, k-bounded
+    t = cum.groupBy(*qi, "cell_rows").agg(
+        F.round(F.sum("cumdiff") / (m - 1), 9).alias("t_cell")
+    )
+    above = F.col("t_cell") > 0.2
+    return t.agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.max("t_cell"), 6).alias("max_t"),
+        F.round(F.avg("t_cell"), 6).alias("avg_t"),
+        F.sum(above.cast("long")).alias("cells_above_t02"),
+        F.coalesce(
+            F.sum(F.when(above, F.col("cell_rows"))), F.lit(0)
+        ).alias("rows_above_t02"),
+    )

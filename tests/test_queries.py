@@ -1041,3 +1041,14 @@ def test_curriculum_grid_partitions_corpus(spark, sf_dir):
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 0.01
+
+
+def test_t_closeness_cell_table_discipline(spark, sf_dir):
+    # the fact table must collapse to |cells x priorities| in one
+    # partial-agg pass; everything downstream (grid, cumsum window, t
+    # rollup) runs on the cell table with broadcast-only joins
+    df = _df(spark, sf_dir, "privacy_t_closeness")
+    plan = plans.executed_plan(df)
+    assert plans.has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
+    assert plans.has_broadcast_join(df)
