@@ -284,7 +284,7 @@ def filter_predicates(spark, sf_dir):
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_custs,
            count(*)                  AS n_orders,
-           sum(o_totalprice)         AS total
+           round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     doc="count distinct + plain aggs per group.",
@@ -296,7 +296,9 @@ def agg_count_distinct(spark, sf_dir):
         .agg(
             F.countDistinct("o_custkey").alias("n_custs"),
             F.count("*").alias("n_orders"),
-            F.sum("o_totalprice").alias("total"),
+            # money sum round(·,2) at source on both engines (last-ulp
+            # partial-sum order noise under the strict value hash)
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -647,7 +649,8 @@ def join_salted_lineitem_orders(spark, sf_dir):
 @register(
     "join_6way_supplier_nation_revenue",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -678,9 +681,10 @@ def join_6way_supplier_nation_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("n_name")
