@@ -444,6 +444,7 @@ PRIORITY_ORDER = [
     "text_vocab_growth",
     "curriculum_stage_assignment",
     "privacy_t_closeness",
+    "stream_foreach_batch_upsert",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

@@ -825,3 +825,43 @@ def stream_tws_running_stats(spark, sf_dir):
         .select("event_type", "n_events", "max_value")
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="foreachBatch MERGE-upsert — the production streaming-write "
+    "pattern: each micro-batch (files_per_trigger=1 ⇒ several REAL "
+    "batches) reduces to per-key partials, full-outer merges into a "
+    "keyed parquet state table via atomic snapshot swap, and commits "
+    "an idempotence marker (foreachBatch is at-least-once; "
+    "exactly-once is the writer's job).  The final state must equal "
+    "the batch aggregate REGARDLESS of how the replay was batched — "
+    "the additive-combine contract.  At 100 TB the dir becomes a "
+    "Delta/Iceberg MERGE INTO with the same discipline.",
+)
+def stream_foreach_batch_upsert(spark, sf_dir):
+    import uuid
+
+    from hadoop_formats_spark.cachedir import cache_path
+
+    from ..streaming import foreach_batch_upsert
+
+    state_dir = cache_path("fbu_" + uuid.uuid4().hex[:10])
+    s = _events_stream(spark, sf_dir).select("event_type", "value")
+    foreach_batch_upsert(
+        s, spark, ["event_type"], ["value"], state_dir
+    )
+    import os
+
+    cur = spark.read.parquet(os.path.join(state_dir, "current"))
+    return cur.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("event_type")

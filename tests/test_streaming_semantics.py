@@ -424,3 +424,52 @@ def test_stateful_last_touch_state_carries_across_batches(spark, tmp_path):
         (1, "click", 10.0),
         (1, "view", 20.0),
     }
+
+
+def test_foreach_batch_upsert_idempotent_under_replay(spark, tmp_path):
+    # foreachBatch is at-least-once: a FULL replay of every batch
+    # (checkpoint wiped, idempotence markers kept) must leave the state
+    # table bit-identical — the markers, not the checkpoint, are the
+    # exactly-once mechanism
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.streaming import (
+        foreach_batch_upsert,
+        parquet_replay_stream,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):  # 3 files => 3 micro-batches at 1 file/trigger
+        spark.createDataFrame(
+            [(f"k{j % 2}", float(i * 10 + j)) for j in range(4)],
+            "k string, v double",
+        ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+
+    def run():
+        foreach_batch_upsert(
+            parquet_replay_stream(spark, src, ts_col="none"),
+            spark,
+            ["k"],
+            ["v"],
+            state,
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(state + "/current").collect()
+        )
+
+    first = run()
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_v"))
+        .collect()
+    )
+    assert first == batch
+    # wipe the checkpoint so the stream replays EVERY batch from zero
+    shutil.rmtree(state + "/_checkpoint")
+    assert run() == first
