@@ -511,3 +511,85 @@ def ml_logreg_quality_train(spark, sf_dir):
             4,
         ).alias("train_acc"),
     )
+
+
+@register(
+    "ml_linreg_normal_equations",
+    oracle="""
+    WITH f AS (
+      SELECT o_totalprice AS y,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               AS freq,
+             CAST(date_diff('day', o_orderdate,
+                            (SELECT max(o_orderdate) FROM orders))
+                  AS DOUBLE) AS rec
+      FROM orders
+    ),
+    m AS (
+      SELECT round(covar_pop(freq, freq), 9) AS sxx,
+             round(covar_pop(freq, rec), 9)  AS sxz,
+             round(covar_pop(rec, rec), 9)   AS szz,
+             round(covar_pop(freq, y), 9)    AS sxy,
+             round(covar_pop(rec, y), 9)     AS szy,
+             round(avg(freq), 9) AS mx,
+             round(avg(rec), 9)  AS mz,
+             round(avg(y), 9)    AS my,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f
+    )
+    SELECT n,
+           round((sxy * szz - szy * sxz)
+                 / (sxx * szz - sxz * sxz), 6) AS beta_freq,
+           round((szy * sxx - sxy * sxz)
+                 / (sxx * szz - sxz * sxz), 6) AS beta_rec,
+           round(my - (sxy * szz - szy * sxz)
+                        / (sxx * szz - sxz * sxz) * mx
+                    - (szy * sxx - sxy * sxz)
+                        / (sxx * szz - sxz * sxz) * mz, 6) AS intercept
+    FROM m
+    """,
+    doc="Two-feature OLS (order value ~ customer order frequency + "
+    "recency) solved by the NORMAL EQUATIONS on driver-held "
+    "sufficient statistics: ONE partial-agg pass reduces the fact "
+    "table to the 3x3 covariance matrix (the same corpus-scans-once, "
+    "driver-solves-k-bounded contract as ml_logreg / k-means / PCA — "
+    "for d features the pass emits d(d+1)/2 cells and the driver "
+    "inverts a dxd matrix), and the closed-form 2-feature solution "
+    "is literal algebra over those statistics, so the DuckDB oracle "
+    "certifies the whole solve.  Covariances round(·,9) on both "
+    "engines before the algebra pins the solution bit-for-bit.  "
+    "Complements regr_slope (1 feature) and the GD logreg (iterative) "
+    "with the exact multi-feature path.",
+)
+def ml_linreg_normal_equations(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d1"))
+    f = o.crossJoin(F.broadcast(maxd)).select(
+        F.col("o_totalprice").alias("y"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("double")
+        .alias("freq"),
+        F.datediff("d1", "o_orderdate").cast("double").alias("rec"),
+    )
+    m = f.agg(
+        F.round(F.covar_pop("freq", "freq"), 9).alias("sxx"),
+        F.round(F.covar_pop("freq", "rec"), 9).alias("sxz"),
+        F.round(F.covar_pop("rec", "rec"), 9).alias("szz"),
+        F.round(F.covar_pop("freq", "y"), 9).alias("sxy"),
+        F.round(F.covar_pop("rec", "y"), 9).alias("szy"),
+        F.round(F.avg("freq"), 9).alias("mx"),
+        F.round(F.avg("rec"), 9).alias("mz"),
+        F.round(F.avg("y"), 9).alias("my"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    det = m.sxx * m.szz - m.sxz * m.sxz
+    bx = (m.sxy * m.szz - m.szy * m.sxz) / det
+    bz = (m.szy * m.sxx - m.sxy * m.sxz) / det
+    icpt = m.my - bx * m.mx - bz * m.mz
+    return spark.createDataFrame(
+        [(m.n, round(bx, 6), round(bz, 6), round(icpt, 6))],
+        "n bigint, beta_freq double, beta_rec double, intercept double",
+    )

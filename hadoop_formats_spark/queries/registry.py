@@ -445,6 +445,8 @@ PRIORITY_ORDER = [
     "curriculum_stage_assignment",
     "privacy_t_closeness",
     "stream_foreach_batch_upsert",
+    "dq_observe_metrics",
+    "ml_linreg_normal_equations",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

@@ -1976,3 +1976,61 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str):
             F.sum(F.when(above, F.col("cell_rows"))), F.lit(0)
         ).alias("rows_above_t02"),
     )
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT)
+             AS null_qty,
+           CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+             AS nonpos_price,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+             AS n_returns,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    """,
+    doc="In-flight data-quality counters via df.observe(Observation): "
+    "the DQ metrics ride ON the production scan as accumulator-style "
+    "aggregates — ZERO extra passes, unlike dq_constraint_suite which "
+    "is itself the scan.  At 100 TB this is how you get row counts, "
+    "null rates, and domain violations for every pipeline stage for "
+    "free: attach observe() to the existing plan and read the metrics "
+    "after the action.  The query materializes the observed scan "
+    "(a count action) and returns the observation payload as the "
+    "result row, so the oracle certifies the counters themselves.",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias(
+            "nonpos_price"
+        ),
+        # DISTINCT aggregates are disallowed in observed metrics
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+            "n_returns"
+        ),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_qty"],
+                m["nonpos_price"],
+                m["n_returns"],
+                m["total_price"],
+            )
+        ],
+        "n_rows bigint, null_qty bigint, nonpos_price bigint, "
+        "n_returns bigint, total_price double",
+    )

@@ -1052,3 +1052,50 @@ def test_t_closeness_cell_table_discipline(spark, sf_dir):
     assert plans.has_partial_aggregation(df)
     assert "CartesianProduct" not in plan
     assert plans.has_broadcast_join(df)
+
+
+def test_observe_metrics_ride_the_scan(spark, sf_dir):
+    # the DQ counters are CollectMetrics ON the scan — no second pass,
+    # no Python eval; the query's one action is the noop write
+    from hadoop_formats_spark.queries.registry import QUERIES
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = Observation("t")
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n"))
+    plan = observed.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan
+    # and the query's payload equals a direct aggregate
+    row = QUERIES["dq_observe_metrics"].builder(spark, sf_dir).collect()[0]
+    n = li.count()
+    assert row["n_rows"] == n
+
+
+def test_linreg_normal_equations_matches_numpy(spark, sf_dir):
+    # the driver-held closed-form solve must agree with numpy lstsq on
+    # the same features
+    import numpy as np
+
+    from hadoop_formats_spark.queries.registry import QUERIES
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    row = QUERIES["ml_linreg_normal_equations"].builder(spark, sf_dir).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    maxd = o.agg(F.max("o_orderdate").alias("d1"))
+    f = (
+        o.crossJoin(F.broadcast(maxd))
+        .select(
+            F.col("o_totalprice").alias("y"),
+            F.count("*").over(Window.partitionBy("o_custkey"))
+            .cast("double").alias("freq"),
+            F.datediff("d1", "o_orderdate").cast("double").alias("rec"),
+        )
+        .toPandas()
+    )
+    X = np.column_stack([f["freq"], f["rec"], np.ones(len(f))])
+    beta, *_ = np.linalg.lstsq(X, f["y"].to_numpy(), rcond=None)
+    assert abs(row["beta_freq"] - beta[0]) < 1e-3
+    assert abs(row["beta_rec"] - beta[1]) < 1e-3
+    assert abs(row["intercept"] - beta[2]) < 1e-2
