@@ -447,6 +447,7 @@ PRIORITY_ORDER = [
     "stream_foreach_batch_upsert",
     "dq_observe_metrics",
     "ml_linreg_normal_equations",
+    "abtest_power_analysis",
     # round-9 deferrals, next in line for the round-10 rotation
     # (transitive-coverage justification in the note above)
     "agg_count_distinct",

@@ -2034,3 +2034,73 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str):
         "n_rows bigint, null_qty bigint, nonpos_price bigint, "
         "n_returns bigint, total_price double",
     )
+
+
+@register(
+    "abtest_power_analysis",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS y
+      FROM events WHERE event_type <> 'error' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(avg(y), 9) AS mu,
+             round(var_pop(y), 9) AS v
+      FROM per_user
+    )
+    SELECT n_users,
+           round(mu, 4) AS mean_value,
+           round(sqrt(v), 4) AS stddev_value,
+           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * v
+                     / power(0.02 * mu, 2)) AS BIGINT)
+             AS n_per_arm_mde2pct,
+           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * v
+                     / power(0.05 * mu, 2)) AS BIGINT)
+             AS n_per_arm_mde5pct,
+           round(0.02 * mu * sqrt(CAST(n_users AS DOUBLE) / 2.0)
+                 / sqrt(2.0 * v) - 1.959964, 4) AS z_beta_at_current_n
+    FROM m
+    """,
+    doc="A/B test power analysis from observed moments: required "
+    "sample size per arm for a 2%/5% minimum detectable effect at "
+    "alpha=0.05 (two-sided), power=0.80 — n = 2(z_a+z_b)^2 * var / "
+    "mde^2, the normal-approximation formula — plus the z_beta the "
+    "CURRENT population would achieve at the 2% MDE (negative = "
+    "underpowered, don't launch the experiment).  Completes the "
+    "experimentation shelf: SRM guards the split, CUPED cuts the "
+    "variance, bootstrap builds the CI, and THIS decides whether the "
+    "test is worth running at all.  Variance and mean round(·,9) on "
+    "both engines before the algebra.  Scale shape: one per-user "
+    "partial agg, then 1-row moment math.",
+)
+def abtest_power_analysis(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") != "error") & F.col("value").isNotNull()
+    )
+    per_user = e.groupBy("user_id").agg(F.sum("value").alias("y"))
+    m = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("y"), 9).alias("mu"),
+        F.round(F.var_pop("y"), 9).alias("v"),
+    )
+    za, zb = 1.959964, 0.841621  # alpha=.05 two-sided, power=.80
+    n_arm = lambda mde: F.ceil(
+        2.0 * (za + zb) ** 2 * F.col("v") / F.pow(mde * F.col("mu"), 2)
+    ).cast("long")
+    return m.select(
+        "n_users",
+        F.round("mu", 4).alias("mean_value"),
+        F.round(F.sqrt("v"), 4).alias("stddev_value"),
+        n_arm(0.02).alias("n_per_arm_mde2pct"),
+        n_arm(0.05).alias("n_per_arm_mde5pct"),
+        F.round(
+            0.02
+            * F.col("mu")
+            * F.sqrt(F.col("n_users").cast("double") / 2.0)
+            / F.sqrt(2.0 * F.col("v"))
+            - za,
+            4,
+        ).alias("z_beta_at_current_n"),
+    )
