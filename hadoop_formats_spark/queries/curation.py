@@ -1581,7 +1581,8 @@ def sample_mixture_temperature(spark, sf_dir):
     "shard_assignment_token_balance",
     oracle="""
     WITH sharded AS (
-      SELECT ((doc_id * 1103515245 + 12345) % 16777216) % 16 AS shard,
+      SELECT (((doc_id % 16777216) * 1103515245 + 12345) % 16777216) % 16
+               AS shard,
              len(string_split(text, ' ')) AS tok
       FROM documents
     ),
@@ -1610,8 +1611,12 @@ def sample_mixture_temperature(spark, sf_dir):
 )
 def shard_assignment_token_balance(spark: SparkSession, sf_dir: str):
     d = table(spark, sf_dir, "documents")
+    # bound doc_id to 2^24 BEFORE the LCG multiply: the product then
+    # peaks at ~1.85e16 << int64, so Spark (non-ANSI wrap) and DuckDB
+    # (HUGEINT promotion) agree at ANY doc_id scale, not just sf0.01
     shard = (
-        (F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+        ((F.col("doc_id") % F.lit(16777216)) * F.lit(1103515245)
+         + F.lit(12345))
         % F.lit(16777216)
     ) % F.lit(16)
     per = (

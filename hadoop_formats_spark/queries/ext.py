@@ -1403,20 +1403,24 @@ def multimodal_audio_window_counts(spark, sf_dir):
       FROM documents WHERE doc_id < 50
     )
     SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-           from_hex(substring(payload_hex, CAST(fi AS INT) * 32 + 1, 32)) AS frame
+           substring(payload_hex, CAST(fi AS INT) * 32 + 1, 32) AS frame_hex
     FROM f, UNNEST(generate_series(0, n_frames - 1, 4)) AS t(fi)
     WHERE n_frames > 0
     ORDER BY doc_id, frame_idx
     """,
     doc="Video-style frame sampling over binary media columns "
-    "(mapInPandas fan-out): 16-byte frames, every 4th kept.",
+    "(mapInPandas fan-out): 16-byte frames, every 4th kept.  The frame "
+    "payload stays BinaryType inside the operator; the graded output "
+    "emits hex(frame) as a string because the driver's canonicalizer "
+    "cannot hash bytes-kind columns (r9 post-mortem).",
 )
 def multimodal_frame_sample(spark, sf_dir):
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     packed = M.pack_binary(d, "doc_id", "text")
-    return M.frame_sample(packed, frame_len=16, every=4).orderBy(
-        "doc_id", "frame_idx"
-    )
+    frames = M.frame_sample(packed, frame_len=16, every=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")
 
 
 @register(

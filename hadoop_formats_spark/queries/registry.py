@@ -370,67 +370,45 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     curation_pipeline_docs stages and stay sweep-covered.
 # All 24 remain green in the full-registry oracle sweep
 # (SWEEP_r09_local.txt) and pytest's per-query oracle spot checks.
+# Round-10 rotation (VERDICT r9 #1): CORRECTNESS_r09.json landed 49/50
+# green (the one err, multimodal_frame_sample, was a driver-canon crash
+# on a BinaryType column — fixed this round by emitting hex(frame) as a
+# string; the operator keeps BinaryType internally).  The window rotates
+# to the ONLY remaining coverage axis: ALL 41 never-driver-graded
+# queries (the 17 round-9 additions + the 24 documented deferrals — the
+# transitive-coverage justification for the deferrals is retained in
+# git history at this file, round-9 revision) plus 9 re-grades:
+#   - multimodal_frame_sample (the only graded-never-green row, fixed);
+#   - 8 oldest-green rows chosen for family spread, led by the two
+#     r02-graded rows whose code/oracles are the oldest certificates:
+#     dedup_embedding_cosine (also the r9 perf-watch query),
+#     json_extract_props, stream_late_data_drop, ann_brute_force_topk,
+#     dedup_exact, dedup_simhash, parquet_write_roundtrip,
+#     seqfile_roundtrip_double_sum (format-layer rep).
+# If all 50 grade green, cumulative driver-graded coverage closes at
+# 249/249 — every registered query graded at least once.
+#
+# Round-11+ window policy (VERDICT r9 #9), once coverage is closed:
+# the 50 slots become a RE-GRADE rotation —
+#   1. any query whose builder/oracle/operator code changed since its
+#      last driver row (git log --since its last-graded round) enters
+#      first, plus any new registrations (same round they land,
+#      r7-discipline);
+#   2. remaining slots fill oldest-green-first, ties broken to keep
+#      every §2 family represented at least once per ~3 rounds;
+#   3. a hash-fail always re-enters the next window after its fix.
 PRIORITY_ORDER = [
-    # r8 hash-fails, oracle-fixed this round — re-grade first
-    "math_conditional",
-    "json_from_json_struct",
-    "q12_priority_shipping",
-    # the four deferred TPC-H shapes (oracles re-audited, see note)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    # round-8 additions (queued since the r8 window boundary)
-    "embedding_covariance_pca",
-    "stream_attribution_last_touch",
-    "attribution_last_touch",
-    "ml_logreg_quality_train",
-    "feature_target_encoding_oof",
-    "feature_woe_iv",
-    "customer_rfm_segments",
-    "abtest_srm_chisquare",
-    "stats_winsorized_segment_spend",
-    "stats_hhi_concentration",
-    "stats_gini_brand_revenue",
-    "timeseries_seasonal_dow_anomaly",
-    "timeseries_autocorrelation",
-    "timeseries_cusum_changepoint",
-    "stats_ks_two_sample",
-    "privacy_l_diversity",
-    "graph_bfs_distances",
-    "text_zipf_fit",
-    "stats_benford_first_digit",
-    "sample_mixture_temperature",
-    "stats_selfjoin_blowup_estimate",
-    # never-graded remainder: aggregation / window / join shapes
-    "agg_having",
-    "agg_exact_percentiles",
-    "window_distribution_functions",
-    "join_cross_region_status",
-    # dedup / text / multimodal / layout / ANN / streaming
-    "dedup_keeper_by_quality",
-    "text_bpe_token_counts",
-    "text_pmi_collocations",
-    "text_repetition_metrics",
+    # re-grades: the fixed multimodal row + 8 oldest-green family reps
     "multimodal_frame_sample",
-    "layout_zorder_clustering",
-    "ann_ivf_index_persisted",
-    "stream_static_join_enrichment",
-    # stats / sampling / packing / funnel
-    "stats_join_key_skew",
-    "stats_correlation_matrix",
-    "sample_stratified_lang",
-    "sample_domain_quota",
-    "pack_sequences_stats",
-    "funnel_conversion",
-    # sources / maintenance
-    "json_lines_roundtrip",
-    "orc_write_roundtrip",
-    "compact_small_files",
-    "parquet_schema_evolution",
-    # ---- 50-slot window boundary ----
-    # round-9 additions (landed after this round's rotation froze —
-    # queued FIRST for the round-10 window, same discipline as r7/r8)
+    "dedup_embedding_cosine",
+    "json_extract_props",
+    "stream_late_data_drop",
+    "ann_brute_force_topk",
+    "dedup_exact",
+    "dedup_simhash",
+    "parquet_write_roundtrip",
+    "seqfile_roundtrip_double_sum",
+    # round-9 additions (queued since the r9 window boundary)
     "agg_mode_disc_percentiles",
     "array_higher_order_funcs",
     "shard_assignment_token_balance",
@@ -448,8 +426,7 @@ PRIORITY_ORDER = [
     "dq_observe_metrics",
     "ml_linreg_normal_equations",
     "abtest_power_analysis",
-    # round-9 deferrals, next in line for the round-10 rotation
-    # (transitive-coverage justification in the note above)
+    # the 24 round-9 deferrals — last never-graded queries
     "agg_count_distinct",
     "agg_collect_sorted",
     "join_5way_region_rollup_revenue",
@@ -474,6 +451,7 @@ PRIORITY_ORDER = [
     "stats_column_profile",
     "contamination_ngram_overlap",
     "curation_drop_waterfall",
+    # ---- 50-slot window boundary ----
 ]
 
 

@@ -832,7 +832,7 @@ def stream_tws_running_stats(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(coalesce(sum(value), 0.0), 2) AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     doc="foreachBatch MERGE-upsert — the production streaming-write "

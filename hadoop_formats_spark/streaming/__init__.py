@@ -503,10 +503,20 @@ def foreach_batch_upsert(
     * exactly-once under replay: each batch commits a ``_done_<id>``
       marker AFTER its atomic state swap; a replayed batch id is
       SKIPPED (foreachBatch gives at-least-once delivery — idempotence
-      must come from the writer, which is this marker);
+      must come from the writer).  The marker alone would leave two
+      crash windows (die mid-swap → no ``current``; die between swap
+      and marker → double merge), so the COMMIT RECORD travels inside
+      the snapshot itself: a ``_merged_<id>`` sentinel is written into
+      the new snapshot dir BEFORE the pointer flip (Spark's parquet
+      reader ignores ``_``-prefixed files), and entry-time recovery
+      promotes an orphaned sentineled snapshot / back-fills the marker
+      from the sentinel, so every window replays to the same state;
     * the state swap is write-new-dir + atomic rename (object-store
       equivalent: write new snapshot prefix + pointer flip), never an
-      in-place overwrite a concurrent reader could half-see.
+      in-place overwrite a concurrent reader could half-see;
+    * per-key sums coalesce to 0.0 INSIDE the per-batch aggregate, so
+      an all-NULL key yields 0.0 whether it arrives in one batch or
+      many — the result is batching-invariant by construction.
 
     At 100 TB the parquet dir becomes a Delta/Iceberg table and the
     join+swap becomes MERGE INTO, but the idempotence marker and the
@@ -516,15 +526,56 @@ def foreach_batch_upsert(
 
     os.makedirs(state_dir, exist_ok=True)
 
+    def recover(cur_path: str) -> None:
+        # Heal any crash window from a previous attempt before acting.
+        entries = os.listdir(state_dir)
+        if not os.path.isdir(cur_path):
+            # Died between rename(cur->old) and rename(next->cur).  A
+            # sentineled next_<j> is a COMPLETE merged snapshot —
+            # promote it; otherwise restore old_<j> (pre-merge state).
+            promoted = False
+            for d in entries:
+                p = os.path.join(state_dir, d)
+                if d.startswith("next_") and any(
+                    f.startswith("_merged_") for f in os.listdir(p)
+                ):
+                    os.rename(p, cur_path)
+                    promoted = True
+                    break
+            if not promoted:
+                for d in entries:
+                    if d.startswith("old_"):
+                        os.rename(os.path.join(state_dir, d), cur_path)
+                        break
+            entries = os.listdir(state_dir)
+        for d in entries:  # clear stale swap leftovers
+            if d.startswith(("old_", "next_")):
+                shutil.rmtree(
+                    os.path.join(state_dir, d), ignore_errors=True
+                )
+        if os.path.isdir(cur_path):
+            # Died between the swap and the marker: the sentinel inside
+            # current proves batch <j> is merged — back-fill its marker.
+            for f in os.listdir(cur_path):
+                if f.startswith("_merged_"):
+                    j = f[len("_merged_") :]
+                    open(
+                        os.path.join(state_dir, f"_done_{j}"), "w"
+                    ).close()
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cur_path = os.path.join(state_dir, "current")
+        recover(cur_path)
         marker = os.path.join(state_dir, f"_done_{batch_id}")
         if os.path.exists(marker):  # replayed batch: already merged
             return
         agg = batch_df.groupBy(*key_cols).agg(
             F.count("*").alias(count_col),
-            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[
+                F.coalesce(F.sum(c), F.lit(0.0)).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
         )
-        cur_path = os.path.join(state_dir, "current")
         if os.path.isdir(cur_path):
             cur = spark.read.parquet(cur_path)
             merged = (
@@ -551,12 +602,15 @@ def foreach_batch_upsert(
             merged = agg
         nxt = os.path.join(state_dir, f"next_{batch_id}")
         merged.write.mode("overwrite").parquet(nxt)
+        # commit record INSIDE the snapshot, before the pointer flip —
+        # any crash from here on is healed by recover()
+        open(os.path.join(nxt, f"_merged_{batch_id}"), "w").close()
         old = os.path.join(state_dir, f"old_{batch_id}")
         if os.path.isdir(cur_path):
             os.rename(cur_path, old)
         os.rename(nxt, cur_path)
         shutil.rmtree(old, ignore_errors=True)
-        open(marker, "w").close()  # commit point: batch is merged
+        open(marker, "w").close()  # fast-path skip for replayed ids
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)

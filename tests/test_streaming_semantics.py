@@ -473,3 +473,146 @@ def test_foreach_batch_upsert_idempotent_under_replay(spark, tmp_path):
     # wipe the checkpoint so the stream replays EVERY batch from zero
     shutil.rmtree(state + "/_checkpoint")
     assert run() == first
+
+
+def _fbu_state(spark, tmp_path, n_files=3):
+    # shared fixture: 3 source files => 3 micro-batches; returns
+    # (src, state, batch_answer, run) where run() replays and reads state
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.streaming import (
+        foreach_batch_upsert,
+        parquet_replay_stream,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(f"k{j % 2}", float(i * 10 + j)) for j in range(4)],
+            "k string, v double",
+        ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+
+    def run():
+        foreach_batch_upsert(
+            parquet_replay_stream(spark, src, ts_col="none"),
+            spark,
+            ["k"],
+            ["v"],
+            state,
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(state + "/current").collect()
+        )
+
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_v"))
+        .collect()
+    )
+    return src, state, batch, run
+
+
+def test_foreach_batch_upsert_crash_between_swap_renames(spark, tmp_path):
+    # Crash window 1: die between rename(cur->old_<id>) and
+    # rename(next_<id>->cur).  On disk: no `current`, a fully-written
+    # sentineled next_<id>, a stranded old_<id>, NO _done_<id> marker.
+    # recover() must promote the sentineled snapshot (NOT rebuild state
+    # from the replayed batch alone) and back-fill the marker.
+    import os
+    import shutil
+
+    src, state, batch, run = _fbu_state(spark, tmp_path)
+    assert run() == batch
+    last = max(
+        int(f.split("_")[-1])
+        for f in os.listdir(state)
+        if f.startswith("_done_")
+    )
+    # manufacture the crash state from the healthy end state
+    shutil.move(state + "/current", state + f"/next_{last}")
+    os.makedirs(state + f"/old_{last}")
+    open(state + f"/old_{last}/junk", "w").close()
+    os.remove(state + f"/_done_{last}")
+    shutil.rmtree(state + "/_checkpoint")  # full replay
+    assert run() == batch
+    assert not os.path.isdir(state + f"/old_{last}")
+    assert not os.path.isdir(state + f"/next_{last}")
+
+
+def test_foreach_batch_upsert_crash_before_marker(spark, tmp_path):
+    # Crash window 2: die between the completed swap and the _done_<id>
+    # marker write.  The sentinel inside `current` proves the batch is
+    # merged; recovery must back-fill the marker so the replayed batch
+    # is NOT merged twice.
+    import os
+    import shutil
+
+    src, state, batch, run = _fbu_state(spark, tmp_path)
+    assert run() == batch
+    last = max(
+        int(f.split("_")[-1])
+        for f in os.listdir(state)
+        if f.startswith("_done_")
+    )
+    assert os.path.exists(state + f"/current/_merged_{last}")
+    os.remove(state + f"/_done_{last}")
+    shutil.rmtree(state + "/_checkpoint")
+    assert run() == batch  # double-merge would inflate sums by batch `last`
+
+
+def test_foreach_batch_upsert_crash_partial_next(spark, tmp_path):
+    # Crash window 0: die mid-write of next_<id> (no sentinel yet).
+    # The partial snapshot must be discarded, never promoted.
+    import os
+    import shutil
+
+    src, state, batch, run = _fbu_state(spark, tmp_path)
+    assert run() == batch
+    os.makedirs(state + "/next_99")
+    open(state + "/next_99/part-00000.parquet", "w").close()  # torn write
+    shutil.rmtree(state + "/_checkpoint")
+    assert run() == batch
+    assert not os.path.isdir(state + "/next_99")
+
+
+def test_foreach_batch_upsert_all_null_key_batching_invariant(
+    spark, tmp_path
+):
+    # A key whose values are ALL NULL must end at sum 0.0 whether it
+    # arrives in one batch or across several (the first-batch branch
+    # used to keep NULL; merged-across-batches coalesced to 0.0).
+    from hadoop_formats_spark.streaming import (
+        foreach_batch_upsert,
+        parquet_replay_stream,
+    )
+
+    def final_state(path_suffix, files):
+        src = str(tmp_path / f"src{path_suffix}")
+        for rows in files:
+            spark.createDataFrame(
+                rows, "k string, v double"
+            ).coalesce(1).write.mode("append").parquet(src)
+        state = str(tmp_path / f"state{path_suffix}")
+        foreach_batch_upsert(
+            parquet_replay_stream(spark, src, ts_col="none"),
+            spark,
+            ["k"],
+            ["v"],
+            state,
+        )
+        return {
+            r.k: (r.n_events, r.sum_v)
+            for r in spark.read.parquet(state + "/current").collect()
+        }
+
+    one = final_state("a", [[("n", None), ("n", None), ("x", 1.0)]])
+    split = final_state(
+        "b", [[("n", None), ("x", 1.0)], [("n", None)]]
+    )
+    assert one == split == {"n": (2, 0.0), "x": (1, 1.0)}

@@ -15,6 +15,13 @@ hazard is therefore a KIND mismatch between Spark-THROUGH-PANDAS and
 DuckDB-THROUGH-PANDAS dtypes, which is exactly what this tool
 compares (``sdf.toPandas().dtypes`` vs ``rel.df().dtypes``).
 
+Round-9 post-mortem added a second class: a BYTES-kind output column
+(Spark BinaryType / DuckDB BLOB) crashes the driver's canonicalizer
+outright — pandas ``sort_values`` factorizes via a hash table and
+``bytearray`` is unhashable — so the row errs before any comparison.
+This tool now flags any oracle-backed query whose OUTPUT contains a
+bytes-like column on either engine (convert to ``hex(col)`` at source).
+
 Null-presence depends on scale factor, so run this at the sf the
 driver grades (sf0.01).
 
@@ -60,6 +67,19 @@ def pandas_kind(dtype) -> str:
     return "other"
 
 
+def bytes_cols(pdf) -> list[str]:
+    """Columns whose values are bytes/bytearray — unhashable by the
+    driver canon's pandas sort (the r9 multimodal_frame_sample crash)."""
+    out = []
+    for c in pdf.columns:
+        if pdf.dtypes[c].kind != "O":
+            continue
+        s = pdf[c].dropna()
+        if len(s) and isinstance(s.iloc[0], (bytes, bytearray, memoryview)):
+            out.append(c)
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -101,6 +121,10 @@ def main() -> int:
             n_fail += 1
             continue
         bad = []
+        for col in bytes_cols(spdf):
+            bad.append(f"{col}: BYTES-kind in spark output (driver canon crash)")
+        for col in bytes_cols(ddf):
+            bad.append(f"{col}: BYTES-kind in oracle output (driver canon crash)")
         for col, sk in skinds.items():
             dk = dkinds.get(col)
             if dk is None:
