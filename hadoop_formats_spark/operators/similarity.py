@@ -849,11 +849,18 @@ def cosine_near_dup_pairs(
     gcols = ["g"] if group_col else []
 
     def unit() -> DataFrame:
+        # ship the RAW vector and L2-normalize inside the GEMM kernel:
+        # the Catalyst unit_normalize lambda inlines the norm aggregate
+        # inside the per-element transform, and optimizing that tree
+        # (duplicated across both cogroup sides) costs ~0.8 s of
+        # driver-side planning PER QUERY BUILD — measured r10, it was
+        # 3× the actual execution time at sf0.1.  numpy row-normalize
+        # after vstack is one fused BLAS pass and plans instantly.
         extra = [F.col(group_col).alias("g")] if group_col else []
         return corpus.select(
             *extra,
             F.col(id_col).alias("id"),
-            unit_normalize(F.col(vec_col)).alias("u"),
+            F.col(vec_col).alias("u"),
             F.pmod(F.col(id_col), b).cast("int").alias("blk"),
         )
 
@@ -879,8 +886,17 @@ def cosine_near_dup_pairs(
         bi, bj = key[-2], key[-1]
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
-        A = np.vstack(lpdf["u"].to_numpy())
-        B = np.vstack(rpdf["u"].to_numpy())
+
+        def unit_rows(col) -> "np.ndarray":
+            # float64 BEFORE the norm so f32 inputs match the oracle's
+            # CAST(... AS DOUBLE[]) arithmetic (f32→f64 is exact)
+            M = np.vstack(col.to_numpy()).astype(np.float64, copy=False)
+            n = np.sqrt((M * M).sum(axis=1))
+            n[n == 0.0] = 1.0
+            return M / n[:, None]
+
+        A = unit_rows(lpdf["u"])
+        B = unit_rows(rpdf["u"])
         S = np.round(A @ B.T, round_digits)
         ida = lpdf["id"].to_numpy()
         idb = rpdf["id"].to_numpy()
