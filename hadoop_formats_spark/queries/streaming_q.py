@@ -279,27 +279,49 @@ def _minhash_banded(df: DataFrame) -> DataFrame:
     (8 md5-slice hashes -> 4 bands x 2): streams cannot run the batch
     explode+min-aggregate signature shape before a second stateful
     agg, so the per-row formulation is load-bearing here, not a
-    CollapseProject accident (see minhash_signatures' docstring)."""
+    CollapseProject accident (see minhash_signatures' docstring).
+
+    Expression shape matters enormously here: the obvious per-position
+    formulation (8 × ``array_min(transform(hm, slice_j))``) gets
+    CollapseProject'd so the ENTIRE shingle→md5 pipeline inlines into
+    — and re-executes for — every signature position, then again for
+    every band key that references two positions.  Measured 6–8 s at
+    sf0.1 for 5000 docs.  Instead: ONE ``aggregate`` fold over the
+    hash material maintains all 8 running slice-minima per row, and a
+    1-element ``transform`` let-binding makes the fold's tree appear
+    exactly once under the band-key projection, so the md5 work runs
+    once per shingle regardless of how projections collapse."""
     from ..operators.dedup import minhash_hash_concat, word_shingles
 
     sh = word_shingles("text", 3)
     src = df.filter(F.size(sh) > 0).select(
         "doc_id", minhash_hash_concat(sh, 8).alias("hm")
     )
-    # NB: the lambda must be UNARY — pyspark's transform() inspects
-    # arity and would pass the array index into a second parameter
-    # (clobbering a `j=j` default-arg closure)
-    def _slice_at(j: int):
-        return lambda m: F.substring(m, j * 8 + 1, 8)
-
-    sigs = [
-        F.array_min(F.transform(F.col("hm"), _slice_at(j))) for j in range(8)
-    ]
-    keys = F.array(
-        *[
-            F.concat(sigs[2 * b], F.lit("|"), sigs[2 * b + 1])
-            for b in range(4)
-        ]
+    # fold: acc[j] = min over shingles of slice j (8-hex strings;
+    # "￿" > any hex char and every row has >= 1 shingle, so the
+    # init value never survives)
+    sigs = F.aggregate(
+        F.col("hm"),
+        F.array_repeat(F.lit("￿"), 8),
+        lambda acc, m: F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.least(
+                F.get(acc, j),
+                F.substring(m, j * F.lit(8) + F.lit(1), F.lit(8)),
+            ),
+        ),
+    )
+    keys = F.get(
+        F.transform(  # let-binding: `s` = sigs, evaluated once
+            F.array(sigs),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.concat(
+                    F.get(s, b * 2), F.lit("|"), F.get(s, b * 2 + 1)
+                ),
+            ),
+        ),
+        F.lit(0),
     )
     return src.select(
         "doc_id", F.posexplode(keys).alias("band_id", "band_key")
@@ -367,9 +389,16 @@ _BANDS_ORACLE_CTE = (
     "signature/banding pipeline in batch SQL.",
 )
 def stream_minhash_band_dedup(spark, sf_dir):
-    from .registry import docs_stream_dir, table
+    from .registry import DOCS_STREAM_FILES, docs_stream_dir, table
 
-    stream = parquet_replay_stream(spark, docs_stream_dir(sf_dir))
+    # all slices in ONE microbatch (files_per_trigger = file count):
+    # identical state trajectory to a single-file replay, but the
+    # map-side banding parallelizes across the splits (r10: 10.4 s →
+    # 2.3 s at sf0.1; min-owner is order-insensitive regardless)
+    src_dir = docs_stream_dir(sf_dir)
+    stream = parquet_replay_stream(
+        spark, src_dir, files_per_trigger=DOCS_STREAM_FILES
+    )
     owners = _run_to_memory(
         _minhash_banded(stream)
         .groupBy("band_id", "band_key")
@@ -377,7 +406,10 @@ def stream_minhash_band_dedup(spark, sf_dir):
         spark,
         state_partitions=2,
     )
-    d = table(spark, sf_dir, "documents")
+    # the batch arm reads the same split copy: the testdata single
+    # one-row-group file scans as 1 task; the 8-file copy gives the
+    # banding its map-side parallelism (same rows, same result)
+    d = spark.read.parquet(src_dir)
     own = (
         _minhash_banded(d)
         .join(owners, ["band_id", "band_key"])
@@ -602,9 +634,14 @@ def stream_hll_distinct_users(spark, sf_dir):
 )
 def stream_ttl_band_registry(spark, sf_dir):
     from ..streaming import ttl_min_registry
-    from .registry import docs_stream_dir
+    from .registry import DOCS_STREAM_FILES, docs_stream_dir
 
-    stream = parquet_replay_stream(spark, docs_stream_dir(sf_dir))
+    # single microbatch over all slices (see stream_minhash_band_dedup):
+    # the watermark advances only after the one batch, so TTL eviction
+    # semantics are IDENTICAL to the old one-file replay
+    stream = parquet_replay_stream(
+        spark, docs_stream_dir(sf_dir), files_per_trigger=DOCS_STREAM_FILES
+    )
     banded = _minhash_banded(stream).withColumn(
         # deterministic synthetic event time: 2026-01-01 + doc_id sec
         "ts",
