@@ -746,6 +746,87 @@ def join_asof_purchase_last_click(spark, sf_dir):
 
 
 @register(
+    "join_asof_forward_tolerance",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.event_id AS click_id, p.event_id AS p_id,
+             row_number() OVER (
+               PARTITION BY c.event_id ORDER BY p.ts, p.event_id
+             ) AS rn
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           coalesce(j.p_id, -1) AS purchase_id
+    FROM c LEFT JOIN (SELECT click_id, p_id FROM j WHERE rn = 1) j
+      ON j.click_id = c.event_id
+    ORDER BY click_id
+    """,
+    doc="FORWARD as-of join with tolerance (pandas merge_asof"
+    "(direction='forward', tolerance='1h')): for each click, the "
+    "EARLIEST purchase by the same user at-or-after it, null (-1 "
+    "sentinel for driver dtype parity) when none lands within the "
+    "tolerance.  Same union+window composition as the backward as-of "
+    "(join_asof_purchase_last_click) mirrored: one shuffle on "
+    "user_id, a min-of-struct over the FORWARD window (struct "
+    "ordering makes equal-ts ties deterministic: earliest ts, then "
+    "lowest event_id), then the tolerance filter — no range join, no "
+    "per-row search.  At 100 TB this is the same single "
+    "partition-sort pass as any window; tolerance does not change "
+    "the shuffle shape, it is a post-filter.",
+)
+def join_asof_forward_tolerance(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None)
+        .cast("struct<ts:timestamp,event_id:bigint>")
+        .alias("p_key"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.struct("ts", "event_id").alias("p_key"),
+        F.lit(1).alias("is_p"),
+    )
+    # clicks sort BEFORE same-ts purchases (is_p) so the forward frame
+    # includes at-or-after purchases inclusively
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min("p_key").over(w)  # min struct = earliest ts, lowest id
+    return (
+        clicks.unionAll(purchases)
+        .withColumn("nxt", nxt)
+        .filter(F.col("is_p") == 0)
+        .select(
+            "click_id",
+            "user_id",
+            F.coalesce(
+                F.when(
+                    F.col("nxt.ts")
+                    <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                    F.col("nxt.event_id"),
+                ),
+                F.lit(-1),
+            ).alias("purchase_id"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@register(
     "pivot_priority_by_status",
     oracle="""
     SELECT o_orderpriority,

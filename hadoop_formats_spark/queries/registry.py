@@ -466,6 +466,10 @@ PRIORITY_ORDER = [
     "contamination_ngram_overlap",
     "curation_drop_waterfall",
     # ---- 50-slot window boundary ----
+    # round-10 additions (landed after this round's rotation froze —
+    # first in line for the round-11 window per the policy above)
+    "join_asof_forward_tolerance",
+    "stream_stream_left_outer_unconverted",
 ]
 
 

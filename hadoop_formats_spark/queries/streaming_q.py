@@ -231,6 +231,103 @@ def stream_stream_join_click_to_purchase(spark, sf_dir):
 
 
 @register(
+    "stream_stream_left_outer_unconverted",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), thr AS (
+      SELECT least(
+               (SELECT max(ts) FROM c),
+               (SELECT max(ts) FROM p)
+             ) - INTERVAL 1 DAY AS cutoff
+    )
+    SELECT c.click_id, c.user_id,
+           coalesce(p.event_id, -1) AS purchase_id
+    FROM c CROSS JOIN thr
+    LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.ts <= thr.cutoff
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join — the semantics the "
+    "inner click-to-purchase row cannot show: an unmatched click is "
+    "held in state until the watermark passes its join horizon, then "
+    "emitted ONCE with nulls (the 'cart abandonment' record).  Both "
+    "sides watermarked 1h; availableNow's finalizing batch advances "
+    "the watermark to max(event time)-delay, so every click older "
+    "than the emission-safe cutoff (least(max click ts, max purchase "
+    "ts) - 1 day, computed identically on both engines from the batch "
+    "table) has either matched or been evicted-with-nulls by "
+    "termination — the post-filter makes the streaming result equal "
+    "the batch LEFT JOIN row-for-row, match multiplicities included.  "
+    "State is bounded by the horizon + delay on BOTH sides at any "
+    "scale; unmatched-side emission is exactly-once per click.",
+)
+def stream_stream_left_outer_unconverted(spark, sf_dir):
+    s1 = _events_stream(spark, sf_dir)
+    clicks = (
+        s1.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    s2 = _events_stream(spark, sf_dir)
+    purchases = (
+        s2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = _run_to_memory(
+        joined, spark, output_mode="append", state_partitions=2
+    )
+    # emission-safe cutoff from the BATCH table (1-row broadcast):
+    # identical expression to the oracle's thr CTE
+    from .registry import table
+
+    e = table(spark, sf_dir, "events")
+    thr = e.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ),
+            )
+            - F.expr("INTERVAL 1 DAY")
+        ).alias("cutoff")
+    )
+    return (
+        out.crossJoin(F.broadcast(thr))
+        .filter(F.col("click_ts") <= F.col("cutoff"))
+        .select(
+            "click_id",
+            "user_id",
+            F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+@register(
     "stream_late_data_drop",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, count(*) AS n

@@ -1099,3 +1099,105 @@ def test_linreg_normal_equations_matches_numpy(spark, sf_dir):
     assert abs(row["beta_freq"] - beta[0]) < 1e-3
     assert abs(row["beta_rec"] - beta[1]) < 1e-3
     assert abs(row["intercept"] - beta[2]) < 1e-2
+
+
+def test_asof_forward_plans_window_not_range_join(spark, sf_dir):
+    # the forward as-of must be the union+window composition: one
+    # user_id partition-sort, zero joins (no BNLJ/range/cartesian)
+    df = _df(spark, sf_dir, "join_asof_forward_tolerance")
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plans.shuffle_count(df) <= 2  # window partition + final sort
+
+
+def test_asof_forward_tolerance_semantics(spark):
+    # tie at equal ts -> lowest event_id; outside tolerance -> -1;
+    # inclusive at-or-after
+    import datetime as dt
+
+    from hadoop_formats_spark.queries.registry import QUERIES as Q
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, u, kind, mins):
+        return (eid, u, kind, t0 + dt.timedelta(minutes=mins), 0.0)
+
+    rows = [
+        ev(1, 1, "click", 0),      # purchase at same ts (inclusive) wins
+        ev(10, 1, "purchase", 0),
+        ev(11, 1, "purchase", 0),  # same-ts tie -> min event_id = 10
+        ev(2, 2, "click", 0),      # nearest after within 1h
+        ev(20, 2, "purchase", 59),
+        ev(3, 3, "click", 0),      # purchase after tolerance -> -1
+        ev(30, 3, "purchase", 61),
+        ev(4, 4, "click", 0),      # purchase BEFORE click only -> -1
+        ev(40, 4, "purchase", -5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp, value double"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {
+        r.click_id: r.purchase_id
+        for r in Q["join_asof_forward_tolerance"].builder(spark, d).collect()
+    }
+    assert out == {1: 10, 2: 20, 3: -1, 4: -1}
+
+
+def test_stream_outer_join_null_emission_exactly_once(spark, tmp_path):
+    # an unmatched click must be emitted with nulls EXACTLY ONCE after
+    # the watermark passes its horizon — across multiple microbatches
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.streaming import (
+        parquet_replay_stream,
+        run_available_now,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "ev")
+    batch1 = [
+        (1, "click", t0),                                # matched in batch1
+        (1, "purchase", t0 + dt.timedelta(minutes=10)),
+        (2, "click", t0),                                # never matched
+    ]
+    batch2 = [  # far ahead: advances watermark past batch1's horizon
+        (3, "click", t0 + dt.timedelta(days=5)),
+        (3, "purchase", t0 + dt.timedelta(days=5, minutes=5)),
+    ]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(
+            rows, "user_id int, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def side(kind, a, b):
+        s = parquet_replay_stream(spark, src)
+        return (
+            s.filter(F.col("event_type") == kind)
+            .select(F.col("user_id").alias(a), F.col("ts").alias(b))
+            .withWatermark(b, "1 hour")
+        )
+
+    j = side("click", "user_id", "click_ts").join(
+        side("purchase", "p_user", "p_ts"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = run_available_now(
+        j, spark, output_mode="append", state_partitions=2
+    ).collect()
+    nulls = [r for r in out if r.p_user is None]
+    assert len(nulls) == 1 and nulls[0].user_id == 2  # exactly once
+    assert {(r.user_id, r.p_user) for r in out} == {
+        (1, 1), (2, None), (3, 3)
+    }

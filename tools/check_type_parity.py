@@ -68,14 +68,19 @@ def pandas_kind(dtype) -> str:
 
 
 def bytes_cols(pdf) -> list[str]:
-    """Columns whose values are bytes/bytearray — unhashable by the
-    driver canon's pandas sort (the r9 multimodal_frame_sample crash)."""
+    """Columns whose values the driver canon cannot sort/factorize:
+    bytes/bytearray (the r9 multimodal_frame_sample crash) and any
+    other unhashable container kind (list/ndarray/dict) that an
+    array-typed output column would materialize as."""
+    import numpy as np
+
+    unhashable = (bytes, bytearray, memoryview, list, tuple, dict, np.ndarray)
     out = []
     for c in pdf.columns:
         if pdf.dtypes[c].kind != "O":
             continue
         s = pdf[c].dropna()
-        if len(s) and isinstance(s.iloc[0], (bytes, bytearray, memoryview)):
+        if len(s) and isinstance(s.iloc[0], unhashable):
             out.append(c)
     return out
 
