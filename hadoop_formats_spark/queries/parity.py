@@ -987,6 +987,82 @@ def sql_entry_revenue_by_segment(spark, sf_dir):
     )
 
 
+_RECURSIVE_CAL_SQL = """
+    WITH RECURSIVE days(d) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+      WHERE d < CAST('1995-02-28' AS DATE)
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT days.d AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
+           CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    ORDER BY day
+"""
+
+
+@register(
+    "sql_recursive_cte_calendar_gaps",
+    oracle=_RECURSIVE_CAL_SQL.format(orders="orders"),
+    doc="WITH RECURSIVE (Spark 4 surface): generate a 59-day calendar "
+    "spine recursively, LEFT JOIN per-day order counts, and flag the "
+    "days with ZERO orders — the ingestion-gap detection a freshness "
+    "monitor runs over a lakehouse table (an inner join can never "
+    "show a missing day).  IDENTICAL SQL text runs on both engines "
+    "(dialect-shared date arithmetic).  Scale shape: the recursion "
+    "generates O(days) driver-side rows — never data-sized — and the "
+    "fact side is one partial-agg groupBy; the spine join broadcasts.",
+)
+def sql_recursive_cte_calendar_gaps(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("hfs_orders")
+    return spark.sql(_RECURSIVE_CAL_SQL.format(orders="hfs_orders"))
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT r.r_name,
+           l.n_name,
+           l.n_cust
+    FROM {region} r, LATERAL (
+      SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust
+      FROM {nation} n JOIN {customer} c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_cust DESC, n_name
+      LIMIT 2
+    ) l
+    ORDER BY r_name, n_cust DESC, n_name
+"""
+
+
+@register(
+    "sql_lateral_topk_nations_per_region",
+    oracle=_LATERAL_TOPK_SQL.format(
+        region="region", nation="nation", customer="customer"
+    ),
+    doc="Correlated LATERAL derived table (SQL:2016 / Spark 3.2+): the "
+    "top-2 nations by customer count WITHIN each region, written as a "
+    "per-row subquery with ORDER BY ... LIMIT — the SQL-surface twin "
+    "of the window-rank top-k the DataFrame rows grade.  IDENTICAL "
+    "SQL text on both engines.  Catalyst decorrelates the lateral "
+    "into a join + per-group limit; the dims broadcast, the only "
+    "shuffle is the customer-count aggregate.",
+)
+def sql_lateral_topk_nations_per_region(spark, sf_dir):
+    for t in ("region", "nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"hfs_{t}")
+    return spark.sql(
+        _LATERAL_TOPK_SQL.format(
+            region="hfs_region", nation="hfs_nation", customer="hfs_customer"
+        )
+    )
+
+
 @register(
     "grouping_sets_time_rollup",
     oracle="""

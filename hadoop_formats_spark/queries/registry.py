@@ -470,6 +470,8 @@ PRIORITY_ORDER = [
     # first in line for the round-11 window per the policy above)
     "join_asof_forward_tolerance",
     "stream_stream_left_outer_unconverted",
+    "sql_recursive_cte_calendar_gaps",
+    "sql_lateral_topk_nations_per_region",
 ]
 
 

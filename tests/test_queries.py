@@ -1201,3 +1201,21 @@ def test_stream_outer_join_null_emission_exactly_once(spark, tmp_path):
     assert {(r.user_id, r.p_user) for r in out} == {
         (1, 1), (2, None), (3, 3)
     }
+
+
+def test_lateral_topk_decorrelates_no_cartesian(spark, sf_dir):
+    # Catalyst must rewrite the correlated LATERAL into a join +
+    # per-group limit — never a per-row re-execution or cartesian
+    df = _df(spark, sf_dir, "sql_lateral_topk_nations_per_region")
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert df.count() == 10  # 5 regions x top-2
+
+
+def test_recursive_cte_spine_is_complete(spark, sf_dir):
+    # 59-day spine: every day present exactly once, gaps flagged 0/1
+    rows = _df(spark, sf_dir, "sql_recursive_cte_calendar_gaps").collect()
+    assert len(rows) == 59
+    assert len({r.day for r in rows}) == 59
+    assert all(r.is_gap in (0, 1) for r in rows)
+    assert all((r.n_orders == 0) == (r.is_gap == 1) for r in rows)
