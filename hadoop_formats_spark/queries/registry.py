@@ -472,6 +472,7 @@ PRIORITY_ORDER = [
     "stream_stream_left_outer_unconverted",
     "sql_recursive_cte_calendar_gaps",
     "sql_lateral_topk_nations_per_region",
+    "xml_write_read_roundtrip",
 ]
 
 

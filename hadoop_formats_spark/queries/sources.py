@@ -155,6 +155,55 @@ def orc_write_roundtrip(spark, sf_dir):
 
 
 @register(
+    "xml_write_read_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n,
+           min(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="XML sink + source round-trip (Spark 4 built-in spark-xml): "
+    "nation written as <row> elements, read back with an EXPLICIT "
+    "schema (inference is a second full pass and type-unstable — same "
+    "discipline as the JSON row), aggregated per region.  XML is the "
+    "interchange format enterprise feeds still arrive in; the "
+    "row-tag reader streams records without materializing the "
+    "document, so it splits like any text source at scale.",
+)
+def xml_write_read_roundtrip(spark, sf_dir):
+    path = _materialize(
+        sf_dir,
+        "nation_xml",
+        lambda tmp: (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .write.mode("overwrite")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .format("xml")
+            .save(tmp)
+        ),
+    )
+    df = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint"
+        )
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
     "compact_small_files",
     oracle="""
     SELECT CAST(16 AS BIGINT) AS n_files_before,
