@@ -473,6 +473,7 @@ PRIORITY_ORDER = [
     "sql_recursive_cte_calendar_gaps",
     "sql_lateral_topk_nations_per_region",
     "xml_write_read_roundtrip",
+    "stream_dedup_within_watermark",
 ]
 
 

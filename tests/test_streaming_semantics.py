@@ -616,3 +616,57 @@ def test_foreach_batch_upsert_all_null_key_batching_invariant(
         "b", [[("n", None), ("x", 1.0)], [("n", None)]]
     )
     assert one == split == {"n": (2, 0.0), "x": (1, 1.0)}
+
+
+def test_dedup_within_watermark_expires_state(spark, tmp_path):
+    # dropDuplicatesWithinWatermark vs plain dropDuplicates: a
+    # duplicate arriving AFTER the watermark passed the first
+    # occurrence's horizon is KEPT (state expired); plain
+    # dropDuplicates would still drop it.  Batch 2's fresh event
+    # advances the watermark far past batch 1 before the batch-3
+    # duplicate arrives.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.streaming import (
+        parquet_replay_stream,
+        run_available_now,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "ev")
+    batches = [
+        [(1, "k", t0)],                           # first occurrence
+        # pushes the watermark to t0+2h, past the key's t0+1h horizon
+        [(9, "w", t0 + dt.timedelta(hours=3))],
+        # state eviction happens at batch END, so one more batch runs
+        # with the advanced watermark to actually expire the key...
+        [(9, "w2", t0 + dt.timedelta(hours=3, minutes=10))],
+        # ...and only THEN the on-time duplicate finds no state
+        [(1, "k", t0 + dt.timedelta(hours=4))],
+    ]
+    import glob
+    import os
+
+    seen = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "user_id int, kind string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # the file source orders batches by mod time; writes can land in
+        # the same clock tick, so stamp strictly increasing times
+        new = set(glob.glob(src + "/*.parquet")) - seen
+        for f in new:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+        seen |= new
+
+    def run(op):
+        s = parquet_replay_stream(spark, src).withWatermark("ts", "1 hour")
+        dedup = getattr(s, op)(["user_id", "kind"])
+        return run_available_now(
+            dedup, spark, output_mode="append", state_partitions=2
+        ).filter(F.col("kind") == "k").count()
+
+    assert run("dropDuplicatesWithinWatermark") == 2  # state expired -> kept
+    assert run("dropDuplicates") == 1  # unbounded state -> dropped
