@@ -474,6 +474,8 @@ PRIORITY_ORDER = [
     "sql_lateral_topk_nations_per_region",
     "xml_write_read_roundtrip",
     "stream_dedup_within_watermark",
+    "partition_overwrite_dynamic",
+    "gdpr_forget_users",
 ]
 
 

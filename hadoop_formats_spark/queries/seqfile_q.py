@@ -682,3 +682,87 @@ def setfile_dedup_ledger(spark, sf_dir):
         .cast("long")
         .alias("n_new"),
     )
+
+
+def _tombstone_dir(spark, sf_dir: str) -> str:
+    """GDPR tombstone ledger: the forgotten user ids (deterministic
+    request set: user_id % 37 == 0) as a SetFile — sorted
+    NullWritable-valued keys, the durable record a deletion pipeline
+    keeps so every future batch can re-apply the erasure."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "gdpr_tombstones")
+    if os.path.isdir(final) and any(
+        f.startswith("part-") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 37 == 0)
+        .select(
+            F.format_string("%012d", F.col("user_id")).alias("key")
+        )
+        .distinct()
+        .select("key", F.lit(None).alias("value"))
+        .repartitionByRange(2, "key")
+        .write.format("hadoop_map")
+        .option("block_records", "512")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
+@register(
+    "gdpr_forget_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN user_id % 37 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="GDPR deletion propagation: the forget-set lives as a SetFile "
+    "tombstone ledger (sorted NullWritable keys — the format layer's "
+    "own machinery, JVM-interop-tested), and the fact table is split "
+    "kept-vs-deleted by joining against the LEDGER, not by "
+    "re-deriving the request predicate — exactly how a nightly "
+    "erasure job re-applies accumulated requests to every new "
+    "partition.  The ledger side broadcasts (forget-sets are small); "
+    "the fact side never shuffles.  At 100 TB the same ledger also "
+    "answers point probes via set_contains/bloom with zero block "
+    "decodes.",
+)
+def gdpr_forget_users(spark, sf_dir):
+    path = _tombstone_dir(spark, sf_dir)
+    tomb = (
+        spark.read.format("hadoop_map")
+        .option("columns", "key")
+        .load(path)
+        .select(F.col("key").alias("uk"), F.lit(1).alias("tomb"))
+    )
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.format_string("%012d", F.col("user_id")).alias("uk"),
+    )
+    j = e.join(F.broadcast(tomb), "uk", "left")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(F.sum("tomb"), F.lit(0))
+            .cast("long")
+            .alias("n_deleted"),
+            F.sum(F.when(F.col("tomb").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )

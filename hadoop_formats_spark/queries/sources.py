@@ -204,6 +204,76 @@ def xml_write_read_roundtrip(spark, sf_dir):
 
 
 @register(
+    "partition_overwrite_dynamic",
+    oracle="""
+    WITH yrs AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+             o_totalprice
+      FROM orders
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN yr = 1996 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS revenue
+    FROM yrs GROUP BY yr ORDER BY yr
+    """,
+    doc="Dynamic partition overwrite (partitionOverwriteMode=dynamic) — "
+    "the incremental-backfill write pattern: the full orders table is "
+    "laid out partitioned by year, then ONE year (1996) is re-written "
+    "with corrected prices via INSERT OVERWRITE semantics that "
+    "replaces ONLY the partitions present in the incoming frame; "
+    "every other year's files are untouched (static mode would wipe "
+    "the whole table).  The read-back per-year totals prove exactly "
+    "the 1996 partition changed.  At 100 TB this is how a daily "
+    "restatement lands without rewriting the table, and partition "
+    "pruning keeps the backfill read-side O(restated partitions).",
+)
+def partition_overwrite_dynamic(spark, sf_dir):
+    yr = F.year("o_orderdate").cast("int").alias("yr")
+    path = _materialize(
+        sf_dir,
+        "orders_by_year_backfilled",
+        lambda tmp: _dynamic_backfill(spark, sf_dir, tmp),
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr")
+    )
+
+
+def _dynamic_backfill(spark, sf_dir: str, tmp: str) -> None:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    o.write.mode("overwrite").partitionBy("yr").parquet(tmp)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # the restatement frame holds ONLY the 1996 partition; dynamic
+        # mode replaces just that partition's files
+        (
+            o.filter(F.col("yr") == 1996)
+            .withColumn(
+                "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+            )
+            .write.mode("overwrite")
+            .partitionBy("yr")
+            .parquet(tmp)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+
+
+@register(
     "compact_small_files",
     oracle="""
     SELECT CAST(16 AS BIGINT) AS n_files_before,

@@ -1219,3 +1219,63 @@ def test_recursive_cte_spine_is_complete(spark, sf_dir):
     assert len({r.day for r in rows}) == 59
     assert all(r.is_gap in (0, 1) for r in rows)
     assert all((r.n_orders == 0) == (r.is_gap == 1) for r in rows)
+
+
+def test_dynamic_partition_overwrite_touches_only_restated_partition(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    from hadoop_formats_spark.queries.sources import _dynamic_backfill
+
+    d = str(tmp_path / "t")
+    _dynamic_backfill(spark, sf_dir, d)
+
+    def files(yr):
+        p = f"{d}/yr={yr}"
+        return {
+            f: os.path.getmtime(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    yrs = sorted(
+        int(x.split("=")[1]) for x in os.listdir(d) if x.startswith("yr=")
+    )
+    assert 1996 in yrs
+    before = {y: files(y) for y in yrs}
+    # second restatement: only yr=1996 files may change
+    import time
+
+    time.sleep(1.1)
+    _dynamic_backfill_again(spark, sf_dir, d)
+    after = {y: files(y) for y in yrs}
+    for y in yrs:
+        if y == 1996:
+            assert after[y] != before[y]  # rewritten
+        else:
+            assert after[y] == before[y]  # untouched by dynamic mode
+
+
+def _dynamic_backfill_again(spark, sf_dir, d):
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.queries.registry import table
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+                F.year("o_orderdate").cast("int").alias("yr"),
+            )
+            .filter(F.col("yr") == 1996)
+            .write.mode("overwrite")
+            .partitionBy("yr")
+            .parquet(d)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
