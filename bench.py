@@ -370,6 +370,15 @@ def main() -> None:
         "privacy_l_diversity",
         "graph_bfs_distances",
         "timeseries_cusum_changepoint",
+        # round-10 operators
+        "join_asof_forward_tolerance",
+        "stream_stream_left_outer_unconverted",
+        "stream_dedup_within_watermark",
+        "sql_recursive_cte_calendar_gaps",
+        "sql_lateral_topk_nations_per_region",
+        "xml_write_read_roundtrip",
+        "partition_overwrite_dynamic",
+        "gdpr_forget_users",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -38,6 +38,9 @@ QUERIES_TO_DUMP = [
     ("pq_encode_stats", "PQ: one fused GEMM scan per Lloyd round, no corpus shuffle (round 4)"),
     ("split_train_holdout", "map-only fingerprint-keyed split + one grouped pass (round 4)"),
     ("text_unigram_surprisal", "vocab-count groupBy + token-keyed join, N broadcast (round 4)"),
+    ("join_asof_forward_tolerance", "forward as-of via union + min-struct window, no range join (round 10)"),
+    ("sql_lateral_topk_nations_per_region", "correlated LATERAL decorrelated to join + group limit (round 10)"),
+    ("gdpr_forget_users", "SetFile tombstone ledger broadcast anti-split of the fact table (round 10)"),
     ("dedup_semantic_semdedup", "SemDeDup: broadcast-centroid assign + within-cluster cogroup GEMM (round 4)"),
     ("ann_filtered_topk", "pre-filter ANN: label predicate pushed to the corpus scan (round 4)"),
     ("url_canonical_dedup", "URL canonicalize + per-domain dedup accounting, map-side expressions (round 4)"),
