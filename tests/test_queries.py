@@ -1279,3 +1279,68 @@ def _dynamic_backfill_again(spark, sf_dir, d):
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    # property cross-check: our forward as-of == pandas merge_asof
+    # (direction='forward', tolerance=1h) on randomized event sets
+    import datetime as dt
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_formats_spark.queries.registry import QUERIES as Q
+
+    rng = np.random.default_rng(1234)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(400):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                int(rng.integers(1, 12)),
+                "click" if rng.random() < 0.5 else "purchase",
+                t0 + dt.timedelta(minutes=int(rng.integers(0, 3000))),
+                0.0,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp, value double",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {
+        r.click_id: r.purchase_id
+        for r in Q["join_asof_forward_tolerance"].builder(spark, d).collect()
+    }
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    c = pdf[pdf.event_type == "click"].sort_values(
+        ["ts", "event_id"]
+    )
+    # same deterministic tie-break as the query: earliest ts, lowest id
+    p = pdf[pdf.event_type == "purchase"].sort_values(["ts", "event_id"])
+    m = pd.merge_asof(
+        c,
+        p.rename(columns={"event_id": "p_id", "ts": "p_ts"})[
+            ["user_id", "p_id", "p_ts"]
+        ],
+        left_on="ts",
+        right_on="p_ts",
+        by="user_id",
+        direction="forward",
+        tolerance=pd.Timedelta("1h"),
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.event_id): (int(r.p_id) if pd.notna(r.p_id) else -1)
+        for r in m.itertuples()
+    }
+    assert got == want
