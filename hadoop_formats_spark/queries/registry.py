@@ -476,6 +476,7 @@ PRIORITY_ORDER = [
     "stream_dedup_within_watermark",
     "partition_overwrite_dynamic",
     "gdpr_forget_users",
+    "ml_naive_bayes_lang_train",
 ]
 
 
