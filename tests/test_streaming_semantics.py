@@ -670,3 +670,72 @@ def test_dedup_within_watermark_expires_state(spark, tmp_path):
 
     assert run("dropDuplicatesWithinWatermark") == 2  # state expired -> kept
     assert run("dropDuplicates") == 1  # unbounded state -> dropped
+
+
+def test_foreach_batch_upsert_crash_matrix(spark, tmp_path, monkeypatch):
+    # inject a crash at EVERY os.rename call-site index in turn, each
+    # into a FRESH state dir, then resume clean with the checkpoint
+    # intact: recovery must converge to the batch answer from any
+    # interruption point (the full crash matrix, not just the
+    # hand-picked windows of the scenario tests)
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.streaming import (
+        foreach_batch_upsert,
+        parquet_replay_stream,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"k{j % 2}", float(i * 10 + j)) for j in range(4)],
+            "k string, v double",
+        ).coalesce(1).write.mode("append").parquet(src)
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_v"))
+        .collect()
+    )
+    real_rename = _os.rename
+
+    def attempt(state):
+        foreach_batch_upsert(
+            parquet_replay_stream(spark, src, ts_col="none"),
+            spark,
+            ["k"],
+            ["v"],
+            state,
+        )
+
+    for crash_at in range(1, 7):
+        state = str(tmp_path / f"state_cr{crash_at}")
+        calls = {"n": 0}
+
+        def boom(a, b, crash_at=crash_at, calls=calls):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise OSError(f"injected crash at rename #{crash_at}")
+            return real_rename(a, b)
+
+        monkeypatch.setattr(_os, "rename", boom)
+        try:
+            attempt(state)
+            crashed = False
+        except Exception:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+        # resume clean (checkpoint intact -> failed batch replays)
+        attempt(state)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(state + "/current").collect()
+        )
+        assert got == batch, (
+            f"state diverged after crash at rename #{crash_at} "
+            f"(crashed={crashed})"
+        )
