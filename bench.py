@@ -379,6 +379,7 @@ def main() -> None:
         "xml_write_read_roundtrip",
         "partition_overwrite_dynamic",
         "gdpr_forget_users",
+        "ml_naive_bayes_lang_train",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
