@@ -380,6 +380,7 @@ def main() -> None:
         "partition_overwrite_dynamic",
         "gdpr_forget_users",
         "ml_naive_bayes_lang_train",
+        "feature_hashing_trick",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

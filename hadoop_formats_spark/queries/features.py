@@ -691,3 +691,59 @@ def ml_naive_bayes_lang_train(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "feature_hashing_trick",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT lang,
+             CAST(
+               (CASE WHEN substr(md5(tok), 1, 1) >= '8' THEN 64 ELSE 0 END
+                + (CAST(('0x' || substr(md5(tok), 2, 4)) AS INTEGER) % 64))
+               % 64 AS INT) AS bucket
+      FROM toks
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS weight
+    FROM hashed
+    GROUP BY lang, bucket
+    HAVING count(*) >= 100
+    ORDER BY lang, bucket
+    """,
+    doc="Hashing-trick featurization (Weinberger '09): tokens map to a "
+    "FIXED 64-bucket feature space via an engine-portable md5-derived "
+    "hash (no vocabulary pass, no dictionary state — the property "
+    "that lets a 100 TB featurizer run in one map-side pass with "
+    "O(buckets) model width regardless of vocabulary growth).  "
+    "Output: per-language bucket weights (count-valued; >= 100 cut "
+    "keeps the graded surface stable), i.e. the sparse feature "
+    "vector a linear model trains on.  One explode + ONE partial-agg "
+    "groupBy to |langs|·64 cells; no shuffle of raw text.",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    h = F.md5("tok")
+    bucket = (
+        (
+            F.when(F.substring(h, 1, 1) >= "8", F.lit(64)).otherwise(
+                F.lit(0)
+            )
+            + F.conv(F.substring(h, 2, 4), 16, 10).cast("int") % 64
+        )
+        % 64
+    ).cast("int")
+    return (
+        toks.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("weight"))
+        .filter(F.col("weight") >= 100)
+        .orderBy("lang", "bucket")
+    )

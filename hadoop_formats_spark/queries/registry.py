@@ -477,7 +477,22 @@ PRIORITY_ORDER = [
     "partition_overwrite_dynamic",
     "gdpr_forget_users",
     "ml_naive_bayes_lang_train",
+    "feature_hashing_trick",
 ]
+# Round-11 pre-staging (policy above, applied): if CORRECTNESS_r10
+# grades the frozen window green, rotate to [the 10 round-10 additions
+# just queued] + 40 re-grades chosen changed-code-first (git log
+# --since each query's last-graded round over its builder/operator
+# files), then oldest-green (the r03/r04 block: ann_ivf_topk,
+# embedding_quantize_int8_error, join_interval_binned_price_band,
+# kmeans_cluster_profile, sessionize_events_batch, text_fingerprint_dups,
+# text_token_counts, seqfile_block_count_fast_path, multimodal_metadata,
+# pii_scrub_stats, pivot_priority_by_status, seqfile_metadata_roundtrip,
+# seqfile_permissive_corrupt_tail, seqfile_record_layout_roundtrip,
+# seqfile_stream_sink_roundtrip, string_functions,
+# subquery_correlated_above_cust_avg, url_canonical_dedup, ...),
+# keeping every §2 family represented.  If r10 did NOT land, hold the
+# window (r8 precedent).
 
 
 def _ordered() -> list[str]:
