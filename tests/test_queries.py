@@ -1344,3 +1344,30 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
         for r in m.itertuples()
     }
     assert got == want
+
+
+def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
+    # the XML writer must escape <, >, &, quotes and the reader must
+    # restore them losslessly — the nation fixture has none of these
+    rows = [
+        (1, 'a < b & c > d'),
+        (2, 'quote " and \' apostrophe'),
+        (3, 'tag-like <row>not a row</row>'),
+        (4, 'unicode Å é 中文 and ]]> bracket'),
+    ]
+    d = str(tmp_path / "x")
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    (
+        df.write.mode("overwrite")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .format("xml")
+        .save(d)
+    )
+    back = (
+        spark.read.schema("id bigint, s string")
+        .option("rowTag", "row")
+        .format("xml")
+        .load(d)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
