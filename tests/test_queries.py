@@ -1371,3 +1371,41 @@ def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
         .load(d)
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_lateral_topk_equals_window_rank_formulation(spark, sf_dir):
+    # the correlated LATERAL ... ORDER BY/LIMIT must be semantically
+    # identical to the DataFrame window-rank top-k over the same join
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lat = sorted(
+        map(
+            tuple,
+            _df(spark, sf_dir, "sql_lateral_topk_nations_per_region").collect(),
+        )
+    )
+    from hadoop_formats_spark.queries.registry import table as _t
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("n_cust"), F.asc("n_name")
+    )
+    win = sorted(
+        map(
+            tuple,
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 2)
+            .select("r_name", "n_name", "n_cust")
+            .collect(),
+        )
+    )
+    assert lat == win
