@@ -751,3 +751,143 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str):
         .filter(F.col("n_tokens") >= 100)
         .orderBy("lang", "bucket")
     )
+
+
+# The canonical stopword probe for the Gopher rules below — a fixed
+# cross-engine list, NOT the per-language LANG_STOPWORDS map (rule
+# filters must be vocabulary-stable as the corpus grows).
+_GOPHER_STOPS = ("the", "and", "of", "to", "a", "in", "is", "for")
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS toks,
+             length(text) AS n_chars_raw,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w)))
+                  AS DOUBLE) / len(toks) AS mean_wl,
+             CAST(list_sum(list_transform(toks,
+                    w -> CASE WHEN regexp_matches(w, '[a-z]')
+                              THEN 1 ELSE 0 END)) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             CAST(list_sum(list_transform(toks,
+                    w -> CASE WHEN w IN {_GOPHER_STOPS!r}
+                              THEN 1 ELSE 0 END)) AS INT) AS stop_hits,
+             CAST(n_symbols AS DOUBLE) / n_chars_raw AS symbol_frac
+      FROM t WHERE len(toks) > 0
+    ),
+    r AS (
+      SELECT lang,
+             CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0 ELSE 1 END
+               AS f_len,
+             CASE WHEN mean_wl BETWEEN 3.0 AND 5.0 THEN 0 ELSE 1 END
+               AS f_wl,
+             CASE WHEN alpha_frac > 0.8 THEN 0 ELSE 1 END AS f_alpha,
+             CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END AS f_stop,
+             CASE WHEN symbol_frac < 0.1 THEN 0 ELSE 1 END AS f_sym
+      FROM m
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_len) AS BIGINT) AS fail_word_count,
+           CAST(sum(f_wl) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_frac,
+           CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(sum(f_sym) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN f_len + f_wl + f_alpha + f_stop + f_sym = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    doc="Gopher rule-based quality filter (Rae et al. '21, §A1.1, "
+    "adapted thresholds): per-document word count, mean word length, "
+    "alphabetic-word fraction, stopword presence, and symbol ratio, "
+    "each a pass/fail rule; per-language counts of failures per rule "
+    "and of documents passing ALL rules.  This is the standard first "
+    "gate of an LLM pretraining curation pipeline.  Every metric is a "
+    "ratio of exact integer counts, so rule outcomes are bit-identical "
+    "across engines and the graded output is all-integer.  Plan: one "
+    "map-side pass over documents (split + three array folds), one "
+    "partial-agg groupBy to |langs| rows — no shuffle of raw text, no "
+    "UDF; at 100 TB this is scan-bound, exactly like the reference "
+    "counting loop it generalizes.",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
+    n_words = F.size("toks")
+    sum_int = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = sum_int(F.transform(F.col("toks"), F.length)).cast(
+        "double"
+    ) / n_words
+    alpha_frac = sum_int(
+        F.transform(
+            F.col("toks"),
+            lambda w: F.when(w.rlike("[a-z]"), 1).otherwise(0),
+        )
+    ).cast("double") / n_words
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda w: F.array_contains(stops, w))
+    )
+    symbol_frac = F.length(
+        F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+    ).cast("double") / F.length("text")
+
+    m = (
+        d.withColumn("toks", toks)
+        .filter(F.size("toks") > 0)
+        .select(
+            "lang",
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_wl"),
+            alpha_frac.alias("alpha_frac"),
+            stop_hits.alias("stop_hits"),
+            symbol_frac.alias("symbol_frac"),
+        )
+    )
+    fail = lambda cond: F.when(cond, 0).otherwise(1)  # noqa: E731
+    r = m.select(
+        "lang",
+        fail(F.col("n_words").between(20, 1000)).alias("f_len"),
+        fail(F.col("mean_wl").between(3.0, 5.0)).alias("f_wl"),
+        fail(F.col("alpha_frac") > 0.8).alias("f_alpha"),
+        fail(F.col("stop_hits") >= 2).alias("f_stop"),
+        fail(F.col("symbol_frac") < 0.1).alias("f_sym"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_len").cast("long").alias("fail_word_count"),
+            F.sum("f_wl").cast("long").alias("fail_mean_word_len"),
+            F.sum("f_alpha").cast("long").alias("fail_alpha_frac"),
+            F.sum("f_stop").cast("long").alias("fail_stopwords"),
+            F.sum("f_sym").cast("long").alias("fail_symbol_ratio"),
+            F.sum(
+                F.when(
+                    F.col("f_len")
+                    + F.col("f_wl")
+                    + F.col("f_alpha")
+                    + F.col("f_stop")
+                    + F.col("f_sym")
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .orderBy("lang")
+    )

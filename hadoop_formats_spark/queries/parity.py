@@ -2112,3 +2112,187 @@ def udtf_sentence_explode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "set_bag_ops_shipyear",
+    oracle="""
+    SELECT 'except_all' AS op, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, l_quantity FROM lineitem
+      WHERE extract(year FROM l_shipdate) = 1996
+      EXCEPT ALL
+      SELECT l_returnflag, l_quantity FROM lineitem
+      WHERE extract(year FROM l_shipdate) = 1997
+    ) GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, l_quantity FROM lineitem
+      WHERE extract(year FROM l_shipdate) = 1996
+      INTERSECT ALL
+      SELECT l_returnflag, l_quantity FROM lineitem
+      WHERE extract(year FROM l_shipdate) = 1997
+    ) GROUP BY l_returnflag
+    ORDER BY op, l_returnflag
+    """,
+    doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): the "
+    "multiset of (returnflag, quantity) rows shipped by AIR minus / "
+    "intersected with the TRUCK multiset, keeping duplicate "
+    "MULTIPLICITIES (a row appearing 5x in 1996 and 2x in 1997 "
+    "survives EXCEPT ALL 3x and INTERSECT ALL 2x — the distinct-"
+    "semantics row set_intersect_except cannot express).  Spark plans "
+    "both as a single hash aggregate computing per-row counts on each "
+    "side then replicating min/diff copies — one shuffle on the row "
+    "value, no join.",
+)
+def set_bag_ops_shipyear(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    air = li.filter(F.year("l_shipdate") == 1996).select(
+        "l_returnflag", "l_quantity"
+    )
+    truck = li.filter(F.year("l_shipdate") == 1997).select(
+        "l_returnflag", "l_quantity"
+    )
+    diff = (
+        air.exceptAll(truck)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_returnflag", "n")
+    )
+    both = (
+        air.intersectAll(truck)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")
+    )
+    return diff.unionAll(both).orderBy("op", "l_returnflag")
+
+
+@register(
+    "join_null_safe_priority",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pk
+      FROM orders
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pk,
+             coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT(NULL)')
+               AS label
+      FROM orders
+    )
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n_orders
+    FROM l JOIN dim d ON l.pk IS NOT DISTINCT FROM d.pk
+    GROUP BY d.label ORDER BY d.label
+    """,
+    doc="Null-safe equality JOIN (<=> / IS NOT DISTINCT FROM) where the "
+    "join key genuinely contains NULLs on BOTH sides (urgent priority "
+    "nulled out): a plain equi-join silently drops every NULL-keyed "
+    "row, the null-safe join matches them — the semantics SCD/CDC "
+    "merge keys with nullable natural keys need.  Spark still plans "
+    "this as a hashed join (null-safe keys hash NULL to a bucket), "
+    "not a nested loop, so it shuffles and broadcasts exactly like "
+    "the equi-join.",
+)
+def join_null_safe_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk"),
+    )
+    dim = (
+        o.select(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk")
+        )
+        .distinct()
+        .select(
+            "pk", F.coalesce("pk", F.lit("URGENT(NULL)")).alias("label")
+        )
+    )
+    return (
+        left.join(F.broadcast(dim), left.pk.eqNullSafe(dim.pk))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("label")
+    )
+
+
+@register(
+    "map_higher_order_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS disc_c,
+             CAST(round(l_extendedprice * (1 + l_tax) * 100) AS BIGINT)
+               AS tax_c
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum((CASE WHEN base_c >= 100000 THEN 1 ELSE 0 END)
+                    + (CASE WHEN disc_c >= 100000 THEN 1 ELSE 0 END)
+                    + (CASE WHEN tax_c >= 100000 THEN 1 ELSE 0 END))
+                AS BIGINT) AS n_big_entries,
+           CAST(sum(base_c + disc_c + tax_c) AS BIGINT) AS total_cents,
+           CAST(sum(base_c * 1 + disc_c * 2 + tax_c * 1) AS BIGINT)
+             AS weighted_cents
+    FROM m GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Map-typed higher-order functions (the map side of the lambda "
+    "surface; array_higher_order_funcs covers arrays): per row build a "
+    "price map, transform_values to integer cents, map_filter the "
+    ">= $1000 entries, map_zip_with against a broadcast weights map, "
+    "and fold map_values with aggregate — all JVM-side lambda "
+    "expressions inside whole-stage codegen, no UDF.  The graded "
+    "output reduces each map to exact-integer scalars (entry counts, "
+    "cent sums) so the multiset hash is engine-stable; the DuckDB "
+    "oracle computes the same arithmetic columnwise.",
+)
+def map_higher_order_funcs(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("base"),
+        F.col("l_extendedprice"),
+        F.lit("disc"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        F.lit("tax"),
+        F.col("l_extendedprice") * (1 + F.col("l_tax")),
+    )
+    cents = F.transform_values(
+        m, lambda k, v: F.round(v * 100).cast("long")
+    )
+    weights = F.create_map(
+        F.lit("base"), F.lit(1), F.lit("disc"), F.lit(2), F.lit("tax"),
+        F.lit(1),
+    )
+    rows = li.select(
+        "l_returnflag",
+        F.size(
+            F.map_filter(cents, lambda k, v: v >= 100000)
+        ).alias("n_big"),
+        F.aggregate(
+            F.map_values(cents),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("cents_sum"),
+        F.aggregate(
+            F.map_values(
+                F.map_zip_with(cents, weights, lambda k, a, b: a * b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("weighted_sum"),
+    )
+    return (
+        rows.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_big").cast("long").alias("n_big_entries"),
+            F.sum("cents_sum").cast("long").alias("total_cents"),
+            F.sum("weighted_sum").cast("long").alias("weighted_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -407,97 +407,66 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # If all 50 grade green, cumulative driver-graded coverage closes at
 # 249/249 — every registered query graded at least once.
 #
-# Round-11+ window policy (VERDICT r9 #9), once coverage is closed:
-# the 50 slots become a RE-GRADE rotation —
-#   1. any query whose builder/oracle/operator code changed since its
-#      last driver row (git log --since its last-graded round) enters
-#      first, plus any new registrations (same round they land,
-#      r7-discipline);
-#   2. remaining slots fill oldest-green-first, ties broken to keep
-#      every §2 family represented at least once per ~3 rounds;
-#   3. a hash-fail always re-enters the next window after its fix.
+# Round-11 rotation (VERDICT r10 items 1+7): coverage closed at r10 —
+# every pre-r10 registration has a driver row, so the window is now the
+# steady-state RE-GRADE rotation, COMPUTED by ``tools/next_window.py``
+# from git history + the CORRECTNESS_r*.json archive (never-graded
+# first, then post-fix non-green, then changed-code-first via git log
+# -L over each registration span + referenced operator modules, then
+# oldest-green round-robin across families).  This list is that tool's
+# verbatim output at the r11 freeze; regenerate it each round.
 PRIORITY_ORDER = [
-    # re-grades: the fixed multimodal row + 8 oldest-green family reps
-    "multimodal_frame_sample",
-    "dedup_embedding_cosine",
-    "json_extract_props",
-    "stream_late_data_drop",
-    "ann_brute_force_topk",
-    "dedup_exact",
-    "dedup_simhash",
-    "parquet_write_roundtrip",
-    "seqfile_roundtrip_double_sum",
-    # round-9 additions (queued since the r9 window boundary)
-    "agg_mode_disc_percentiles",
-    "array_higher_order_funcs",
-    "shard_assignment_token_balance",
-    "stream_sliding_topk_trending",
-    "layout_bucketed_join_no_shuffle",
-    "json_variant_extract",
-    "udtf_sentence_explode",
-    "stream_tws_running_stats",
-    "embedding_norm_outliers",
-    "contamination_embedding_cosine",
-    "text_vocab_growth",
-    "curriculum_stage_assignment",
-    "privacy_t_closeness",
-    "stream_foreach_batch_upsert",
-    "dq_observe_metrics",
-    "ml_linreg_normal_equations",
-    "abtest_power_analysis",
-    # the 24 round-9 deferrals — last never-graded queries
-    "agg_count_distinct",
-    "agg_collect_sorted",
-    "join_5way_region_rollup_revenue",
-    "join_6way_supplier_nation_revenue",
-    "approx_distinct_quantiles",
-    "dedup_embedding_lsh_recall",
-    "dedup_chunk_boilerplate",
-    "ann_ivf_nprobe2_topk",
-    "ann_projected_recall_at_3",
-    "ann_matryoshka_recall_at_3",
-    "text_rolling_fingerprint",
-    "text_unigram_surprisal",
-    "multimodal_decode_features",
-    "chunk_sliding_windows",
-    "sample_negatives_contrastive",
-    "sample_hash_deterministic",
-    "sample_mixture_balanced",
-    "sample_mixture_epochs",
-    "bpe_apply_compression",
-    "split_train_holdout",
-    "filter_length_percentile",
-    "stats_column_profile",
-    "contamination_ngram_overlap",
-    "curation_drop_waterfall",
-    # ---- 50-slot window boundary ----
-    # round-10 additions (landed after this round's rotation froze —
-    # first in line for the round-11 window per the policy above)
-    "join_asof_forward_tolerance",
-    "stream_stream_left_outer_unconverted",
-    "sql_recursive_cte_calendar_gaps",
-    "sql_lateral_topk_nations_per_region",
-    "xml_write_read_roundtrip",
-    "stream_dedup_within_watermark",
-    "partition_overwrite_dynamic",
-    "gdpr_forget_users",
-    "ml_naive_bayes_lang_train",
-    "feature_hashing_trick",
+    "join_asof_forward_tolerance",  # never-graded
+    "sql_recursive_cte_calendar_gaps",  # never-graded
+    "sql_lateral_topk_nations_per_region",  # never-graded
+    "stream_dedup_within_watermark",  # never-graded
+    "stream_stream_left_outer_unconverted",  # never-graded
+    "gdpr_forget_users",  # never-graded
+    "xml_write_read_roundtrip",  # never-graded
+    "partition_overwrite_dynamic",  # never-graded
+    "ml_naive_bayes_lang_train",  # never-graded
+    "feature_hashing_trick",  # never-graded
+    "approx_distinct_quantiles",  # non-green r10
+    "multimodal_decode_features",  # non-green r10
+    "pivot_priority_by_status",  # changed since r04: span hadoop_formats_spark/queries/parity.py:829-853
+    "ann_ivf_topk",  # changed since r03: span hadoop_formats_spark/queries/ext.py:514-554
+    "text_token_counts",  # changed since r03: span hadoop_formats_spark/queries/ext.py:1076-1102
+    "text_fingerprint_dups",  # changed since r03: span hadoop_formats_spark/queries/ext.py:1315-1335
+    "stream_stateful_user_stats",  # changed since r06: span hadoop_formats_spark/queries/streaming_q.py:217-231
+    "stream_minhash_band_dedup",  # changed since r06: span hadoop_formats_spark/queries/streaming_q.py:503-572
+    "stream_ttl_band_registry",  # changed since r08: span hadoop_formats_spark/queries/streaming_q.py:750-826
+    "compact_small_files",  # changed since r09: span hadoop_formats_spark/queries/sources.py:276-328
+    "embedding_quantize_int8_error",  # oldest-green r03 [embedding]
+    "join_interval_binned_price_band",  # oldest-green r03 [join]
+    "kmeans_cluster_profile",  # oldest-green r03 [kmeans]
+    "seqfile_block_count_fast_path",  # oldest-green r03 [seqfile]
+    "sessionize_events_batch",  # oldest-green r03 [sessionize]
+    "multimodal_metadata",  # oldest-green r04 [multimodal]
+    "pii_scrub_stats",  # oldest-green r04 [pii]
+    "string_functions",  # oldest-green r04 [string]
+    "subquery_correlated_above_cust_avg",  # oldest-green r04 [subquery]
+    "text_quality_score",  # oldest-green r04 [text]
+    "url_canonical_dedup",  # oldest-green r04 [url]
+    "ann_filtered_topk",  # oldest-green r05 [ann]
+    "bloommap_probe_batch",  # oldest-green r05 [bloommap]
+    "bpe_train_merges",  # oldest-green r05 [bpe]
+    "dedup_embedding_lsh_blocked",  # oldest-green r05 [dedup]
+    "graph_pagerank_suppliers",  # oldest-green r05 [graph]
+    "grouping_sets_time_rollup",  # oldest-green r05 [grouping]
+    "mapfile_range_scan",  # oldest-green r05 [mapfile]
+    "mv_incremental_maintenance",  # oldest-green r05 [mv]
+    "pq_encode_stats",  # oldest-green r05 [pq]
+    "sample_token_budget",  # oldest-green r05 [sample]
+    "setfile_dedup_ledger",  # oldest-green r05 [setfile]
+    "sketch_count_min_heavy_hitters",  # oldest-green r05 [sketch]
+    "snapshot_diff_orders",  # oldest-green r05 [snapshot]
+    "sort_topk_revenue_parts",  # oldest-green r05 [sort]
+    "stream_chained_windowed_aggs",  # oldest-green r05 [stream]
+    "q17_small_quantity_revenue",  # oldest-green r05 [tpch]
+    "window_topk_orders_per_customer",  # oldest-green r05 [window]
+    "array_explode_word_counts",  # oldest-green r06 [array]
+    "corpus_build_pipeline",  # oldest-green r06 [corpus]
 ]
-# Round-11 pre-staging (policy above, applied): if CORRECTNESS_r10
-# grades the frozen window green, rotate to [the 10 round-10 additions
-# just queued] + 40 re-grades chosen changed-code-first (git log
-# --since each query's last-graded round over its builder/operator
-# files), then oldest-green (the r03/r04 block: ann_ivf_topk,
-# embedding_quantize_int8_error, join_interval_binned_price_band,
-# kmeans_cluster_profile, sessionize_events_batch, text_fingerprint_dups,
-# text_token_counts, seqfile_block_count_fast_path, multimodal_metadata,
-# pii_scrub_stats, pivot_priority_by_status, seqfile_metadata_roundtrip,
-# seqfile_permissive_corrupt_tail, seqfile_record_layout_roundtrip,
-# seqfile_stream_sink_roundtrip, string_functions,
-# subquery_correlated_above_cust_avg, url_canonical_dedup, ...),
-# keeping every §2 family represented.  If r10 did NOT land, hold the
-# window (r8 precedent).
 
 
 def _ordered() -> list[str]:

@@ -217,18 +217,32 @@ def stream_dedup_within_watermark(spark, sf_dir):
 @register(
     "stream_stateful_user_stats",
     oracle="""
-    SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     doc="Custom stateful streaming operator via applyInPandasWithState: "
     "per-user running (count, sum) state; the replay is one microbatch "
-    "so the emitted state equals the batch aggregate.",
+    "so the emitted state equals the batch aggregate.  The value is "
+    "quantized to integer cents BEFORE entering state so the running "
+    "sum is exact — a raw double fold is task-order-dependent in its "
+    "last ulp (strict pre-flight caught it r11; values are "
+    "non-negative, so Spark HALF_UP and DuckDB half-away rounding "
+    "agree).",
 )
 def stream_stateful_user_stats(spark, sf_dir):
     s = _events_stream(spark, sf_dir)
-    out = stateful_group_stats(s, "user_id", "value")
+    cents = s.withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = stateful_group_stats(cents, "user_id", "value_cents")
     res = _run_to_memory(out, spark, output_mode="update")
-    return res.orderBy("user_id")
+    return res.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("long").alias("total_value_cents"),
+    ).orderBy("user_id")
 
 
 @register(

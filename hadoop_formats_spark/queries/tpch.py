@@ -522,7 +522,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str):
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (
@@ -532,7 +533,11 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str):
     """,
     doc="TPC-H Q17 (faithful; container predicate dropped — no "
     "p_container): correlated scalar subquery (per-part avg quantity) "
-    "decorrelated into an aggregate + join.",
+    "decorrelated into an aggregate + join.  Revenue is summed in "
+    "integer cents (prices are 2-decimal, non-negative) so the sum is "
+    "shuffle-order-independent; the avg-quantity threshold needs no "
+    "quantization — quantities are small integers whose double sum is "
+    "exact, so row membership is already deterministic.",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
     li = table(spark, sf_dir, "lineitem")
@@ -540,11 +545,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str):
     per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.join(broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            (F.sum(cents).cast("double") / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 

@@ -1412,3 +1412,111 @@ def test_lateral_topk_equals_window_rank_formulation(spark, sf_dir):
         )
     )
     assert lat == win
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: z-order layout, bag set ops, null-safe join, map HOFs
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of the Z layout: parquet footer min/max stats stay
+    tight on BOTH clustering dimensions, so a 2-D box (or a predicate
+    on the non-leading dimension alone) skips files.  A single-column
+    sort layout only prunes its leading column — the date-window
+    predicate must touch every custkey-sorted file but not every
+    z-ordered file."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from hadoop_formats_spark.queries.sources import zorder_orders_path
+    from hadoop_formats_spark.queries.registry import table as t
+
+    zdir = zorder_orders_path(spark, sf_dir)
+    zfiles = sorted(g.glob(f"{zdir}/part-*.parquet"))
+    assert len(zfiles) >= 4
+
+    cdir = str(tmp_path / "orders_by_custkey")
+    (
+        t(spark, sf_dir, "orders")
+        .repartitionByRange(len(zfiles), "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(cdir)
+    )
+    cfiles = sorted(g.glob(f"{cdir}/part-*.parquet"))
+
+    def ranges(path, col):
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        return min(los), max(his)
+
+    import datetime
+
+    d_lo = datetime.datetime(1997, 1, 1)
+    d_hi = datetime.datetime(1998, 1, 1)
+
+    def touches_box(files, ck=None, dates=None):
+        n = 0
+        for f in files:
+            ok = True
+            if ck is not None:
+                lo, hi = ranges(f, "o_custkey")
+                ok = ok and not (hi < ck[0] or lo > ck[1])
+            if dates is not None:
+                lo, hi = ranges(f, "o_orderdate")
+                ok = ok and not (hi < dates[0] or lo >= dates[1])
+            n += ok
+        return n
+
+    # date-only predicate: custkey-sorted layout cannot prune at all
+    assert touches_box(cfiles, dates=(d_lo, d_hi)) == len(cfiles)
+    # ... the z layout skips at least one file on the same predicate
+    assert touches_box(zfiles, dates=(d_lo, d_hi)) < len(zfiles)
+    # and the graded 2-D box touches at most half the z files
+    assert touches_box(zfiles, ck=(100, 260), dates=(d_lo, d_hi)) <= (
+        len(zfiles) // 2
+    )
+
+
+def test_map_higher_order_funcs_stay_jvm_side(spark, sf_dir):
+    plan = plans.executed_plan(_df(spark, sf_dir, "map_higher_order_funcs"))
+    assert "EvalPython" not in plan  # lambdas compile to Catalyst, not UDFs
+    assert plans.shuffle_count(
+        _df(spark, sf_dir, "map_higher_order_funcs")
+    ) <= 2  # one agg exchange + the tiny final sort
+
+
+def test_bag_ops_keep_multiplicities(spark):
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,)], "x int")
+    b = spark.createDataFrame([(1,), (3,)], "x int")
+    assert a.exceptAll(b).groupBy("x").count().collect() == [
+        __import__("pyspark").sql.Row(x=1, count=2),
+        __import__("pyspark").sql.Row(x=2, count=1),
+    ] or sorted(
+        (r.x, r["count"]) for r in a.exceptAll(b).groupBy("x").count().collect()
+    ) == [(1, 2), (2, 1)]
+    assert sorted(r.x for r in a.intersectAll(b).collect()) == [1]
+
+
+def test_null_safe_join_matches_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    dim = spark.createDataFrame([("a", "A"), (None, "NULLGRP")], "k string, label string")
+    plain = left.join(dim, left.k == dim.k).count()
+    safe = left.join(dim, left.k.eqNullSafe(dim.k)).count()
+    assert plain == 1  # equi-join drops every NULL-keyed row
+    assert safe == 3  # null-safe join matches them
+
+
+def test_gopher_rules_single_pass_plan(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_gopher_quality_rules")
+    plan = plans.executed_plan(df)
+    assert "EvalPython" not in plan
+    assert plans.has_partial_aggregation(df)
+    assert plans.shuffle_count(df) <= 2  # groupBy(lang) + final orderBy

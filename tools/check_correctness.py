@@ -84,15 +84,33 @@ def _pandas_rows(rel):
     degrade to float64 here, so an oracle that forgot CAST(.. AS BIGINT)
     fails THIS check the same way it fails the driver's.
     """
+    df = rel.df()
+    return _frame_rows(df)
+
+
+def _frame_rows(df):
+    """Normalize a pandas frame to python-typed row tuples.
+
+    Used for BOTH engines: r8/r9 driver evidence shows the Spark side
+    is fetched through pandas as well (nullable long with NULLs graded
+    green against a float64 oracle), so a collect()-based Spark fetch
+    here false-positives in strict mode on any nullable int column
+    (python int "12" vs pandas float64 "12.0" — found r11 when
+    grouping_sets_time_rollup 'failed' strict with zero value diffs).
+    """
     import numpy as np
     import pandas as pd
 
-    df = rel.df()
     rows = []
     for tup in df.itertuples(index=False, name=None):
         row = []
         for v in tup:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
+            if (
+                v is None
+                or (isinstance(v, float) and math.isnan(v))
+                or v is pd.NaT
+                or v is pd.NA
+            ):
                 row.append(None)
             elif isinstance(v, np.generic):
                 row.append(v.item())
@@ -171,8 +189,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = _frame_rows(sdf.toPandas())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
