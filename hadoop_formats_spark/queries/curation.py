@@ -1713,3 +1713,100 @@ def curriculum_stage_assignment(spark: SparkSession, sf_dir: str):
             F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(wall), 4
         ).alias("token_share"),
     ).orderBy("len_bucket", "diversity")
+
+
+@register(
+    "curation_ccnet_ppl_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])
+               AS bg
+      FROM t WHERE len(ts) >= 2
+    ),
+    uni AS (SELECT unnest(ts) AS w1 FROM t),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+    c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY bg),
+    v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM uni),
+    sc AS (
+      SELECT big.doc_id, (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+      FROM big JOIN c2 USING (bg)
+      JOIN c1 ON string_split(bg, ' ')[1] = c1.w1
+      CROSS JOIN v
+    ),
+    ppl AS (
+      SELECT doc_id,
+             round(exp(round(sum(-ln(p)) / count(*), 4)), 2) AS ppl
+      FROM sc GROUP BY doc_id
+    ),
+    lp AS (
+      SELECT d.lang, p.ppl, CAST(round(p.ppl * 100) AS BIGINT) AS ppl_c
+      FROM ppl p JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             round(quantile_cont(ppl, 1.0/3), 4) AS p33,
+             round(quantile_cont(ppl, 2.0/3), 4) AS p67
+      FROM lp GROUP BY lang
+    )
+    SELECT lp.lang,
+           CASE WHEN ppl <= p33 THEN 'head'
+                WHEN ppl <= p67 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(ppl_c) AS DOUBLE) / count(*) / 100.0, 4)
+             AS avg_ppl
+    FROM lp JOIN cuts USING (lang)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="CCNet head/middle/tail corpus split (Wenzek et al. '20): score "
+    "every document's perplexity under the corpus bigram LM (the same "
+    "model text_bigram_lm_score certifies), cut each LANGUAGE at its "
+    "own perplexity terciles, and report per-(lang, bucket) volumes — "
+    "the standard quality-stratification a pretraining pipeline feeds "
+    "into mixture weights (head oversampled, tail dropped or "
+    "down-weighted).  Per-language cuts matter: a single global cut "
+    "would mislabel whole languages whose LM coverage differs.  Scale "
+    "shape: LM fit is two partial-agg count tables + token-keyed "
+    "joins; the tercile cut is a |langs|-row broadcast; per-doc ppl "
+    "is round(·,2) so the tercile comparison and the cent-quantized "
+    "average are engine-exact.",
+)
+def curation_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str):
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    sc = T.bigram_surprisal(d).select("doc_id", "ppl")
+    lp = sc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "ppl",
+        F.round(F.col("ppl") * 100).cast("long").alias("ppl_c"),
+    )
+    cuts = lp.groupBy("lang").agg(
+        F.round(F.percentile("ppl", 1.0 / 3), 4).alias("p33"),
+        F.round(F.percentile("ppl", 2.0 / 3), 4).alias("p67"),
+    )
+    b = lp.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("ppl") <= F.col("p33"), "head")
+        .when(F.col("ppl") <= F.col("p67"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "ppl_c",
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("ppl_c").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100.0),
+                4,
+            ).alias("avg_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )

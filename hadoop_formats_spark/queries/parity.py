@@ -2296,3 +2296,36 @@ def map_higher_order_funcs(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (the SQL-surface sugar both Spark "
+    "4 and DuckDB resolve to every non-aggregate select item): grouped "
+    "order volumes by (status, priority).  Pure resolution-layer "
+    "parity — the plan is the ordinary partial-agg groupBy — but it "
+    "pins that the engines infer the SAME grouping set and the same "
+    "lexicographic ordering from the shorthand.",
+)
+def sql_group_order_by_all(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM _gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
