@@ -381,6 +381,15 @@ def main() -> None:
         "gdpr_forget_users",
         "ml_naive_bayes_lang_train",
         "feature_hashing_trick",
+        # round-11 operators
+        "text_gopher_quality_rules",
+        "curation_ccnet_ppl_buckets",
+        "layout_zorder_pruned_scan",
+        "set_bag_ops_shipyear",
+        "join_null_safe_priority",
+        "map_higher_order_funcs",
+        "sql_group_order_by_all",
+        "ml_naive_bayes_score_confusion",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -891,3 +891,161 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ml_naive_bayes_score_confusion",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    ttoks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM train
+    ),
+    cls AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tok FROM ttoks GROUP BY lang
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ttoks),
+    mc AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM ttoks GROUP BY lang, tok
+    ),
+    model AS (
+      SELECT m.lang, m.tok,
+             CAST(round(round(ln((m.c + 1.0) / (cls.n_tok + v.v)), 6)
+                        * 1000000.0) AS BIGINT) AS ll
+      FROM mc m JOIN cls USING (lang) CROSS JOIN vocab v
+    ),
+    fb AS (
+      SELECT lang,
+             CAST(round(round(ln(1.0 / (n_tok + v.v)), 6) * 1000000.0)
+                  AS BIGINT) AS fll
+      FROM cls CROSS JOIN vocab v
+    ),
+    nd AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+    prior AS (
+      SELECT lang,
+             CAST(round(round(ln(n_docs * 1.0 /
+                                 (SELECT sum(n_docs) FROM nd)), 6)
+                        * 1000000.0) AS BIGINT) AS pr
+      FROM nd
+    ),
+    dtc AS (
+      SELECT doc_id, lang AS actual, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM test
+      ) GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.doc_id, d.actual, f.lang AS cand,
+             p.pr + sum(d.cnt * coalesce(mo.ll, f.fll)) AS score
+      FROM dtc d
+      CROSS JOIN fb f
+      LEFT JOIN model mo ON mo.lang = f.lang AND mo.tok = d.tok
+      JOIN prior p ON p.lang = f.lang
+      GROUP BY d.doc_id, d.actual, f.lang, p.pr
+    ),
+    pred AS (
+      SELECT doc_id, actual, cand,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rnk
+      FROM scored
+    )
+    SELECT actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rnk = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Naive Bayes INFERENCE + confusion matrix — the scoring half "
+    "of ml_naive_bayes_lang_train (train on doc_id%5<>0, classify the "
+    "held-out fifth): per-class score = quantized log-prior + Σ "
+    "token-count × quantized log-likelihood with the Laplace unseen-"
+    "token fallback, argmax per document (ties to the first language), "
+    "reported as an (actual, predicted) count matrix.  Every log term "
+    "is round(·,6)·1e6 → BIGINT at source, so class scores are exact "
+    "integer sums — argmax cannot flip on float fold order.  Scale "
+    "shape: the model is |V|·|classes| rows built in one explode + "
+    "partial-agg pass; scoring is a token-keyed join of the test "
+    "token-count table against the model (broadcast here; token-keyed "
+    "shuffle join when V outgrows executors), then a per-doc argmax "
+    "window over |classes| rows/doc.",
+)
+def ml_naive_bayes_score_confusion(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+
+    def q6(col):  # round(·,6) then exact micro-int quantization
+        return F.round(F.round(col, 6) * 1e6).cast("long")
+
+    ttoks = train.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    cls = ttoks.groupBy("lang").agg(F.count("*").alias("n_tok"))
+    vocab = ttoks.agg(F.countDistinct("tok").alias("v"))
+    mc = ttoks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    model = (
+        mc.join(cls, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            q6(
+                F.log((F.col("c") + 1.0) / (F.col("n_tok") + F.col("v")))
+            ).alias("ll"),
+        )
+    )
+    fb = (
+        cls.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            q6(F.log(1.0 / (F.col("n_tok") + F.col("v")))).alias("fll"),
+        )
+    )
+    nd = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    nd_tot = nd.agg(F.sum("n_docs").alias("t"))
+    prior = (
+        nd.crossJoin(F.broadcast(nd_tot))
+        .select("lang", q6(F.log(F.col("n_docs") / F.col("t"))).alias("pr"))
+    )
+    dtc = (
+        test.select(
+            "doc_id",
+            F.col("lang").alias("actual"),
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "actual", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    fbb = F.broadcast(fb.withColumnRenamed("lang", "cand"))
+    scored = (
+        dtc.crossJoin(fbb)
+        .join(
+            F.broadcast(model).withColumnRenamed("lang", "cand"),
+            ["cand", "tok"],
+            "left",
+        )
+        .join(
+            F.broadcast(prior).withColumnRenamed("lang", "cand"), "cand"
+        )
+        .groupBy("doc_id", "actual", "cand", "pr")
+        .agg(
+            (
+                F.first("pr")
+                + F.sum(
+                    F.col("cnt") * F.coalesce(F.col("ll"), F.col("fll"))
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return (
+        pred.groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

@@ -87,6 +87,12 @@ QUERIES_TO_DUMP = [
     ("timeseries_autocorrelation", "ACF: zero-filled hour grid from 1-row bounds, cell-table windows (round 8)"),
     ("stats_benford_first_digit", "Benford audit: map-side digit extraction, 9-cell reduce (round 8)"),
     ("text_zipf_fit", "Zipf fit: vocab groupBy + lang-ranked window + built-in regr_* partial agg (round 8)"),
+    ("layout_zorder_pruned_scan", "physical Z-layout rewrite: repartitionByRange on the Morton key, footer stats prune BOTH box dimensions (round 11)"),
+    ("text_gopher_quality_rules", "Gopher rule filter: one map-side pass (split + array folds) + |langs| partial-agg, no UDF (round 11)"),
+    ("curation_ccnet_ppl_buckets", "CCNet head/middle/tail: bigram-LM ppl + per-language tercile broadcast, cent-quantized averages (round 11)"),
+    ("map_higher_order_funcs", "map-typed lambdas (transform_values/map_filter/map_zip_with) compile to Catalyst, zero Python eval (round 11)"),
+    ("set_bag_ops_shipyear", "EXCEPT ALL / INTERSECT ALL: count-replicating hash aggregate on the row value, no join (round 11)"),
+    ("join_null_safe_priority", "null-safe equi-join (<=>): NULL hashes to a bucket, broadcast hash join not BNLJ (round 11)"),
 ]
 
 
