@@ -390,6 +390,8 @@ def main() -> None:
         "map_higher_order_funcs",
         "sql_group_order_by_all",
         "ml_naive_bayes_score_confusion",
+        "abtest_mann_whitney_u",
+        "ml_logreg_calibration_bins",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -441,6 +441,50 @@ def _logreg_oracle() -> str:
     return body
 
 
+def _logreg_features(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.split(F.lower("text"), " ")) / 100.0).alias("x2"),
+    )
+
+
+def _logreg_fit(f) -> tuple[float, float, float]:
+    """3 GD steps over the cached feature frame; returns (b, wa, wb)
+    quantized ROUND_HALF_UP at 1e-9 each step (the SQL round
+    semantics, so the oracle's unrolled trajectory matches
+    bit-for-bit).  Shared by the training row and the calibration
+    row — both must hold the IDENTICAL model."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r9(x: float) -> float:
+        # DuckDB round() is half-AWAY-FROM-ZERO; Python round() is
+        # banker's half-even — a gradient landing on a 1e-9 decimal
+        # midpoint would fork the whole trajectory, so quantize with
+        # the SQL semantics
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    b, wa, wb = 0.0, 0.0, 0.0
+    for _ in range(3):
+        z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
+        p = 1 / (1 + F.exp(-z))
+        g = f.agg(
+            F.avg(p - F.col("y")).alias("db"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("da"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("dbb"),
+        ).collect()[0]
+        b = _r9(b - 1.0 * g.db)
+        wa = _r9(wa - 1.0 * g.da)
+        wb = _r9(wb - 1.0 * g.dbb)
+    return b, wa, wb
+
+
+
 @register(
     "ml_logreg_quality_train",
     oracle=_logreg_oracle(),
@@ -460,37 +504,9 @@ def _logreg_oracle() -> str:
     "shuffles.",
 )
 def ml_logreg_quality_train(spark, sf_dir):
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def _r9(x: float) -> float:
-        # DuckDB round() is half-AWAY-FROM-ZERO; Python round() is
-        # banker's half-even — a gradient landing on a 1e-9 decimal
-        # midpoint would fork the whole trajectory, so quantize with
-        # the SQL semantics
-        return float(
-            Decimal(repr(x)).quantize(
-                Decimal("1e-9"), rounding=ROUND_HALF_UP
-            )
-        )
-
-    d = table(spark, sf_dir, "documents")
-    f = d.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        (F.col("n_chars") / 1000.0).alias("x1"),
-        (F.size(F.split(F.lower("text"), " ")) / 100.0).alias("x2"),
-    ).persist()  # 4 full scans (3 gradient steps + accuracy): 1 read
-    b, wa, wb = 0.0, 0.0, 0.0
-    for _ in range(3):
-        z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
-        p = 1 / (1 + F.exp(-z))
-        g = f.agg(
-            F.avg(p - F.col("y")).alias("db"),
-            F.avg((p - F.col("y")) * F.col("x1")).alias("da"),
-            F.avg((p - F.col("y")) * F.col("x2")).alias("dbb"),
-        ).collect()[0]
-        b = _r9(b - 1.0 * g.db)
-        wa = _r9(wa - 1.0 * g.da)
-        wb = _r9(wb - 1.0 * g.dbb)
+    # 4 full scans (3 gradient steps + accuracy): 1 read via persist
+    f = _logreg_features(spark, sf_dir).persist()
+    b, wa, wb = _logreg_fit(f)
     # release the cache now that the 3 driver-held gradient collects
     # are done (1 parquet read + 2 cache hits); the returned plan stays
     # LAZY over the source so the caller sees the real aggregate plan —
@@ -1048,4 +1064,105 @@ def ml_naive_bayes_score_confusion(spark: SparkSession, sf_dir: str):
         pred.groupBy("actual", F.col("cand").alias("predicted"))
         .agg(F.count("*").alias("n_docs"))
         .orderBy("actual", "predicted")
+    )
+
+
+def _logreg_calibration_oracle() -> str:
+    """The same unrolled 3-step GD trajectory as ``_logreg_oracle``,
+    followed by a reliability-diagram tail: per predicted-probability
+    quintile bin, document count, mean predicted p, and actual
+    positive rate.  p is round(·,6) BEFORE binning and quantized to
+    exact micro-units for the bin average, so bin membership and every
+    reported value are engine-identical."""
+    feats = """
+    f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             n_chars / 1000.0 AS x1,
+             len(string_split(lower(text), ' ')) / 100.0 AS x2
+      FROM documents
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS wb)"""
+    step = """,
+    g{i} AS (
+      SELECT b, wa, wb,
+             avg(1 / (1 + exp(-(b + wa * x1 + wb * x2))) - y) AS db,
+             avg((1 / (1 + exp(-(b + wa * x1 + wb * x2))) - y) * x1) AS da,
+             avg((1 / (1 + exp(-(b + wa * x1 + wb * x2))) - y) * x2) AS dbb
+      FROM f, w{prev} GROUP BY b, wa, wb
+    ),
+    w{i} AS (
+      SELECT round(b - 1.0 * db, 9) AS b,
+             round(wa - 1.0 * da, 9) AS wa,
+             round(wb - 1.0 * dbb, 9) AS wb
+      FROM g{i}
+    )"""
+    body = "WITH" + feats
+    for i in (1, 2, 3):
+        body += step.format(i=i, prev=i - 1)
+    body += """,
+    scored AS (
+      SELECT y,
+             round(1 / (1 + exp(-(b + wa * x1 + wb * x2))), 6) AS p
+      FROM f, w3
+    ),
+    binned AS (
+      SELECT CAST(least(floor(p * 5), 4) AS INT) AS bin,
+             y,
+             CAST(round(p * 1000000) AS BIGINT) AS p_micro
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(p_micro) AS DOUBLE) / count(*) / 1000000.0, 4)
+             AS mean_pred,
+           round(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*), 4)
+             AS actual_rate
+    FROM binned GROUP BY bin ORDER BY bin"""
+    return body
+
+
+@register(
+    "ml_logreg_calibration_bins",
+    oracle=_logreg_calibration_oracle(),
+    doc="Reliability diagram for the trained quality classifier — the "
+    "model-eval step after ml_logreg_quality_train (same 3-step GD "
+    "trajectory via the shared _logreg_fit helper, so both rows hold "
+    "the IDENTICAL model): documents bucket into predicted-probability "
+    "quintiles, each bin reports count, mean predicted p, and actual "
+    "positive rate — calibrated ⇔ mean_pred ≈ actual_rate per bin "
+    "(the check that decides whether classifier scores can be used as "
+    "sampling weights, not just rankings).  p is round(·,6) before "
+    "binning and micro-int quantized for the average, so bin "
+    "membership and values are engine-exact.  Scale: 3 training scans "
+    "+ ONE scoring scan to a 5-cell partial agg; weights stay "
+    "driver-held literals, the corpus never shuffles.",
+)
+def ml_logreg_calibration_bins(spark, sf_dir):
+    f = _logreg_features(spark, sf_dir).persist()
+    b, wa, wb = _logreg_fit(f)
+    f.unpersist(blocking=False)
+    z = F.lit(b) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
+    p = F.round(1 / (1 + F.exp(-z)), 6)
+    binned = f.select(
+        F.least(F.floor(p * 5), F.lit(4)).cast("int").alias("bin"),
+        "y",
+        F.round(p * 1e6).cast("long").alias("p_micro"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("p_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6),
+                4,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum(F.col("y").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("actual_rate"),
+        )
+        .orderBy("bin")
     )

@@ -2104,3 +2104,116 @@ def abtest_power_analysis(spark: SparkSession, sf_dir: str):
             4,
         ).alias("z_beta_at_current_n"),
     )
+
+
+@register(
+    "abtest_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    vals AS (
+      SELECT v,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a
+      FROM s GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, cnt, cnt_a,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM vals
+    ),
+    sums AS (
+      -- rank sums in HALF-units (avg rank of a tie group is
+      -- below + (cnt+1)/2, so 2·rank is always integral): exact
+      SELECT CAST(sum(cnt_a * (2 * below + cnt + 1)) AS BIGINT)
+               AS r1_twice,
+             CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM ranked
+    )
+    SELECT n1,
+           CAST(n - n1 AS BIGINT) AS n2,
+           CAST(r1_twice - n1 * (n1 + 1) AS BIGINT) AS u1_twice,
+           round(
+             (CAST(r1_twice - n1 * (n1 + 1) AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (n - n1) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                    * ((n + 1) - CAST(tie_term AS DOUBLE)
+                                 / (CAST(n AS DOUBLE) * (n - 1)))),
+             4) AS z
+    FROM sums
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) test: are BUILDING order "
+    "totals stochastically larger than MACHINERY's?  The "
+    "nonparametric complement to the KS/SRM/CUPED/bootstrap/power "
+    "rows — the test of choice for heavy-tailed revenue metrics where "
+    "a t-test's mean is fragile.  Average ranks with full tie "
+    "correction, computed EXACTLY: values quantize to integer cents, "
+    "per-value counts give each tie group's average rank in half-"
+    "units (so 2·R and 2·U are integers; both engines agree "
+    "bit-for-bit), and the normal z uses the tie-corrected variance. "
+    "Scale shape: one join + one per-value partial agg (|distinct "
+    "values| rows), a value-ordered running sum on that cell table, "
+    "and a 1-row reduction — the fact table shuffles once, ranks are "
+    "never materialized per row (no global row-number sort).",
+)
+def abtest_mann_whitney_u(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    s = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vals = s.groupBy("v").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias(
+            "cnt_a"
+        ),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    sums = ranked.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("r1_twice"),
+        F.sum("cnt_a").alias("n1"),
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    n1 = F.col("n1").cast("double")
+    n = F.col("n").cast("double")
+    n2 = n - n1
+    u1 = (F.col("r1_twice").cast("double") - n1 * (n1 + 1)) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+    )
+    return sums.select(
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        (F.col("r1_twice") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_twice"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 4).alias("z"),
+    )
