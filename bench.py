@@ -392,6 +392,8 @@ def main() -> None:
         "ml_naive_bayes_score_confusion",
         "abtest_mann_whitney_u",
         "ml_logreg_calibration_bins",
+        "agg_listagg_within_group",
+        "scalar_try_functions",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -2329,3 +2329,94 @@ def sql_group_order_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "agg_listagg_within_group",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="listagg WITHIN GROUP (ORDER BY ...) — SQL:2016 ordered string "
+    "aggregation (Spark 4's listagg = DuckDB's ordered string_agg): "
+    "nations per region as one deterministic comma list.  The WITHIN "
+    "GROUP ordering is what makes the value reproducible across "
+    "shuffle orders — an unordered concat_ws(collect_list) is "
+    "nondeterministic by partition arrival.",
+)
+def agg_listagg_within_group(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN p_size = 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(sum(CASE WHEN p_size <> 25
+                         THEN CAST(round(
+                                CAST(round(p_retailprice * 100) AS BIGINT)
+                                / CAST(p_size - 25 AS DOUBLE)) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_unit_cents,
+           CAST(sum(CASE WHEN try_cast(split_part(p_type, ' ', 1)
+                                       AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null
+    FROM part
+    """,
+    doc="try_* error-model family (the PERMISSIVE complement of the "
+    "format layer's R17 fail-fast row): try_divide yields NULL on "
+    "division by zero instead of raising under ANSI mode, try_cast "
+    "yields NULL on malformed input — the graded surface counts "
+    "NULL-producing rows and sums the successful integer-cent unit "
+    "prices, so the semantics (which rows fail, what survivors "
+    "compute) are value-checked, not just not-crashing.  DuckDB has "
+    "no try_divide, so the oracle states the same semantics with "
+    "CASE — the point of the row is the SEMANTIC contract, not the "
+    "spelling.",
+)
+def scalar_try_functions(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    # p_size - 25 hits zero on real rows, so try_divide's NULL path is
+    # genuinely exercised (p_size itself is never 0 in the testdata);
+    # negative divisors also pin that HALF_UP and half-away-from-zero
+    # agree away from zero on both engines
+    unit_cents = F.expr(
+        "try_divide(round(p_retailprice * 100), p_size - 25)"
+    )
+    cast_head = F.expr(
+        "try_cast(split(p_type, ' ')[0] AS INT)"
+    )
+    return p.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(unit_cents.isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(
+            F.when(
+                unit_cents.isNotNull(), F.round(unit_cents).cast("long")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_unit_cents"),
+        F.sum(F.when(cast_head.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cast_null"),
+    )
