@@ -394,6 +394,7 @@ def main() -> None:
         "ml_logreg_calibration_bins",
         "agg_listagg_within_group",
         "scalar_try_functions",
+        "ann_ivfpq_adc_recall_at_3",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -1359,6 +1359,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bc_out: list | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation (ADC) top-k over PQ codes: the
     (small, collected) query set becomes a per-query lookup table
@@ -1372,7 +1373,15 @@ def pq_adc_topk(
     This is how PQ search actually runs at billion scale: the corpus
     is m bytes/vector, candidates never touch the original embeddings,
     and the scan is table lookups + adds — no GEMM, no shuffle of the
-    corpus.  Returns (query_id, neighbor_id, adc_dist, rnk)."""
+    corpus.  Returns (query_id, neighbor_id, adc_dist, rnk).
+
+    ``probes`` (optional, IVF-PQ): a (query_id, probe) frame — each
+    query only scores candidates whose ``centroid_id`` (which
+    ``encoded`` must then carry) is among its probed clusters, i.e.
+    the inverted-list restriction of a production IVF-PQ index.  The
+    probe sets ride the same broadcast as the LUTs; unprobed
+    candidates are masked out BEFORE the partition-local top-k, so
+    the per-partition work drops proportionally to nprobe/k_clusters."""
     import numpy as np
     import pandas as pd
 
@@ -1405,19 +1414,38 @@ def pq_adc_topk(
         lut = np.full((len(q_ids), int(cids.max()) + 1), np.inf)
         lut[:, cids] = d
         luts[s] = lut
-    bc = encoded.sparkSession.sparkContext.broadcast((q_ids, luts))
+    probe_map = None
+    if probes is not None:
+        probe_map = {}
+        for r in probes.select("query_id", "probe").collect():
+            probe_map.setdefault(int(r["query_id"]), []).append(
+                int(r["probe"])
+            )
+        probe_map = {
+            q: np.array(sorted(cs), dtype=np.int64)
+            for q, cs in probe_map.items()
+        }
+    bc = encoded.sparkSession.sparkContext.broadcast(
+        (q_ids, luts, probe_map)
+    )
     if bc_out is not None:
         bc_out.append(bc)
 
-    src = encoded.select(F.col(id_col).alias("id"), "codes")
+    cols = [F.col(id_col).alias("id"), "codes"]
+    if probes is not None:
+        cols.append(F.col("centroid_id").alias("cid"))
+    src = encoded.select(*cols)
 
     def scan(batches):
-        q_ids_, luts_ = bc.value
+        q_ids_, luts_, probe_map_ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy())  # (N, m)
+            cids_b = (
+                pdf["cid"].to_numpy() if probe_map_ is not None else None
+            )
             # left-to-right accumulation: 0 + a_0 + a_1 + … matches the
             # oracle's literal a_0 + a_1 + … (0 + x is IEEE-exact)
             D = np.zeros((len(ids), len(q_ids_)))
@@ -1427,6 +1455,11 @@ def pq_adc_topk(
             for j in range(len(q_ids_)):
                 col = D[:, j]
                 mask = ids != q_ids_[j]
+                if probe_map_ is not None:
+                    pset = probe_map_.get(int(q_ids_[j]))
+                    if pset is None:
+                        continue
+                    mask &= np.isin(cids_b, pset)
                 cid, cd = ids[mask], col[mask]
                 if len(cid) > k:
                     order_ = np.lexsort((cid, cd))[:k]

@@ -1520,3 +1520,56 @@ def test_gopher_rules_single_pass_plan(spark, sf_dir):
     assert "EvalPython" not in plan
     assert plans.has_partial_aggregation(df)
     assert plans.shuffle_count(df) <= 2  # groupBy(lang) + final orderBy
+
+
+def test_ivfpq_candidates_restricted_to_probed_clusters(spark, sf_dir):
+    """The IVF restriction is the point of IVF-PQ: every ADC candidate
+    must come from one of its query's nprobe probed clusters, and the
+    scan must consider strictly fewer candidates than plain PQ-ADC
+    over the full corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from hadoop_formats_spark.operators import similarity as S
+    from hadoop_formats_spark.queries.registry import table as t
+
+    e = t(spark, sf_dir, "embeddings")
+    ivfcent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
+    assigned = S.ivf_assign(e, ivfcent)
+    c = ivfcent.select(
+        F.col("centroid_id").alias("probe"), F.col("embedding").alias("cvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("probe"))
+    probes = (
+        queries.crossJoin(F.broadcast(c))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "probe",
+            F.round(S.cosine(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "probe")
+    )
+    books = S.pq_train(e, dim=64, m=4, k=16, iters=2)
+    enc = S.pq_encode(e, books, sub=16)
+    enc_c = enc.join(assigned.select("vec_id", "centroid_id"), "vec_id")
+    cand = S.pq_adc_topk(enc_c, books, queries, sub=16, k=20, probes=probes)
+
+    probe_set = {(r.query_id, r.probe) for r in probes.collect()}
+    cl = {r.vec_id: r.centroid_id for r in assigned.select("vec_id", "centroid_id").collect()}
+    rows = cand.collect()
+    assert rows
+    for r in rows:
+        assert (r.query_id, cl[r.neighbor_id]) in probe_set
+    # the restriction actually prunes: unrestricted ADC reaches vectors
+    # outside the probed clusters for at least one query
+    full = S.pq_adc_topk(enc, books, queries, sub=16, k=20)
+    outside = [
+        r for r in full.collect()
+        if (r.query_id, cl[r.neighbor_id]) not in probe_set
+    ]
+    assert outside, "full ADC should reach unprobed clusters"
