@@ -2184,12 +2184,52 @@ def abtest_mann_whitney_u(spark: SparkSession, sf_dir: str):
             "cnt_a"
         ),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.select(
+    # DISTRIBUTED prefix sum over the value cells: o_totalprice is
+    # near-unique, so the cell table is ~fact-table-sized and a global
+    # unpartitioned window would serialize it onto one task.  Standard
+    # two-phase scan instead: bucket by value range, rank within each
+    # bucket in parallel, and add each bucket's broadcast offset (sum
+    # of all lower buckets' counts).  Buckets derive DETERMINISTICALLY
+    # from the 1-row (min, max) aggregate — repartitionByRange would
+    # SAMPLE its boundaries, and this plan reads the bucketed frame
+    # twice (offsets + ranks), so sampled pids could disagree between
+    # the two subtrees.
+    bounds = vals.agg(
+        F.min("v").alias("vlo"), F.max("v").alias("vhi")
+    )
+    nb = 8
+    parts = vals.crossJoin(F.broadcast(bounds)).select(
         "v",
         "cnt",
         "cnt_a",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("v") - F.col("vlo")).cast("double")
+                * nb
+                / (F.col("vhi") - F.col("vlo") + 1).cast("double")
+            ).cast("int"),
+        ).alias("pid"),
+    )
+    ptot = parts.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.select(
+        "pid", F.coalesce(F.sum("ptot").over(woff), F.lit(0)).alias("off")
+    )  # <= nb rows — the only single-task window
+    win = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        parts.withColumn(
+            "below_in", F.coalesce(F.sum("cnt").over(win), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "v",
+            "cnt",
+            "cnt_a",
+            (F.col("below_in") + F.col("off")).alias("below"),
+        )
     )
     sums = ranked.agg(
         F.sum(
