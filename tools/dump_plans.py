@@ -93,6 +93,9 @@ QUERIES_TO_DUMP = [
     ("map_higher_order_funcs", "map-typed lambdas (transform_values/map_filter/map_zip_with) compile to Catalyst, zero Python eval (round 11)"),
     ("set_bag_ops_shipyear", "EXCEPT ALL / INTERSECT ALL: count-replicating hash aggregate on the row value, no join (round 11)"),
     ("join_null_safe_priority", "null-safe equi-join (<=>): NULL hashes to a bucket, broadcast hash join not BNLJ (round 11)"),
+    ("ann_ivfpq_adc_recall_at_3", "IVF-PQ: probe-restricted ADC scan over m-byte codes, exact rerank, recall vs exact (round 11)"),
+    ("abtest_mann_whitney_u", "Mann-Whitney U: two-phase distributed prefix sum over value cells, no global window (round 11)"),
+    ("ml_naive_bayes_score_confusion", "NB inference: broadcast model join + per-doc argmax window, exact integer scores (round 11)"),
 ]
 
 
