@@ -395,6 +395,7 @@ def main() -> None:
         "agg_listagg_within_group",
         "scalar_try_functions",
         "ann_ivfpq_adc_recall_at_3",
+        "udf_arrow_scalar_margin",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -2420,3 +2420,71 @@ def scalar_try_functions(spark, sf_dir):
         .cast("long")
         .alias("n_cast_null"),
     )
+
+
+@register(
+    "udf_arrow_scalar_margin",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 100) AS BIGINT))
+                AS BIGINT) AS margin_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Arrow-native scalar UDF (Spark 4 @arrow_udf) — the fifth UDF "
+    "surface next to row-Python / pandas scalar / pandas grouped / "
+    "UDTF: the margin computation runs on raw pyarrow Arrays via "
+    "pyarrow.compute kernels (no pandas materialization on either "
+    "side of the Arrow boundary — the lowest-overhead Python hook "
+    "Spark offers).  The UDF quantizes to integer cents INSIDE the "
+    "kernel with the same multiply order as the oracle, so the "
+    "grouped sums are exact.",
+)
+def udf_arrow_scalar_margin(spark, sf_dir):
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    def _margin(price, disc, tax):
+        import pyarrow.compute as pc
+
+        m = pc.multiply(
+            pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            ),
+            pa.scalar(100.0),
+        )
+        # pyarrow's default round is half-to-even; SQL round (Spark,
+        # DuckDB) is half-away-from-zero — margins land exactly on .5
+        # cents often enough to matter
+        return pc.cast(
+            pc.round(m, round_mode="half_towards_infinity"), pa.int64()
+        )
+
+    # this module uses `from __future__ import annotations`, which turns
+    # inline hints into strings arrow_udf's signature inference cannot
+    # resolve — attach the real pa.Array annotations explicitly
+    _margin.__annotations__ = {
+        "price": pa.Array,
+        "disc": pa.Array,
+        "tax": pa.Array,
+        "return": pa.Array,
+    }
+    margin_cents = arrow_udf(_margin, "long")
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            margin_cents("l_extendedprice", "l_discount", "l_tax").alias(
+                "mc"
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("mc").cast("long").alias("margin_cents"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
