@@ -396,6 +396,8 @@ def main() -> None:
         "scalar_try_functions",
         "ann_ivfpq_adc_recall_at_3",
         "udf_arrow_scalar_margin",
+        "transform_fim_split",
+        "pack_length_bucketing_waste",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
