@@ -398,6 +398,7 @@ def main() -> None:
         "udf_arrow_scalar_margin",
         "transform_fim_split",
         "pack_length_bucketing_waste",
+        "corpus_build_pipeline_v2",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -2035,3 +2035,161 @@ def pack_length_bucketing_waste(spark: SparkSession, sf_dir: str):
         )
         .orderBy("policy", "lang")
     )
+
+
+@register(
+    "corpus_build_pipeline_v2",
+    oracle="""
+    WITH t0 AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS toks,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_sym
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, lang, text, len(toks) AS n_toks,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 0 ELSE 1 END
+               AS f_len,
+             CASE WHEN CAST(list_sum(list_transform(toks, w -> length(w)))
+                           AS DOUBLE) / len(toks) BETWEEN 3.0 AND 5.0
+                  THEN 0 ELSE 1 END AS f_wl,
+             CASE WHEN CAST(list_sum(list_transform(toks,
+                         w -> CASE WHEN regexp_matches(w, '[a-z]')
+                                   THEN 1 ELSE 0 END)) AS DOUBLE)
+                       / len(toks) > 0.8 THEN 0 ELSE 1 END AS f_alpha,
+             CASE WHEN CAST(list_sum(list_transform(toks,
+                         w -> CASE WHEN w IN
+                              ('the','and','of','to','a','in','is','for')
+                              THEN 1 ELSE 0 END)) AS INT) >= 2
+                  THEN 0 ELSE 1 END AS f_stop,
+             CASE WHEN CAST(n_sym AS DOUBLE) / length(text) < 0.1
+                  THEN 0 ELSE 1 END AS f_sym
+      FROM t0 WHERE len(toks) > 0
+    ),
+    survivors AS (
+      SELECT doc_id, lang, text, n_toks FROM flags
+      WHERE f_len + f_wl + f_alpha + f_stop + f_sym = 0
+    ),
+    -- bigram LM fit on the FULL corpus (same model the ccnet row holds)
+    big AS (
+      SELECT doc_id,
+             unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])
+               AS bg
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+            FROM documents) WHERE len(ts) >= 2
+    ),
+    uni AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w1 FROM documents
+    ),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+    c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY bg),
+    v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM uni),
+    sc AS (
+      SELECT big.doc_id, (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+      FROM big JOIN c2 USING (bg)
+      JOIN c1 ON string_split(bg, ' ')[1] = c1.w1
+      CROSS JOIN v
+    ),
+    ppl AS (
+      SELECT doc_id,
+             round(exp(round(sum(-ln(p)) / count(*), 4)), 2) AS ppl
+      FROM sc GROUP BY doc_id
+    ),
+    lp AS (
+      SELECT s.doc_id, s.lang, s.text, s.n_toks, p.ppl
+      FROM survivors s JOIN ppl p USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             round(quantile_cont(ppl, 1.0/3), 4) AS p33,
+             round(quantile_cont(ppl, 2.0/3), 4) AS p67
+      FROM lp GROUP BY lang
+    ),
+    kept AS (
+      SELECT lp.doc_id, lp.lang, lp.text, lp.n_toks,
+             CASE WHEN ppl <= p33 THEN 'head' ELSE 'middle' END AS bucket
+      FROM lp JOIN cuts USING (lang)
+      WHERE ppl <= p67
+    ),
+    deduped AS (
+      SELECT lang, bucket, n_toks FROM (
+        SELECT lang, bucket, n_toks,
+               row_number() OVER (PARTITION BY md5(lower(text))
+                                  ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS token_mass
+    FROM deduped GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    doc="Corpus-build capstone v2 — the round-11 curation shelf "
+    "COMPOSED end-to-end the way a pretraining data pipeline chains "
+    "them: Gopher rule gate (shared gopher_flags expressions, so the "
+    "capstone certifies the exact rules the stats row certifies) → "
+    "CCNet perplexity split fit on the full corpus, keep head+middle "
+    "per language → exact dedup (md5 fingerprint, first-doc keeper) → "
+    "per-(lang, bucket) document counts and token mass, the numbers a "
+    "mixture-weight schedule consumes.  Scale shape: rule gate is "
+    "map-side; LM fit is two partial-agg count tables; tercile cuts "
+    "broadcast; dedup is one fingerprint-keyed shuffle; final reduce "
+    "|langs|×2 cells.",
+)
+def corpus_build_pipeline_v2(spark: SparkSession, sf_dir: str):
+    from ..functions import text as T
+    from .features import gopher_flags
+
+    d = table(spark, sf_dir, "documents")
+    flags = gopher_flags(d)
+    survivors = flags.filter(
+        F.col("f_len")
+        + F.col("f_wl")
+        + F.col("f_alpha")
+        + F.col("f_stop")
+        + F.col("f_sym")
+        == 0
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda w: w != F.lit("")
+            )
+        ).alias("n_toks"),
+    )
+    ppl = T.bigram_surprisal(d).select("doc_id", "ppl")
+    lp = survivors.join(ppl, "doc_id")
+    cuts = lp.groupBy("lang").agg(
+        F.round(F.percentile("ppl", 1.0 / 3), 4).alias("p33"),
+        F.round(F.percentile("ppl", 2.0 / 3), 4).alias("p67"),
+    )
+    kept = (
+        lp.join(F.broadcast(cuts), "lang")
+        .filter(F.col("ppl") <= F.col("p67"))
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_toks",
+            F.when(F.col("ppl") <= F.col("p33"), "head")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("token_mass"),
+        )
+        .orderBy("lang", "bucket")
+    )

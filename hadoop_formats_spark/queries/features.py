@@ -774,6 +774,54 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str):
 # filters must be vocabulary-stable as the corpus grows).
 _GOPHER_STOPS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
+def gopher_flags(d):
+    """Per-document Gopher rule flags (0 = pass) over a documents-shaped
+    frame: returns (doc_id, lang, text, f_len, f_wl, f_alpha, f_stop,
+    f_sym).  Shared by the per-rule stats row and the v2 corpus
+    capstone so both certify the SAME rule expressions."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
+    n_words = F.size("toks")
+
+    def sum_int(arr):
+        return F.aggregate(arr, F.lit(0), lambda acc, x: acc + x)
+
+    mean_wl = sum_int(F.transform(F.col("toks"), F.length)).cast(
+        "double"
+    ) / n_words
+    alpha_frac = sum_int(
+        F.transform(
+            F.col("toks"),
+            lambda w: F.when(w.rlike("[a-z]"), 1).otherwise(0),
+        )
+    ).cast("double") / n_words
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda w: F.array_contains(stops, w))
+    )
+    symbol_frac = F.length(
+        F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+    ).cast("double") / F.length("text")
+
+    def fail(cond):
+        return F.when(cond, 0).otherwise(1)
+
+    return (
+        d.withColumn("toks", toks)
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            fail(n_words.between(20, 1000)).alias("f_len"),
+            fail(mean_wl.between(3.0, 5.0)).alias("f_wl"),
+            fail(alpha_frac > 0.8).alias("f_alpha"),
+            fail(stop_hits >= 2).alias("f_stop"),
+            fail(symbol_frac < 0.1).alias("f_sym"),
+        )
+    )
+
+
+
 
 @register(
     "text_gopher_quality_rules",
@@ -838,50 +886,7 @@ _GOPHER_STOPS = ("the", "and", "of", "to", "a", "in", "is", "for")
     "counting loop it generalizes.",
 )
 def text_gopher_quality_rules(spark: SparkSession, sf_dir: str):
-    d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
-    n_words = F.size("toks")
-    sum_int = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0), lambda acc, x: acc + x
-    )
-    mean_wl = sum_int(F.transform(F.col("toks"), F.length)).cast(
-        "double"
-    ) / n_words
-    alpha_frac = sum_int(
-        F.transform(
-            F.col("toks"),
-            lambda w: F.when(w.rlike("[a-z]"), 1).otherwise(0),
-        )
-    ).cast("double") / n_words
-    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
-    stop_hits = F.size(
-        F.filter(F.col("toks"), lambda w: F.array_contains(stops, w))
-    )
-    symbol_frac = F.length(
-        F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
-    ).cast("double") / F.length("text")
-
-    m = (
-        d.withColumn("toks", toks)
-        .filter(F.size("toks") > 0)
-        .select(
-            "lang",
-            n_words.alias("n_words"),
-            mean_wl.alias("mean_wl"),
-            alpha_frac.alias("alpha_frac"),
-            stop_hits.alias("stop_hits"),
-            symbol_frac.alias("symbol_frac"),
-        )
-    )
-    fail = lambda cond: F.when(cond, 0).otherwise(1)  # noqa: E731
-    r = m.select(
-        "lang",
-        fail(F.col("n_words").between(20, 1000)).alias("f_len"),
-        fail(F.col("mean_wl").between(3.0, 5.0)).alias("f_wl"),
-        fail(F.col("alpha_frac") > 0.8).alias("f_alpha"),
-        fail(F.col("stop_hits") >= 2).alias("f_stop"),
-        fail(F.col("symbol_frac") < 0.1).alias("f_sym"),
-    )
+    r = gopher_flags(table(spark, sf_dir, "documents"))
     return (
         r.groupBy("lang")
         .agg(

@@ -1573,3 +1573,17 @@ def test_ivfpq_candidates_restricted_to_probed_clusters(spark, sf_dir):
         if (r.query_id, cl[r.neighbor_id]) not in probe_set
     ]
     assert outside, "full ADC should reach unprobed clusters"
+
+
+def test_next_window_spans_cover_registry():
+    """tools/next_window.py derives changed-code re-grades from each
+    query's registration span; a registration it cannot locate would
+    silently fall out of the rotation (found once: a deferred-import
+    nested registration).  Every registered query must have a span."""
+    import sys
+    sys.path.insert(0, "tools")
+    from next_window import registration_spans
+
+    spans = registration_spans()
+    missing = set(QUERIES) - set(spans)
+    assert not missing, f"no registration span for {sorted(missing)}"
