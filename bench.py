@@ -399,6 +399,7 @@ def main() -> None:
         "transform_fim_split",
         "pack_length_bucketing_waste",
         "corpus_build_pipeline_v2",
+        "sample_hard_negatives_band",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -4857,3 +4857,61 @@ def ann_ivfpq_adc_recall_at_3(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sample_hard_negatives_band",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             {_COS_SQL} AS sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 100 = 0
+    ),
+    band AS (
+      SELECT anchor_id, neg_id, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, neg_id) AS rnk
+      FROM scored WHERE sim >= 0.15 AND sim < 0.45
+    )
+    SELECT anchor_id, neg_id, sim, CAST(rnk AS INT) AS rnk
+    FROM band WHERE rnk <= 4
+    ORDER BY anchor_id, rnk
+    """,
+    doc="Hard-negative mining for contrastive training (the data-prep "
+    "step behind every dual-encoder/embedding model): for each anchor, "
+    "the top-4 most-similar vectors inside the cosine band "
+    "[0.15, 0.45) — similar enough to be informative, dissimilar "
+    "enough to be safely negative (above the band they are likely "
+    "positives/duplicates, below it the gradient is uninformative; "
+    "band placed at this corpus's near-tail).  Candidate scoring here "
+    "is the broadcast-anchor exact scan (anchors are the small side; "
+    "the corpus never shuffles); at billion scale the SAME band "
+    "filter + per-anchor top-k runs over the IVF/LSH candidate "
+    "streams this registry grades separately — mining is a consumer "
+    "of the ANN index, not a new scan pattern.",
+)
+def sample_hard_negatives_band(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("ae")
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("be"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(S.cosine(F.col("ae"), F.col("be")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.filter((F.col("sim") >= 0.15) & (F.col("sim") < 0.45))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 4)
+        .orderBy("anchor_id", "rnk")
+    )
