@@ -96,6 +96,9 @@ QUERIES_TO_DUMP = [
     ("ann_ivfpq_adc_recall_at_3", "IVF-PQ: probe-restricted ADC scan over m-byte codes, exact rerank, recall vs exact (round 11)"),
     ("abtest_mann_whitney_u", "Mann-Whitney U: two-phase distributed prefix sum over value cells, no global window (round 11)"),
     ("ml_naive_bayes_score_confusion", "NB inference: broadcast model join + per-doc argmax window, exact integer scores (round 11)"),
+    ("corpus_build_pipeline_v2", "curation capstone v2: Gopher gate -> CCNet keep -> dedup -> mixture cells, one certified chain (round 11)"),
+    ("transform_fim_split", "FIM rewrite: map-side string arithmetic, content checksum, no text shuffle (round 11)"),
+    ("pack_length_bucketing_waste", "padding-waste audit: shard-local batch windows, arrival vs bucketed policies (round 11)"),
 ]
 
 
