@@ -400,6 +400,7 @@ def main() -> None:
         "pack_length_bucketing_waste",
         "corpus_build_pipeline_v2",
         "sample_hard_negatives_band",
+        "multimodal_resize_checksum",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -137,7 +137,11 @@ def resize_media(df: DataFrame, *, target_len: int = 64) -> DataFrame:
     STUB decode (no PIL in this container): the \"resize\" is a
     deterministic even-stride byte subsample standing in for a real
     pixel resample; the mapInPandas shape (binary in, binary out, same
-    partitioning) is exactly what a PIL/libav resize takes."""
+    partitioning) is exactly what a PIL/libav resize takes.  Sample
+    index i maps to source position (i·(L−1)) // (target_len−1) —
+    EXACT integer arithmetic (a float linspace truncation can land on
+    a different byte per engine/platform at integer boundaries, which
+    would break the SQL oracle's byte-level checksum)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -147,7 +151,12 @@ def resize_media(df: DataFrame, *, target_len: int = 64) -> DataFrame:
             if not payload:
                 return MAGIC_TAG
             arr = np.frombuffer(payload, dtype=np.uint8)
-            idx = np.linspace(0, len(arr) - 1, num=target_len).astype(np.int64)
+            if target_len == 1:
+                idx = np.zeros(1, dtype=np.int64)
+            else:
+                idx = (
+                    np.arange(target_len, dtype=np.int64) * (len(arr) - 1)
+                ) // (target_len - 1)
             return MAGIC_TAG + arr[idx].tobytes()
 
         for pdf in batches:

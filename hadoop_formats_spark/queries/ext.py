@@ -4915,3 +4915,75 @@ def sample_hard_negatives_band(spark, sf_dir):
         .filter(F.col("rnk") <= 4)
         .orderBy("anchor_id", "rnk")
     )
+
+
+@register(
+    "multimodal_resize_checksum",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE doc_id < 80
+    ),
+    sampled AS (
+      -- the stub resize keeps byte (i*(len-1)) // 63 for i in 0..63
+      SELECT doc_id, len, CAST(i AS INT) AS i,
+             ('0x' || substring(
+                h, CAST((i * (len - 1)) // 63 AS INT) * 2 + 1, 2)
+             )::INTEGER AS byte
+      FROM f, UNNEST(generate_series(0, 63)) AS t(i)
+      WHERE len > 0
+    )
+    SELECT doc_id,
+           CAST(64 + 4 AS INT) AS out_len,
+           CAST(sum(byte) AS BIGINT) AS byte_sum,
+           CAST(sum((i + 1) * byte) AS BIGINT) AS weighted_sum
+    FROM sampled
+    GROUP BY doc_id, len ORDER BY doc_id
+    """,
+    doc="Media resize plumbing, value-checked at the BYTE level (closes "
+    "the one multimodal operator that was pytest-only): the stub "
+    "resize keeps source byte (i·(L−1))//(target−1) for each of 64 "
+    "output positions — exact integer arithmetic, so the DuckDB "
+    "oracle re-derives every kept byte from hex(encode(text)) and the "
+    "graded surface carries a position-weighted checksum (any byte "
+    "out of place or out of order changes it).  The mapInPandas "
+    "shape (binary in, binary out, same partitioning) is exactly "
+    "what a real PIL/libav resample takes at 100 TB.",
+)
+def multimodal_resize_checksum(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    packed = M.pack_binary(d, "doc_id", "text")
+    resized = M.resize_media(packed, target_len=64)
+    # strip the 4-byte tag, hex the payload, explode the 64 kept bytes
+    # with positions (hex-string slicing — the frame-oracle pattern;
+    # the r9 canon crash rule keeps raw bytes out of graded columns)
+    hexed = resized.select(
+        "doc_id",
+        F.col("out_len").cast("int").alias("out_len"),
+        F.hex(F.expr("substring(media, 5, out_len - 4)")).alias("ph"),
+    )
+    b = hexed.select(
+        "doc_id",
+        "out_len",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "ph",
+    ).select(
+        "doc_id",
+        "out_len",
+        "i",
+        F.conv(F.expr("substring(ph, i * 2 + 1, 2)"), 16, 10)
+        .cast("long")
+        .alias("byte"),
+    )
+    return (
+        b.groupBy("doc_id", "out_len")
+        .agg(
+            F.sum("byte").cast("long").alias("byte_sum"),
+            F.sum((F.col("i") + 1) * F.col("byte"))
+            .cast("long")
+            .alias("weighted_sum"),
+        )
+        .select("doc_id", "out_len", "byte_sum", "weighted_sum")
+        .orderBy("doc_id")
+    )
