@@ -401,6 +401,7 @@ def main() -> None:
         "corpus_build_pipeline_v2",
         "sample_hard_negatives_band",
         "multimodal_resize_checksum",
+        "dq_quarantine_split_sink",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

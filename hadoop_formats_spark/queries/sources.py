@@ -538,3 +538,78 @@ def layout_zorder_pruned_scan(spark, sf_dir):
             .alias("total_cents"),
         )
     )
+
+
+def _quarantine_dirs(spark, sf_dir: str) -> tuple[str, str]:
+    """Write the events table through the DQ gate ONCE per sf dir:
+    rows failing any rule land in the quarantine dir, the rest in the
+    clean dir — the standard ETL split-sink (atomic-rename cached,
+    like every other sink fixture here)."""
+    from .registry import table as t
+
+    def write(which):
+        def _w(tmp):
+            e = t(spark, sf_dir, "events")
+            bad = (F.col("event_type") == "error") | (F.col("value") > 400)
+            df = e.filter(bad) if which == "q" else e.filter(~bad)
+            df.write.mode("overwrite").parquet(tmp)
+
+        return _w
+
+    qdir = _materialize(sf_dir, "events_dq_quarantine", write("q"))
+    cdir = _materialize(sf_dir, "events_dq_clean", write("c"))
+    return cdir, qdir
+
+
+@register(
+    "dq_quarantine_split_sink",
+    oracle="""
+    WITH flagged AS (
+      SELECT CASE WHEN event_type = 'error' OR value > 400
+                  THEN 'quarantine' ELSE 'clean' END AS side,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS r_err,
+             CASE WHEN value > 400 THEN 1 ELSE 0 END AS r_val,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT side,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(r_err) AS BIGINT) AS n_error_type,
+           CAST(sum(r_val) AS BIGINT) AS n_value_outlier,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM flagged GROUP BY side ORDER BY side
+    """,
+    doc="DQ quarantine split-sink — the ETL pattern dq_constraint_suite "
+    "only REPORTS on: rows failing any rule (error-typed events, "
+    "value outliers) are WRITTEN to a quarantine directory, the rest "
+    "to the clean directory, and the graded surface reads BOTH sinks "
+    "back and reconciles per-rule counts and an exact cents control "
+    "total against the source — certifying the split is lossless and "
+    "disjoint (clean + quarantine = source, rule counts land on the "
+    "right side).  At 100 TB both writes shard by partition and the "
+    "quarantine feeds a repair/replay pipeline instead of poisoning "
+    "downstream aggregates.",
+)
+def dq_quarantine_split_sink(spark, sf_dir):
+    cdir, qdir = _quarantine_dirs(spark, sf_dir)
+    clean = spark.read.parquet(cdir).withColumn("side", F.lit("clean"))
+    quar = spark.read.parquet(qdir).withColumn("side", F.lit("quarantine"))
+    both = clean.unionByName(quar)
+    return (
+        both.select(
+            "side",
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("r_err"),
+            F.when(F.col("value") > 400, 1).otherwise(0).alias("r_val"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("r_err").cast("long").alias("n_error_type"),
+            F.sum("r_val").cast("long").alias("n_value_outlier"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("side")
+    )
