@@ -402,6 +402,7 @@ def main() -> None:
         "sample_hard_negatives_band",
         "multimodal_resize_checksum",
         "dq_quarantine_split_sink",
+        "mapfile_get_closest_lookup",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

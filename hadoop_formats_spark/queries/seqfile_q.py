@@ -766,3 +766,109 @@ def gdpr_forget_users(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _mapfile_sparse_orders_dir(spark, sf_dir: str) -> str:
+    """Sparse (o_orderkey % 7 == 0) keyed MapFile parts — the keyspace
+    GAPS are the point: floor/ceiling probes between stored keys are
+    what getClosest exists for (the dense orders fixture always
+    exact-hits)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "orders_mapfile_sparse7")
+    if os.path.isdir(final) and any(
+        f.startswith("part-") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").cast("long").alias("key"),
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+        .repartitionByRange(4, "key")
+        .write.format("hadoop_map")
+        .option("block_records", "256")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
+@register(
+    "mapfile_get_closest_lookup",
+    oracle="""
+    WITH stored AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS v
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    probes AS (SELECT unnest([-5, 0, 3, 699, 1000, 1000000000]) AS probe),
+    fl AS (
+      SELECT p.probe, max(s.k) AS bk
+      FROM probes p LEFT JOIN stored s ON s.k <= p.probe
+      GROUP BY p.probe
+    ),
+    ce AS (
+      SELECT p.probe, min(s.k) AS ak
+      FROM probes p LEFT JOIN stored s ON s.k >= p.probe
+      GROUP BY p.probe
+    )
+    SELECT CAST(fl.probe AS BIGINT) AS probe,
+           CAST(coalesce(fl.bk, -1) AS BIGINT) AS floor_key,
+           round(coalesce(sb.v, 0.0), 2) AS floor_value,
+           CAST(coalesce(ce.ak, -1) AS BIGINT) AS ceil_key,
+           round(coalesce(sa.v, 0.0), 2) AS ceil_value
+    FROM fl JOIN ce USING (probe)
+    LEFT JOIN stored sb ON sb.k = fl.bk
+    LEFT JOIN stored sa ON sa.k = ce.ak
+    ORDER BY probe
+    """,
+    doc="MapFile.Reader.getClosest parity (R-family floor/ceiling point "
+    "lookup, hadoop MapFile.java getClosest(key, val, before)): probe "
+    "keys between, below, and above the stored sparse keyspace; each "
+    "probe binary-searches the driver-loaded index of each "
+    "range-partitioned part and decodes at most one short block range "
+    "per direction, then parts combine by max(floor)/min(ceiling) — "
+    "the as-of/snapshot point-read against a sorted keyed store.  "
+    "Beyond-parity note pinned in tests/test_mapfile.py: upstream "
+    "Hadoop's own getClosest(before=true) throws 'File is corrupt!' "
+    "for between-keys probes on ANY block-compressed MapFile "
+    "(including Hadoop-written ones); this reader answers them on "
+    "every layout.  Missing sides use -1/0.0 sentinels so the graded "
+    "schema stays integer-stable.",
+)
+def mapfile_get_closest_lookup(spark, sf_dir):
+    from ..seqfile import mapfile as M
+
+    root = _mapfile_sparse_orders_dir(spark, sf_dir)
+    parts = [
+        os.path.join(root, p)
+        for p in sorted(os.listdir(root))
+        if p.startswith("part-") and M._is_map_dir(os.path.join(root, p))
+    ]
+    rows = []
+    for probe in (-5, 0, 3, 699, 1000, 10**9):
+        floors = [
+            r
+            for d in parts
+            if (r := M.map_get_closest(d, probe, before=True)) is not None
+        ]
+        ceils = [
+            r
+            for d in parts
+            if (r := M.map_get_closest(d, probe, before=False)) is not None
+        ]
+        fk, fv = max(floors) if floors else (-1, 0.0)
+        ak, av = min(ceils) if ceils else (-1, 0.0)
+        rows.append((probe, fk, round(fv, 2), ak, round(av, 2)))
+    return spark.createDataFrame(
+        rows,
+        "probe long, floor_key long, floor_value double, "
+        "ceil_key long, ceil_value double",
+    ).orderBy("probe")

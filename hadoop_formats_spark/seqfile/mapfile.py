@@ -297,3 +297,45 @@ def map_get(path: str, key):
         if j < len(keys) and keys[j] == key:
             return block.values[j].as_py()
     return None
+
+
+def map_get_closest(path: str, key, *, before: bool = False):
+    """``MapFile.Reader.getClosest`` semantics
+    (hadoop MapFile.java getClosest(key, val, before)): return
+    ``(found_key, value)`` for the smallest stored key >= ``key``
+    (default), or the largest stored key <= ``key`` when
+    ``before=True``; ``None`` when no such key exists.  Like
+    ``map_get``, one index binary-search then at most a short ordered
+    block-range decode — the floor/ceiling point lookup an as-of or
+    snapshot read needs against a sorted keyed store."""
+    idx = read_index(path)
+    if not idx.positions:
+        return None
+    data = os.path.join(path, DATA_FILE)
+    if before:
+        i = bisect_right(idx.keys, key) - 1
+        if i < 0:
+            return None  # key sorts before the file's first key
+        start = idx.positions[i]
+        end = idx.positions[i + 1] if i + 1 < len(idx.positions) else idx.data_size
+        best = None
+        for block in core.iter_blocks(
+            data, start=start, end=end, exact_start=True
+        ):
+            keys = block.keys.to_pylist()
+            j = bisect_right(keys, key) - 1
+            if j >= 0:
+                best = (keys[j], block.values[j].as_py())
+        return best
+    if idx.last_key is not None and key > idx.last_key:
+        return None  # beyond the keyspace: no block decode at all
+    i = max(bisect_right(idx.keys, key) - 1, 0)
+    start = idx.positions[i]
+    for block in core.iter_blocks(
+        data, start=start, end=idx.data_size, exact_start=True
+    ):
+        keys = block.keys.to_pylist()
+        j = bisect_left(keys, key)
+        if j < len(keys):
+            return (keys[j], block.values[j].as_py())
+    return None

@@ -271,3 +271,85 @@ def test_last_key_metadata_full_prune(tmp_path):
 def test_hadoop_written_files_have_no_last_key(jvm_map_dir):
     idx = M.read_index(jvm_map_dir)
     assert idx.last_key is None  # graceful: falls back to final-block scan
+
+
+def test_get_closest_python_semantics(map_dir):
+    # exact hit returns itself in both directions
+    assert M.map_get_closest(map_dir, "k00150") == ("k00150", 450)
+    assert M.map_get_closest(map_dir, "k00150", before=True) == ("k00150", 450)
+    # between keys: ceiling vs floor
+    assert M.map_get_closest(map_dir, "k00150x") == ("k00151", 453)
+    assert M.map_get_closest(map_dir, "k00150x", before=True) == ("k00150", 450)
+    # before the first key: no floor, ceiling = first
+    assert M.map_get_closest(map_dir, "a", before=True) is None
+    assert M.map_get_closest(map_dir, "a") == ("k00000", 0)
+    # after the last key: no ceiling (no block decode), floor = last
+    assert M.map_get_closest(map_dir, "z") is None
+    assert M.map_get_closest(map_dir, "z", before=True) == ("k04999", 14997)
+
+
+def test_get_closest_matches_jvm(spark, map_dir):
+    """Same answers as Hadoop's own MapFile.Reader.getClosest on the
+    same file, for probes straddling index boundaries.
+
+    Caveat discovered while pinning this: upstream Hadoop's
+    getClosest(key, val, before=true) throws "File is corrupt!" for a
+    BETWEEN-KEYS probe on any BLOCK-compressed MapFile — including
+    files Hadoop itself wrote (verified directly; seekInternal's
+    backward tracking does not handle block boundaries).  Our reader
+    answers those probes correctly on every layout
+    (test_get_closest_python_semantics), so the JVM cross-check skips
+    exactly the (block, before, between-keys) combinations upstream
+    cannot answer — beyond-parity, not a gap."""
+    import os
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    reader = jvm.org.apache.hadoop.io.MapFile.Reader(fs, map_dir, conf)
+    Text = jvm.org.apache.hadoop.io.Text
+    LW = jvm.org.apache.hadoop.io.LongWritable
+    val = LW()
+    is_block = os.path.basename(map_dir) == "block"
+    exact = {"k00000", "k00512", "k04999"}
+    probes = ["k00000", "k00511x", "k00512", "k02047z", "k04999", "k0245"]
+    for p in probes:
+        for before in (False, True):
+            if before and is_block and p not in exact:
+                continue  # upstream JVM bug (see docstring)
+            jk = reader.getClosest(Text(p), val, before)
+            ours = M.map_get_closest(map_dir, p, before=before)
+            if jk is None:
+                assert ours is None, (p, before, ours)
+            else:
+                assert ours == (str(jk), val.get()), (p, before, ours)
+    reader.close()
+
+
+def test_jvm_get_closest_before_block_is_broken_upstream(spark, map_dir):
+    """Pin the upstream asymmetry: on BLOCK-compressed MapFiles the
+    JVM's own getClosest(before=true) raises for between-keys probes
+    (even on Hadoop-written files), while our reader answers them.
+    If a Hadoop upgrade ever fixes this, this test fails and the skip
+    in test_get_closest_matches_jvm should be removed."""
+    import os
+
+    import py4j.protocol
+    import pytest as _pytest
+
+    if os.path.basename(map_dir) != "block":
+        _pytest.skip("upstream failure is specific to BLOCK compression")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    reader = jvm.org.apache.hadoop.io.MapFile.Reader(fs, map_dir, conf)
+    Text = jvm.org.apache.hadoop.io.Text
+    LW = jvm.org.apache.hadoop.io.LongWritable
+    with _pytest.raises(py4j.protocol.Py4JJavaError, match="File is corrupt"):
+        reader.getClosest(Text("k00511x"), LW(), True)
+    reader.close()
+    # ours answers the same probe, on the same file
+    assert M.map_get_closest(map_dir, "k00511x", before=True) == (
+        "k00511",
+        511 * 3,
+    )
