@@ -403,6 +403,7 @@ def main() -> None:
         "multimodal_resize_checksum",
         "dq_quarantine_split_sink",
         "mapfile_get_closest_lookup",
+        "stream_dq_quarantine_split",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

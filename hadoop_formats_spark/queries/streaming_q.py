@@ -1057,3 +1057,81 @@ def stream_foreach_batch_upsert(spark, sf_dir):
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "stream_dq_quarantine_split",
+    oracle="""
+    WITH flagged AS (
+      SELECT CASE WHEN event_type = 'error' OR value > 400
+                  THEN 'quarantine' ELSE 'clean' END AS side,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS r_err,
+             CASE WHEN value > 400 THEN 1 ELSE 0 END AS r_val,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT side,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(r_err) AS BIGINT) AS n_error_type,
+           CAST(sum(r_val) AS BIGINT) AS n_value_outlier,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM flagged GROUP BY side ORDER BY side
+    """,
+    doc="Streaming DQ quarantine split — the live twin of the batch "
+    "dq_quarantine_split_sink row: a foreachBatch dual-sink routes "
+    "each microbatch's rule-failing rows to the quarantine directory "
+    "and the rest to the clean directory, writing every batch into "
+    "its own batch=<id> subdirectory with overwrite semantics — the "
+    "replay-idempotence discipline foreachBatch (at-least-once) "
+    "requires: a re-delivered batch overwrites its own subdirectory "
+    "byte-identically instead of duplicating rows.  The graded "
+    "surface reads BOTH sinks back and reconciles per-rule counts + "
+    "an exact cents control total against the batch source — the "
+    "split is lossless and disjoint under streaming delivery.",
+)
+def stream_dq_quarantine_split(spark, sf_dir):
+    import os
+    import tempfile
+
+    s = _events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="dq_split_")
+    cdir, qdir = os.path.join(base, "clean"), os.path.join(base, "quarantine")
+    bad = (F.col("event_type") == "error") | (F.col("value") > 400)
+
+    def sink(df, batch_id):
+        # per-batch subdirectory + overwrite = idempotent on replay
+        df.filter(bad).write.mode("overwrite").parquet(
+            f"{qdir}/batch={batch_id}"
+        )
+        df.filter(~bad).write.mode("overwrite").parquet(
+            f"{cdir}/batch={batch_id}"
+        )
+
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    clean = spark.read.parquet(cdir).withColumn("side", F.lit("clean"))
+    quar = spark.read.parquet(qdir).withColumn("side", F.lit("quarantine"))
+    return (
+        clean.unionByName(quar)
+        .select(
+            "side",
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("r_err"),
+            F.when(F.col("value") > 400, 1).otherwise(0).alias("r_val"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("r_err").cast("long").alias("n_error_type"),
+            F.sum("r_val").cast("long").alias("n_value_outlier"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("side")
+    )
