@@ -414,58 +414,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # first, then post-fix non-green, then changed-code-first via git log
 # -L over each registration span + referenced operator modules, then
 # oldest-green round-robin across families).  This list is that tool's
-# verbatim output at the r11 freeze; regenerate it each round.
+# verbatim output at the r12 freeze; regenerate it each round.
 PRIORITY_ORDER = [
-    "join_asof_forward_tolerance",  # never-graded
-    "sql_recursive_cte_calendar_gaps",  # never-graded
-    "sql_lateral_topk_nations_per_region",  # never-graded
-    "stream_dedup_within_watermark",  # never-graded
-    "stream_stream_left_outer_unconverted",  # never-graded
-    "gdpr_forget_users",  # never-graded
-    "xml_write_read_roundtrip",  # never-graded
-    "partition_overwrite_dynamic",  # never-graded
-    "ml_naive_bayes_lang_train",  # never-graded
-    "feature_hashing_trick",  # never-graded
-    "approx_distinct_quantiles",  # non-green r10
-    "multimodal_decode_features",  # non-green r10
-    "pivot_priority_by_status",  # changed since r04: span hadoop_formats_spark/queries/parity.py:829-853
-    "ann_ivf_topk",  # changed since r03: span hadoop_formats_spark/queries/ext.py:514-554
-    "text_token_counts",  # changed since r03: span hadoop_formats_spark/queries/ext.py:1076-1102
-    "text_fingerprint_dups",  # changed since r03: span hadoop_formats_spark/queries/ext.py:1315-1335
-    "stream_stateful_user_stats",  # changed since r06: span hadoop_formats_spark/queries/streaming_q.py:217-231
-    "stream_minhash_band_dedup",  # changed since r06: span hadoop_formats_spark/queries/streaming_q.py:503-572
-    "stream_ttl_band_registry",  # changed since r08: span hadoop_formats_spark/queries/streaming_q.py:750-826
-    "compact_small_files",  # changed since r09: span hadoop_formats_spark/queries/sources.py:276-328
-    "embedding_quantize_int8_error",  # oldest-green r03 [embedding]
-    "join_interval_binned_price_band",  # oldest-green r03 [join]
-    "kmeans_cluster_profile",  # oldest-green r03 [kmeans]
-    "seqfile_block_count_fast_path",  # oldest-green r03 [seqfile]
-    "sessionize_events_batch",  # oldest-green r03 [sessionize]
-    "multimodal_metadata",  # oldest-green r04 [multimodal]
-    "pii_scrub_stats",  # oldest-green r04 [pii]
-    "string_functions",  # oldest-green r04 [string]
-    "subquery_correlated_above_cust_avg",  # oldest-green r04 [subquery]
-    "text_quality_score",  # oldest-green r04 [text]
-    "url_canonical_dedup",  # oldest-green r04 [url]
-    "ann_filtered_topk",  # oldest-green r05 [ann]
-    "bloommap_probe_batch",  # oldest-green r05 [bloommap]
-    "bpe_train_merges",  # oldest-green r05 [bpe]
-    "dedup_embedding_lsh_blocked",  # oldest-green r05 [dedup]
-    "graph_pagerank_suppliers",  # oldest-green r05 [graph]
-    "grouping_sets_time_rollup",  # oldest-green r05 [grouping]
-    "mapfile_range_scan",  # oldest-green r05 [mapfile]
-    "mv_incremental_maintenance",  # oldest-green r05 [mv]
-    "pq_encode_stats",  # oldest-green r05 [pq]
-    "sample_token_budget",  # oldest-green r05 [sample]
-    "setfile_dedup_ledger",  # oldest-green r05 [setfile]
-    "sketch_count_min_heavy_hitters",  # oldest-green r05 [sketch]
-    "snapshot_diff_orders",  # oldest-green r05 [snapshot]
-    "sort_topk_revenue_parts",  # oldest-green r05 [sort]
-    "stream_chained_windowed_aggs",  # oldest-green r05 [stream]
-    "q17_small_quantity_revenue",  # oldest-green r05 [tpch]
-    "window_topk_orders_per_customer",  # oldest-green r05 [window]
-    "array_explode_word_counts",  # oldest-green r06 [array]
-    "corpus_build_pipeline",  # oldest-green r06 [corpus]
+    "set_bag_ops_shipyear",  # never-graded
+    "join_null_safe_priority",  # never-graded
+    "map_higher_order_funcs",  # never-graded
+    "sql_group_order_by_all",  # never-graded
+    "agg_listagg_within_group",  # never-graded
+    "scalar_try_functions",  # never-graded
+    "udf_arrow_scalar_margin",  # never-graded
+    "ann_ivfpq_adc_recall_at_3",  # never-graded
+    "sample_hard_negatives_band",  # never-graded
+    "multimodal_resize_checksum",  # never-graded
+    "abtest_mann_whitney_u",  # never-graded
+    "stream_dq_quarantine_split",  # never-graded
+    "mapfile_get_closest_lookup",  # never-graded
+    "curation_ccnet_ppl_buckets",  # never-graded
+    "transform_fim_split",  # never-graded
+    "pack_length_bucketing_waste",  # never-graded
+    "corpus_build_pipeline_v2",  # never-graded
+    "layout_zorder_pruned_scan",  # never-graded
+    "dq_quarantine_split_sink",  # never-graded
+    "text_gopher_quality_rules",  # never-graded
+    "ml_naive_bayes_score_confusion",  # never-graded
+    "ml_logreg_calibration_bins",  # never-graded
+    "approx_distinct_quantiles",  # non-green r11
+    "ml_logreg_quality_train",  # changed since r09: span hadoop_formats_spark/queries/features.py:488-529
+    "seqfile_metadata_roundtrip",  # oldest-green r04 [seqfile]
+    "dedup_incremental_batch",  # oldest-green r05 [dedup]
+    "join_inner_revenue_by_nation",  # oldest-green r05 [join]
+    "sample_weighted_quality",  # oldest-green r05 [sample]
+    "sketch_kmv_distinct_union",  # oldest-green r05 [sketch]
+    "stream_dedup_by_user_type",  # oldest-green r05 [stream]
+    "text_lang_id_confusion",  # oldest-green r05 [text]
+    "q21_waiting_suppliers",  # oldest-green r05 [tpch]
+    "ann_ivf_recall_at_3",  # oldest-green r06 [ann]
+    "curation_pipeline_docs",  # oldest-green r06 [curation]
+    "date_functions",  # oldest-green r06 [date]
+    "dq_constraint_suite",  # oldest-green r06 [dq]
+    "graph_copurchase_pairs",  # oldest-green r06 [graph]
+    "mapfile_point_lookup",  # oldest-green r06 [mapfile]
+    "multimodal_audio_window_counts",  # oldest-green r06 [multimodal]
+    "pareto_frontier_quality_length",  # oldest-green r06 [pareto]
+    "parquet_partitioned_pruned_read",  # oldest-green r06 [parquet]
+    "privacy_k_anonymity",  # oldest-green r06 [privacy]
+    "scd2_dimension_merge",  # oldest-green r06 [scd2]
+    "search_hybrid_rrf",  # oldest-green r06 [search]
+    "set_intersect_except",  # oldest-green r06 [set]
+    "sql_entry_revenue_by_segment",  # oldest-green r06 [sql]
+    "stats_outlier_zscore",  # oldest-green r06 [stats]
+    "timeseries_resample_ffill",  # oldest-green r06 [timeseries]
+    "udf_pandas_grouped_weighted_avg",  # oldest-green r06 [udf]
+    "window_range_frame_spend",  # oldest-green r06 [window]
 ]
 
 
