@@ -1379,9 +1379,13 @@ def pq_adc_topk(
     query only scores candidates whose ``centroid_id`` (which
     ``encoded`` must then carry) is among its probed clusters, i.e.
     the inverted-list restriction of a production IVF-PQ index.  The
-    probe sets ride the same broadcast as the LUTs; unprobed
-    candidates are masked out BEFORE the partition-local top-k, so
-    the per-partition work drops proportionally to nprobe/k_clusters."""
+    probe sets ride the same broadcast as the LUTs; batch rows outside
+    the UNION of all queries' probe sets are dropped BEFORE the ADC
+    accumulation (per-partition compute shrinks with the union probe
+    coverage), and the per-query mask then restricts each query to its
+    own clusters before the partition-local top-k.  Every query id
+    must appear in ``probes`` — a missing one raises ValueError rather
+    than silently returning no candidates."""
     import numpy as np
     import pandas as pd
 
@@ -1425,8 +1429,18 @@ def pq_adc_topk(
             q: np.array(sorted(cs), dtype=np.int64)
             for q, cs in probe_map.items()
         }
+        missing = sorted(set(q_ids.tolist()) - probe_map.keys())
+        if missing:
+            raise ValueError(
+                f"pq_adc_topk: query ids missing from probes: {missing}"
+            )
+    all_probed = (
+        np.unique(np.concatenate(list(probe_map.values())))
+        if probe_map
+        else None
+    )
     bc = encoded.sparkSession.sparkContext.broadcast(
-        (q_ids, luts, probe_map)
+        (q_ids, luts, probe_map, all_probed)
     )
     if bc_out is not None:
         bc_out.append(bc)
@@ -1437,7 +1451,7 @@ def pq_adc_topk(
     src = encoded.select(*cols)
 
     def scan(batches):
-        q_ids_, luts_, probe_map_ = bc.value
+        q_ids_, luts_, probe_map_, all_probed_ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1446,6 +1460,13 @@ def pq_adc_topk(
             cids_b = (
                 pdf["cid"].to_numpy() if probe_map_ is not None else None
             )
+            if all_probed_ is not None:
+                # inverted-list restriction: rows in clusters no query
+                # probes never enter the ADC accumulation at all
+                keep = np.isin(cids_b, all_probed_)
+                if not keep.any():
+                    continue
+                ids, codes, cids_b = ids[keep], codes[keep], cids_b[keep]
             # left-to-right accumulation: 0 + a_0 + a_1 + … matches the
             # oracle's literal a_0 + a_1 + … (0 + x is IEEE-exact)
             D = np.zeros((len(ids), len(q_ids_)))
@@ -1456,9 +1477,8 @@ def pq_adc_topk(
                 col = D[:, j]
                 mask = ids != q_ids_[j]
                 if probe_map_ is not None:
-                    pset = probe_map_.get(int(q_ids_[j]))
-                    if pset is None:
-                        continue
+                    # driver validated coverage; [] would raise KeyError
+                    pset = probe_map_[int(q_ids_[j])]
                     mask &= np.isin(cids_b, pset)
                 cid, cd = ids[mask], col[mask]
                 if len(cid) > k:

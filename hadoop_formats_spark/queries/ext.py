@@ -4862,11 +4862,39 @@ def ann_ivfpq_adc_recall_at_3(spark, sf_dir):
 @register(
     "sample_hard_negatives_band",
     oracle=f"""
-    WITH scored AS (
-      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
-             {_COS_SQL} AS sim
-      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-      WHERE a.vec_id % 100 = 0
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'v.embedding').replace('b.embedding', 'c.embedding').replace(', 4)', ', 6)')} DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS aemb FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    probes AS (
+      SELECT anchor_id, aemb, centroid_id AS probe FROM (
+        SELECT a.anchor_id, a.aemb, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.anchor_id
+                 ORDER BY {_COS_SQL.replace('a.embedding', 'a.aemb').replace('b.embedding', 'c.embedding').replace(', 4)', ', 6)')} DESC,
+                          c.centroid_id) AS rn
+        FROM anchors a CROSS JOIN centroids c
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.anchor_id, v.vec_id AS neg_id,
+             {_COS_SQL.replace('a.embedding', 'p.aemb').replace('b.embedding', 'v.embedding')} AS sim
+      FROM probes p JOIN assigned v ON v.centroid_id = p.probe
+      WHERE v.vec_id <> p.anchor_id
     ),
     band AS (
       SELECT anchor_id, neg_id, sim,
@@ -4879,33 +4907,65 @@ def ann_ivfpq_adc_recall_at_3(spark, sf_dir):
     ORDER BY anchor_id, rnk
     """,
     doc="Hard-negative mining for contrastive training (the data-prep "
-    "step behind every dual-encoder/embedding model): for each anchor, "
-    "the top-4 most-similar vectors inside the cosine band "
-    "[0.15, 0.45) — similar enough to be informative, dissimilar "
-    "enough to be safely negative (above the band they are likely "
-    "positives/duplicates, below it the gradient is uninformative; "
-    "band placed at this corpus's near-tail).  Candidate scoring here "
-    "is the broadcast-anchor exact scan (anchors are the small side; "
-    "the corpus never shuffles); at billion scale the SAME band "
-    "filter + per-anchor top-k runs over the IVF/LSH candidate "
-    "streams this registry grades separately — mining is a consumer "
-    "of the ANN index, not a new scan pattern.",
+    "step behind every dual-encoder/embedding model), mined from the "
+    "IVF PROBE CANDIDATE STREAM — the scale shape: each anchor scores "
+    "only the corpus rows whose inverted list (nearest-centroid "
+    "assignment, the same ivf_assign the ANN rows grade) is among its "
+    "nprobe=4 probed clusters, so per-anchor candidate cost is "
+    "nprobe/k_clusters of the corpus instead of the full O(anchors x "
+    "N) broadcast scan the r11 shape ran.  Within that stream the "
+    "top-4 by exact cosine inside the band [0.15, 0.45) are kept — "
+    "similar enough to be informative, dissimilar enough to be safely "
+    "negative (above the band they are likely positives/duplicates, "
+    "below it the gradient is uninformative).  The probe restriction "
+    "only ever REMOVES candidates, so every mined row also lies in "
+    "the exact-scan band — pytest pins that subset property plus "
+    "recall against the unrestricted scan (the "
+    "ann_ivfpq_adc_recall_at_3 pattern); the oracle unrolls IVF "
+    "assignment, probe ranking, and the banded window in SQL.",
 )
 def sample_hard_negatives_band(spark, sf_dir):
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
     anchors = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("ae")
     )
-    scored = (
-        e.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("be"))
-        .crossJoin(F.broadcast(anchors))
-        .filter(F.col("neg_id") != F.col("anchor_id"))
+    assigned = S.ivf_assign(e, centroids)
+    c = centroids.select(
+        F.col("centroid_id").alias("probe"), F.col("embedding").alias("cvec")
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.desc("csim"), F.asc("probe")
+    )
+    probes = (
+        anchors.crossJoin(F.broadcast(c))
         .select(
             "anchor_id",
-            "neg_id",
-            F.round(S.cosine(F.col("ae"), F.col("be")), 4).alias("sim"),
+            "ae",
+            "probe",
+            F.round(S.cosine(F.col("ae"), F.col("cvec")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 4)
+        .select("anchor_id", "ae", "probe")
+    )
+    # inverted-list restriction: corpus side stays put, the tiny
+    # (anchors x nprobe) probe frame broadcasts onto it
+    scored = (
+        assigned.join(
+            F.broadcast(probes), F.col("centroid_id") == F.col("probe")
+        )
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(S.cosine(F.col("ae"), F.col("embedding")), 4).alias(
+                "sim"
+            ),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))

@@ -2139,8 +2139,8 @@ def udtf_sentence_explode(spark, sf_dir):
     ORDER BY op, l_returnflag
     """,
     doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): the "
-    "multiset of (returnflag, quantity) rows shipped by AIR minus / "
-    "intersected with the TRUCK multiset, keeping duplicate "
+    "multiset of (returnflag, quantity) rows shipped in 1996 minus / "
+    "intersected with the 1997-shipped multiset, keeping duplicate "
     "MULTIPLICITIES (a row appearing 5x in 1996 and 2x in 1997 "
     "survives EXCEPT ALL 3x and INTERSECT ALL 2x — the distinct-"
     "semantics row set_intersect_except cannot express).  Spark plans "
@@ -2150,20 +2150,20 @@ def udtf_sentence_explode(spark, sf_dir):
 )
 def set_bag_ops_shipyear(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    air = li.filter(F.year("l_shipdate") == 1996).select(
+    y96 = li.filter(F.year("l_shipdate") == 1996).select(
         "l_returnflag", "l_quantity"
     )
-    truck = li.filter(F.year("l_shipdate") == 1997).select(
+    y97 = li.filter(F.year("l_shipdate") == 1997).select(
         "l_returnflag", "l_quantity"
     )
     diff = (
-        air.exceptAll(truck)
+        y96.exceptAll(y97)
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"))
         .select(F.lit("except_all").alias("op"), "l_returnflag", "n")
     )
     both = (
-        air.intersectAll(truck)
+        y96.intersectAll(y97)
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"))
         .select(F.lit("intersect_all").alias("op"), "l_returnflag", "n")

