@@ -1773,22 +1773,59 @@ def udf_pandas_grouped_weighted_avg(spark, sf_dir):
 
 @register(
     "approx_distinct_quantiles",
-    oracle=None,  # approx_* excluded from hash-match by design (SURVEY §2.2)
-    doc="approx_count_distinct + approx quantiles (rows-only check).  The "
-    "three percentiles are emitted as SCALAR columns, not array<double>: "
-    "the driver canonicalizer factorizes values through a pandas hash "
-    "table, and any unhashable cell (list/bytes/dict) crashes the row "
-    "before even a row count (r10 post-mortem, same class as the r9 "
-    "bytearray crash).",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           quantile_cont(l_extendedprice, 0.5)       AS p50,
+           quantile_cont(l_extendedprice, 0.9)       AS p90,
+           quantile_cont(l_extendedprice, 0.99)      AS p99,
+           TRUE AS ok_cd, TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM lineitem
+    """,
+    doc="approx_count_distinct (HLL++) + approx_percentile (KLL-style "
+    "quantile summary), graded against a REAL oracle (closes the last "
+    "rows-only row, VERDICT r11 item 4): the graded columns are the "
+    "EXACT distinct count and exact interpolated percentiles (the "
+    "quantile_cont parity agg_exact_percentiles proved) plus four "
+    "booleans certifying each approx value sits inside its documented "
+    "error bound — |hll - exact| <= 3·rsd·exact (default rsd 0.05) "
+    "and each approx percentile between the exact (q-0.01) and "
+    "(q+0.01) quantiles (default accuracy 10000 bounds rank error at "
+    "N/10000, far inside that band).  The approx values themselves "
+    "stay out of the hash per SURVEY §2.2 — the sketches are "
+    "engine-specific — but the booleans turn 'approx ran' into "
+    "'approx is RIGHT': any drift past the bound flips a boolean and "
+    "reddens the row.  Both sketch aggs are single-pass partial "
+    "aggregates (mergeable sketches — the 100 TB shape).",
 )
 def approx_distinct_quantiles(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.element_at(pcts, 1).alias("p50"),
-        F.element_at(pcts, 2).alias("p90"),
-        F.element_at(pcts, 3).alias("p99"),
+    exacts = F.expr(
+        "percentile(l_extendedprice,"
+        " array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0))"
+    )
+    a = li.agg(
+        F.approx_count_distinct("l_partkey").alias("hll_parts"),
+        F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+        F.element_at(pcts, 1).alias("a50"),
+        F.element_at(pcts, 2).alias("a90"),
+        F.element_at(pcts, 3).alias("a99"),
+        exacts.alias("ex"),
+    )
+    ex = lambda i: F.element_at("ex", i)  # noqa: E731
+    band = lambda v, lo, hi: (v >= ex(lo)) & (v <= ex(hi))  # noqa: E731
+    return a.select(
+        "exact_parts",
+        ex(2).alias("p50"),
+        ex(5).alias("p90"),
+        ex(8).alias("p99"),
+        (
+            F.abs(F.col("hll_parts") - F.col("exact_parts"))
+            <= 3 * 0.05 * F.col("exact_parts")
+        ).alias("ok_cd"),
+        band(F.col("a50"), 1, 3).alias("ok_p50"),
+        band(F.col("a90"), 4, 6).alias("ok_p90"),
+        band(F.col("a99"), 7, 9).alias("ok_p99"),
     )
 
 
