@@ -2257,3 +2257,182 @@ def abtest_mann_whitney_u(spark: SparkSession, sf_dir: str):
         .alias("u1_twice"),
         F.round((u1 - n1 * n2 / 2.0) / sigma, 4).alias("z"),
     )
+
+
+# O'Brien-Fleming boundary constant C_B(K=5, two-sided alpha=0.05):
+# the classic tabulated value (Jennison & Turnbull, "Group Sequential
+# Methods", Table 2.3; O'Brien & Fleming 1979).  The look-k critical
+# value is C / sqrt(k/K) — very conservative early, ~z_alpha at the
+# final look.  Identical literal in the Spark builder and the DuckDB
+# oracle so both engines derive bit-identical bounds.
+_OBF_C_K5_A05 = 2.0400
+
+
+@register(
+    "abtest_sequential_obf",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    ev AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             least(5, 1 + CAST(floor(
+               5.0 * (CAST(floor(epoch(ts)) AS BIGINT) - mn)
+                   / (mx - mn + 1)) AS INT)) AS look
+      FROM events, b
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    per_ul AS (
+      SELECT user_id, look, CAST(sum(cents) AS BIGINT) AS inc
+      FROM ev GROUP BY user_id, look
+    ),
+    enroll AS (
+      SELECT user_id, min(look) AS first_look,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM per_ul GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, arm, UNNEST(generate_series(first_look, 5)) AS look
+      FROM enroll
+    ),
+    cumt AS (
+      SELECT g.user_id, g.arm, g.look,
+             CAST(sum(coalesce(p.inc, 0)) OVER (
+               PARTITION BY g.user_id ORDER BY g.look) AS DOUBLE) AS cum
+      FROM grid g LEFT JOIN per_ul p
+        ON g.user_id = p.user_id AND g.look = p.look
+    ),
+    agg AS (
+      SELECT look,
+             CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+             avg(CASE WHEN arm = 'A' THEN cum END) AS ma,
+             avg(CASE WHEN arm = 'B' THEN cum END) AS mb,
+             var_samp(CASE WHEN arm = 'A' THEN cum END) AS va,
+             var_samp(CASE WHEN arm = 'B' THEN cum END) AS vb
+      FROM cumt GROUP BY look
+    ),
+    z AS (
+      SELECT look, n_a, n_b,
+             round(ma, 4) AS mean_a,
+             round(mb, 4) AS mean_b,
+             round((mb - ma) / sqrt(va / n_a + vb / n_b), 4) AS z,
+             round(2.0400 / sqrt(look / 5.0), 4) AS obf_bound
+      FROM agg
+    )
+    SELECT CAST(look AS INT) AS look,
+           round(look / 5.0, 2) AS info_frac,
+           n_a, n_b, mean_a, mean_b, z, obf_bound,
+           abs(z) > obf_bound AS crossed
+    FROM z ORDER BY look
+    """,
+    doc="Group-sequential A/B guard with O'Brien-Fleming bounds "
+    "(O'Brien & Fleming 1979; Jennison & Turnbull Table 2.3): the "
+    "events time range is cut into K=5 interim looks, users enter the "
+    "experiment at their first event's look (deterministic md5 arm "
+    "assignment, the CUPED/SRM convention), and each look reports the "
+    "cumulative per-user spend z-statistic for B-minus-A against the "
+    "OBF critical value C/sqrt(k/K) with C=2.0400 — the standard "
+    "peeking-safe early-stopping rule the shelf's fixed-horizon tests "
+    "(SRM/CUPED/bootstrap/power/KS/Mann-Whitney) do not provide. "
+    "Values quantize to integer cents so per-user cumulative sums are "
+    "exact; means/variances are double only at the final K-row "
+    "reduction.  Scale shape: one events scan -> per-(user, look) "
+    "partial agg (<= 5 cells per user), a K-bounded sequence explode "
+    "on the |users|-sized enroll table, one user-partitioned window "
+    "over <= 5 rows each, and a K-row final reduce.  The fact table "
+    "shuffles once (on user_id, reused by the groupBy, the explode "
+    "join, and the window); nothing downstream exceeds 5x|users| "
+    "rows, so the plan is flat in events-per-user and linear in "
+    "users at any scale.",
+)
+def abtest_sequential_obf(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    K = 5
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    s = F.unix_timestamp("ts").cast("long")
+    b = e.agg(F.min(s).alias("mn"), F.max(s).alias("mx"))
+    ev = e.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.least(
+            F.lit(K),
+            1
+            + F.floor(
+                F.lit(float(K))
+                * (s - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            ).cast("int"),
+        ).alias("look"),
+    )
+    per_ul = ev.groupBy("user_id", "look").agg(F.sum("cents").alias("inc"))
+    enroll = per_ul.groupBy("user_id").agg(
+        F.min("look").alias("first_look")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    grid = enroll.select(
+        "user_id",
+        "arm",
+        F.explode(F.sequence(F.col("first_look"), F.lit(K))).alias("look"),
+    )
+    cum = (
+        grid.join(per_ul, ["user_id", "look"], "left")
+        .withColumn("inc", F.coalesce(F.col("inc"), F.lit(0)))
+        .withColumn(
+            "cum",
+            F.sum("inc")
+            .over(Window.partitionBy("user_id").orderBy("look"))
+            .cast("double"),
+        )
+    )
+    agg = cum.groupBy("look").agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
+        F.avg(F.when(F.col("arm") == "A", F.col("cum"))).alias("ma"),
+        F.avg(F.when(F.col("arm") == "B", F.col("cum"))).alias("mb"),
+        F.var_samp(F.when(F.col("arm") == "A", F.col("cum"))).alias("va"),
+        F.var_samp(F.when(F.col("arm") == "B", F.col("cum"))).alias("vb"),
+    )
+    z = agg.select(
+        "look",
+        "n_a",
+        "n_b",
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round(
+            (F.col("mb") - F.col("ma"))
+            / F.sqrt(
+                F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+            ),
+            4,
+        ).alias("z"),
+        F.round(
+            F.lit(_OBF_C_K5_A05) / F.sqrt(F.col("look") / F.lit(float(K))),
+            4,
+        ).alias("obf_bound"),
+    )
+    return z.select(
+        F.col("look").cast("int").alias("look"),
+        F.round(F.col("look") / F.lit(float(K)), 2).alias("info_frac"),
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "z",
+        "obf_bound",
+        (F.abs(F.col("z")) > F.col("obf_bound")).alias("crossed"),
+    ).orderBy("look")

@@ -46,11 +46,13 @@ def test_registry_size_and_docs():
 
 
 def test_rows_only_queries_are_the_documented_ones():
-    # approx_* stays rows-only by design (HLL/quantile sketches differ
-    # across engines); multimodal_decode_features gained a real oracle in
-    # r11 (byte-sum recomputed in DuckDB over hex(encode(text))).
+    # Every registered query is oracle-backed since r12:
+    # approx_distinct_quantiles (the last rows-only row) now emits the
+    # exact values plus within-documented-error booleans, so its oracle
+    # checks the exact side and the error bound while the approx values
+    # themselves stay out of the hash (SURVEY §2.2).
     rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
-    assert rows_only == {"approx_distinct_quantiles"}
+    assert rows_only == set()
 
 
 # ---------------------------------------------------------------------------
