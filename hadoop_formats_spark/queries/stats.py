@@ -2268,6 +2268,70 @@ def abtest_mann_whitney_u(spark: SparkSession, sf_dir: str):
 _OBF_C_K5_A05 = 2.0400
 
 
+def _per_arm_look_moments(spark: SparkSession, sf_dir: str, K: int = 5):
+    """Shared frame for the sequential-testing pair (OBF + mSPRT): cut
+    the events time range into K looks, enroll each user at their first
+    event's look, build exact integer-cent cumulative per-user spend at
+    every subsequent look, and reduce to per-look per-arm moments
+    (n/mean/var).  One user_id shuffle; nothing downstream exceeds
+    K x |users| rows."""
+    from pyspark.sql import Window
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    s = F.unix_timestamp("ts").cast("long")
+    b = e.agg(F.min(s).alias("mn"), F.max(s).alias("mx"))
+    ev = e.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.least(
+            F.lit(K),
+            1
+            + F.floor(
+                F.lit(float(K))
+                * (s - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            ).cast("int"),
+        ).alias("look"),
+    )
+    per_ul = ev.groupBy("user_id", "look").agg(F.sum("cents").alias("inc"))
+    enroll = per_ul.groupBy("user_id").agg(
+        F.min("look").alias("first_look")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    grid = enroll.select(
+        "user_id",
+        "arm",
+        F.explode(F.sequence(F.col("first_look"), F.lit(K))).alias("look"),
+    )
+    cum = (
+        grid.join(per_ul, ["user_id", "look"], "left")
+        .withColumn("inc", F.coalesce(F.col("inc"), F.lit(0)))
+        .withColumn(
+            "cum",
+            F.sum("inc")
+            .over(Window.partitionBy("user_id").orderBy("look"))
+            .cast("double"),
+        )
+    )
+    return cum.groupBy("look").agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
+        F.avg(F.when(F.col("arm") == "A", F.col("cum"))).alias("ma"),
+        F.avg(F.when(F.col("arm") == "B", F.col("cum"))).alias("mb"),
+        F.var_samp(F.when(F.col("arm") == "A", F.col("cum"))).alias("va"),
+        F.var_samp(F.when(F.col("arm") == "B", F.col("cum"))).alias("vb"),
+    )
+
+
 @register(
     "abtest_sequential_obf",
     oracle="""
@@ -2351,62 +2415,8 @@ _OBF_C_K5_A05 = 2.0400
     "users at any scale.",
 )
 def abtest_sequential_obf(spark: SparkSession, sf_dir: str):
-    from pyspark.sql import Window
-
     K = 5
-    e = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
-        .select("user_id", "ts", "value")
-    )
-    s = F.unix_timestamp("ts").cast("long")
-    b = e.agg(F.min(s).alias("mn"), F.max(s).alias("mx"))
-    ev = e.crossJoin(F.broadcast(b)).select(
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        F.least(
-            F.lit(K),
-            1
-            + F.floor(
-                F.lit(float(K))
-                * (s - F.col("mn"))
-                / (F.col("mx") - F.col("mn") + 1)
-            ).cast("int"),
-        ).alias("look"),
-    )
-    per_ul = ev.groupBy("user_id", "look").agg(F.sum("cents").alias("inc"))
-    enroll = per_ul.groupBy("user_id").agg(
-        F.min("look").alias("first_look")
-    ).withColumn(
-        "arm",
-        F.when(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
-            F.lit("A"),
-        ).otherwise(F.lit("B")),
-    )
-    grid = enroll.select(
-        "user_id",
-        "arm",
-        F.explode(F.sequence(F.col("first_look"), F.lit(K))).alias("look"),
-    )
-    cum = (
-        grid.join(per_ul, ["user_id", "look"], "left")
-        .withColumn("inc", F.coalesce(F.col("inc"), F.lit(0)))
-        .withColumn(
-            "cum",
-            F.sum("inc")
-            .over(Window.partitionBy("user_id").orderBy("look"))
-            .cast("double"),
-        )
-    )
-    agg = cum.groupBy("look").agg(
-        F.count(F.when(F.col("arm") == "A", 1)).alias("n_a"),
-        F.count(F.when(F.col("arm") == "B", 1)).alias("n_b"),
-        F.avg(F.when(F.col("arm") == "A", F.col("cum"))).alias("ma"),
-        F.avg(F.when(F.col("arm") == "B", F.col("cum"))).alias("mb"),
-        F.var_samp(F.when(F.col("arm") == "A", F.col("cum"))).alias("va"),
-        F.var_samp(F.when(F.col("arm") == "B", F.col("cum"))).alias("vb"),
-    )
+    agg = _per_arm_look_moments(spark, sf_dir, K)
     z = agg.select(
         "look",
         "n_a",
@@ -2436,3 +2446,143 @@ def abtest_sequential_obf(spark: SparkSession, sf_dir: str):
         "obf_bound",
         (F.abs(F.col("z")) > F.col("obf_bound")).alias("crossed"),
     ).orderBy("look")
+
+
+# mSPRT normal-mixture scale τ (in integer cents, the metric's unit):
+# the prior SD on the true arm difference, set near the effect size
+# the experiment is powered for (Johari/Pekelis/Walsh, KDD'17 §3).
+# Identical literal in builder and oracle.
+_MSPRT_TAU_CENTS = 5000.0
+
+
+@register(
+    "abtest_msprt_always_valid",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    ev AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             least(5, 1 + CAST(floor(
+               5.0 * (CAST(floor(epoch(ts)) AS BIGINT) - mn)
+                   / (mx - mn + 1)) AS INT)) AS look
+      FROM events, b
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    per_ul AS (
+      SELECT user_id, look, CAST(sum(cents) AS BIGINT) AS inc
+      FROM ev GROUP BY user_id, look
+    ),
+    enroll AS (
+      SELECT user_id, min(look) AS first_look,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM per_ul GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, arm, UNNEST(generate_series(first_look, 5)) AS look
+      FROM enroll
+    ),
+    cumt AS (
+      SELECT g.user_id, g.arm, g.look,
+             CAST(sum(coalesce(p.inc, 0)) OVER (
+               PARTITION BY g.user_id ORDER BY g.look) AS DOUBLE) AS cum
+      FROM grid g LEFT JOIN per_ul p
+        ON g.user_id = p.user_id AND g.look = p.look
+    ),
+    agg AS (
+      SELECT look,
+             CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+             avg(CASE WHEN arm = 'A' THEN cum END) AS ma,
+             avg(CASE WHEN arm = 'B' THEN cum END) AS mb,
+             var_samp(CASE WHEN arm = 'A' THEN cum END) AS va,
+             var_samp(CASE WHEN arm = 'B' THEN cum END) AS vb
+      FROM cumt GROUP BY look
+    ),
+    lam AS (
+      SELECT look, n_a, n_b,
+             round(mb - ma, 4) AS delta,
+             round(
+               0.5 * ln((va / n_a + vb / n_b)
+                        / (va / n_a + vb / n_b + 5000.0 * 5000.0))
+               + (mb - ma) * (mb - ma) * 5000.0 * 5000.0
+                 / (2.0 * (va / n_a + vb / n_b)
+                        * (va / n_a + vb / n_b + 5000.0 * 5000.0)),
+               6) AS log_lambda
+      FROM agg
+    ),
+    p AS (
+      SELECT look, n_a, n_b, delta, log_lambda,
+             round(least(1.0, exp(-log_lambda)), 6) AS p_look
+      FROM lam
+    )
+    SELECT CAST(look AS INT) AS look, n_a, n_b, delta, log_lambda,
+           p_look,
+           min(p_look) OVER (ORDER BY look
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS p_always_valid,
+           min(p_look) OVER (ORDER BY look
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) < 0.05
+             AS reject_at_05
+    FROM p ORDER BY look
+    """,
+    doc="Always-valid inference via the mixture SPRT "
+    "(Johari/Pekelis/Walsh, KDD'17 — the 'peeking at A/B tests' "
+    "statistic behind Optimizely-style continuous monitoring): at "
+    "each of the K=5 looks the normal-mixture likelihood ratio "
+    "Lambda_k = sqrt(V/(V+tau^2)) * exp(delta^2 tau^2 / (2 V (V+"
+    "tau^2))) is computed from the same per-arm cumulative moments "
+    "as the OBF row (V = va/n_a + vb/n_b, tau = 5000 cents), and the "
+    "always-valid p-value is the running minimum of 1/Lambda — "
+    "monotone by construction, so the experimenter may stop at ANY "
+    "look without inflating false positives.  Log-space evaluation "
+    "avoids exp overflow; log_lambda rounds at source so the "
+    "running min is taken over engine-identical doubles.  Scale "
+    "shape: identical to abtest_sequential_obf (shared "
+    "_per_arm_look_moments frame — one user_id shuffle, K x |users| "
+    "ceiling) plus a K-row window.",
+)
+def abtest_msprt_always_valid(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    K = 5
+    tau2 = _MSPRT_TAU_CENTS * _MSPRT_TAU_CENTS
+    agg = _per_arm_look_moments(spark, sf_dir, K)
+    V = F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    d = F.col("mb") - F.col("ma")
+    lam = agg.select(
+        "look",
+        "n_a",
+        "n_b",
+        F.round(d, 4).alias("delta"),
+        F.round(
+            0.5 * F.log(V / (V + F.lit(tau2)))
+            + d * d * F.lit(tau2) / (2.0 * V * (V + F.lit(tau2))),
+            6,
+        ).alias("log_lambda"),
+    )
+    p = lam.withColumn(
+        "p_look",
+        F.round(F.least(F.lit(1.0), F.exp(-F.col("log_lambda"))), 6),
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        p.withColumn("p_always_valid", F.min("p_look").over(w))
+        .select(
+            F.col("look").cast("int").alias("look"),
+            "n_a",
+            "n_b",
+            "delta",
+            "log_lambda",
+            "p_look",
+            "p_always_valid",
+            (F.col("p_always_valid") < 0.05).alias("reject_at_05"),
+        )
+        .orderBy("look")
+    )
