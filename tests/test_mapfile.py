@@ -353,3 +353,63 @@ def test_jvm_get_closest_before_block_is_broken_upstream(spark, map_dir):
         "k00511",
         511 * 3,
     )
+
+
+# ---------------------------------------------------------------------------
+# SequenceFile.Sorter parity (seqfile_sorter_merge_runs)
+# ---------------------------------------------------------------------------
+
+
+def test_assume_sorted_write_rejects_unsorted(tmp_path):
+    """assume_sorted=True must REFUSE disorder — the successful write in
+    _sorter_merged_dir is only an order certificate because of this."""
+    t = pa.table({"key": [3, 1, 2], "value": [30, 10, 20]})
+    with pytest.raises(core.SeqFileError, match="not ascending"):
+        M.write_map_dir(str(tmp_path / "bad"), t, assume_sorted=True)
+
+
+def test_assume_sorted_datasource_write_fails_on_unsorted(spark, tmp_path):
+    """Same negative through the DataSource: a hash-partitioned (hence
+    unsorted-within-task) frame under assume_sorted=true fails the
+    Spark write instead of silently corrupting binary search."""
+    df = spark.range(0, 2000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("key"),
+        F.col("id").alias("value"),
+    )
+    with pytest.raises(Exception, match="not ascending"):
+        (
+            df.repartition(2)
+            .write.format("hadoop_map")
+            .option("assume_sorted", "true")
+            .mode("append")
+            .save(str(tmp_path / "unsorted_ds"))
+        )
+
+
+def test_sorter_merge_runs_are_sorted_and_disjoint(spark, sf_dir):
+    """The merged output of the Sorter-parity row: every part is an
+    ascending run (library-level sequential read, order preserved by
+    construction) and part key ranges are pairwise disjoint — together
+    with the graded content reconciliation this is exactly what
+    Hadoop's Sorter.merge + MapFileOutputFormat guarantee."""
+    from hadoop_formats_spark.queries.seqfile_q import _sorter_merged_dir
+
+    root = _sorter_merged_dir(spark, sf_dir)
+    ranges = []
+    total = 0
+    for part in sorted(os.listdir(root)):
+        d = os.path.join(root, part)
+        if not part.startswith("part-") or not M._is_map_dir(d):
+            continue
+        t = M.read_map_dir(d)
+        keys = t.column("key").to_pylist()
+        assert keys == sorted(keys), f"{part} is not an ascending run"
+        ranges.append((keys[0], keys[-1]))
+        total += t.num_rows
+    assert len(ranges) >= 2, "expected multiple merged runs"
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"runs overlap: ({lo1},{hi1}) vs ({lo2},..)"
+    import pyarrow.parquet as pq
+
+    assert total == pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
