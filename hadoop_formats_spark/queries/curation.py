@@ -2193,3 +2193,130 @@ def corpus_build_pipeline_v2(spark: SparkSession, sf_dir: str):
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register(
+    "sample_dsir_importance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(unnest(
+               string_split(lower(text), ' '))), 2, 4)) AS INTEGER) % 64
+               AS INT) AS bucket
+      FROM documents
+    ),
+    raw AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM toks
+      GROUP BY bucket
+    ),
+    tgt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM toks
+      WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM raw) AS n_raw,
+             (SELECT CAST(sum(c) AS BIGINT) FROM tgt) AS n_tgt
+    ),
+    lr AS (
+      -- per-bucket log importance ratio, quantized to integer
+      -- micro-units so per-doc weights are EXACT integer sums
+      SELECT r.bucket,
+             CAST(round(1000000.0 * (
+               ln((coalesce(t.c, 0) + 1.0) / (tot.n_tgt + 64.0))
+               - ln((r.c + 1.0) / (tot.n_raw + 64.0)))) AS BIGINT)
+               AS lr_micro
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot
+    ),
+    per_doc AS (
+      SELECT k.doc_id,
+             CAST(sum(k.n * lr.lr_micro) AS BIGINT) AS w_micro
+      FROM (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY doc_id, bucket) k
+      JOIN lr ON k.bucket = lr.bucket
+      GROUP BY k.doc_id
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY p.w_micro DESC, p.doc_id) AS INT) AS rk,
+           p.doc_id, d.lang, p.w_micro
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    ORDER BY p.w_micro DESC, p.doc_id LIMIT 10
+    """,
+    doc="DSIR data selection (Xie et al., NeurIPS'23 'Data Selection "
+    "for Language Models via Importance Resampling'): fit hashed "
+    "bag-of-unigrams models on the TARGET distribution (here the "
+    "English slice, standing in for the paper's Wikipedia-quality "
+    "corpus) and the RAW pool, score every document by its log "
+    "importance ratio sum_b n_b(d)*(ln p_tgt(b) - ln p_raw(b)) over "
+    "the same engine-portable 64-bucket md5 feature space as "
+    "feature_hashing_trick, and keep the top-k — the standard "
+    "pretraining-data targeting step between quality gates and "
+    "mixture weighting.  Laplace-smoothed bucket models; each "
+    "bucket's log-ratio is quantized to integer MICRO-UNITS once (a "
+    "64-row table), so per-doc weights are exact integer dot "
+    "products — no float fold-order anywhere in the ranking.  Scale "
+    "shape: one explode -> partial-agg to (doc, bucket) cells "
+    "(<= 64x|docs|), two 64-row model aggregates broadcast back, one "
+    "|docs|-row weight table, TakeOrderedAndProject top-k.  The "
+    "model is O(buckets) wide regardless of vocabulary — the "
+    "hashing-trick property that makes DSIR one map-reduce pass at "
+    "100 TB.",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 2, 4), 16, 10).cast("int") % 64)
+        .cast("int")
+        .alias("bucket"),
+    )
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    tot = raw.agg(F.sum("c_raw").alias("n_raw")).crossJoin(
+        tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                1000000.0
+                * (
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                        / (F.col("n_tgt") + 64.0)
+                    )
+                    - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + 64.0))
+                )
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    cells = toks.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    per_doc = (
+        cells.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lr_micro")).alias("w_micro"))
+    )
+    top = (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("w_micro").desc(), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("w_micro").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rk"),
+        "doc_id",
+        "lang",
+        "w_micro",
+    ).orderBy("rk")
