@@ -2525,3 +2525,52 @@ def udf_arrow_scalar_margin(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_bitwise_checksum_bitmap",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_or(1 << l_linenumber) AS BIGINT) AS linenum_bitmap,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(l_orderkey * l_linenumber) AS BIGINT)
+             AS xor_checksum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Bitwise aggregate family (bit_and / bit_or / bit_xor + shift "
+    "expressions), the last untested scalar-aggregate group: "
+    "bit_or(1 << linenumber) builds a per-group PRESENCE BITMAP (the "
+    "compact 'which members appeared' encoding bitmap indexes and "
+    "roaring-style structures start from), and bit_xor over a keyed "
+    "product is the classic ORDER-INSENSITIVE integrity checksum — "
+    "commutative and associative, so partial aggregation and any "
+    "shuffle order give the identical value, making it the cheapest "
+    "cross-engine content fingerprint for a 100 TB reconciliation "
+    "(exactly the property this repo's own driver hash relies on). "
+    "One partial-agg groupBy; every expression is a codegen'd integer "
+    "op, zero shuffles beyond the |groups|-row exchange.",
+)
+def agg_bitwise_checksum_bitmap(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # PySpark's shiftleft() helper takes a literal bit count;
+            # a column-valued shift needs the SQL expression form.
+            F.bit_or(F.expr("shiftleft(1, cast(l_linenumber AS int))"))
+            .cast("long")
+            .alias("linenum_bitmap"),
+            F.bit_and("l_orderkey").alias("key_and"),
+            F.bit_or("l_orderkey").alias("key_or"),
+            F.bit_xor(F.col("l_orderkey") * F.col("l_linenumber")).alias(
+                "xor_checksum"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2586,3 +2586,95 @@ def abtest_msprt_always_valid(spark: SparkSession, sf_dir: str):
         )
         .orderBy("look")
     )
+
+
+@register(
+    "abtest_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('FURNITURE', 'HOUSEHOLD')
+    ),
+    m AS (
+      SELECT
+        CAST(count(CASE WHEN seg = 'FURNITURE' THEN 1 END) AS BIGINT) AS n1,
+        CAST(count(CASE WHEN seg = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS n2,
+        avg(CASE WHEN seg = 'FURNITURE' THEN CAST(cents AS DOUBLE) END) AS m1,
+        avg(CASE WHEN seg = 'HOUSEHOLD' THEN CAST(cents AS DOUBLE) END) AS m2,
+        var_samp(CASE WHEN seg = 'FURNITURE'
+                      THEN CAST(cents AS DOUBLE) END) AS v1,
+        var_samp(CASE WHEN seg = 'HOUSEHOLD'
+                      THEN CAST(cents AS DOUBLE) END) AS v2
+      FROM s
+    )
+    SELECT n1, n2,
+           round(m1 - m2, 4) AS mean_diff_cents,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t,
+           round(
+             (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)),
+             2) AS df_welch
+    FROM m
+    """,
+    doc="Welch's unequal-variance t-test (the default two-sample mean "
+    "test; Welch 1947) with the Welch-Satterthwaite effective degrees "
+    "of freedom — the parametric baseline the shelf's nonparametric "
+    "rows (KS, Mann-Whitney) are alternatives TO, completing the "
+    "classical pair.  Values quantize to integer cents at source; "
+    "the 1-row moment reduction (n/mean/var per segment, computed as "
+    "conditional aggregates in ONE pass) is the entire shuffle — the "
+    "same corpus-scans-once contract as CUPED/SRM/power.  t and the "
+    "Satterthwaite df round at 4/2 dp on both engines.",
+)
+def abtest_welch_ttest(spark: SparkSession, sf_dir: str):
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("FURNITURE", "HOUSEHOLD"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    s = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("double")
+        .alias("cents"),
+    )
+    m = s.agg(
+        F.count(F.when(F.col("seg") == "FURNITURE", 1)).alias("n1"),
+        F.count(F.when(F.col("seg") == "HOUSEHOLD", 1)).alias("n2"),
+        F.avg(F.when(F.col("seg") == "FURNITURE", F.col("cents"))).alias(
+            "m1"
+        ),
+        F.avg(F.when(F.col("seg") == "HOUSEHOLD", F.col("cents"))).alias(
+            "m2"
+        ),
+        F.var_samp(
+            F.when(F.col("seg") == "FURNITURE", F.col("cents"))
+        ).alias("v1"),
+        F.var_samp(
+            F.when(F.col("seg") == "HOUSEHOLD", F.col("cents"))
+        ).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return m.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff_cents"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4
+        ).alias("t"),
+        F.round(
+            (se1 + se2)
+            * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
