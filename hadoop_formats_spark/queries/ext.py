@@ -5047,3 +5047,152 @@ def multimodal_resize_checksum(spark, sf_dir):
         .select("doc_id", "out_len", "byte_sum", "weighted_sum")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sketch_kmv_jaccard_pair",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])
+               AS tok
+      FROM (SELECT lang, string_split(lower(text), ' ') AS ts
+            FROM documents WHERE lang IN ('en', 'fr'))
+      WHERE len(ts) >= 2
+    ),
+    items AS (
+      SELECT DISTINCT lang,
+             ('0x' || substr(md5('kmv:' || tok), 1, 8))::BIGINT AS h
+      FROM toks
+    ),
+    ska AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rnk
+        FROM items WHERE lang = 'en') WHERE rnk <= 64
+    ),
+    skb AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rnk
+        FROM items WHERE lang = 'fr') WHERE rnk <= 64
+    ),
+    sku AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rnk
+        FROM (SELECT h FROM ska UNION SELECT h FROM skb))
+      WHERE rnk <= 64
+    ),
+    kmv AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_union,
+             CAST(count(CASE WHEN h IN (SELECT h FROM ska)
+                              AND h IN (SELECT h FROM skb)
+                         THEN 1 END) AS BIGINT) AS matched
+      FROM sku
+    ),
+    exact AS (
+      SELECT
+        CAST(count(DISTINCT CASE WHEN lang = 'en' THEN tok END) AS BIGINT)
+          AS n_en,
+        CAST(count(DISTINCT CASE WHEN lang = 'fr' THEN tok END) AS BIGINT)
+          AS n_fr,
+        CAST(count(DISTINCT tok) AS BIGINT) AS union_exact
+      FROM toks
+    )
+    SELECT e.n_en, e.n_fr,
+           CAST(e.n_en + e.n_fr - e.union_exact AS BIGINT) AS inter_exact,
+           e.union_exact,
+           round(CAST(e.n_en + e.n_fr - e.union_exact AS DOUBLE)
+                 / e.union_exact, 6) AS jaccard_exact,
+           k.k_union, k.matched,
+           round(CAST(k.matched AS DOUBLE) / k.k_union, 6) AS jaccard_kmv
+    FROM exact e, kmv k
+    """,
+    doc="KMV set-similarity sketch (Beyer et al. '07 / Bar-Yossef "
+    "'02): the Jaccard of two token sets estimated from their "
+    "few-KB KMV sketches ALONE — J_hat = |S_k(A union B) ^ S(A) ^ "
+    "S(B)| / k over the re-take-k merged sketch, the estimator that "
+    "lets a 100 TB pipeline compare any two corpora (or corpus "
+    "snapshots) without ever co-scanning them; completes the sketch "
+    "shelf's union row (sketch_kmv_distinct_union) with the "
+    "INTERSECTION side.  Graded against the exact Jaccard computed "
+    "by inclusion-exclusion on the same pass.  Build shape: one "
+    "explode -> per-(lang, hash) distinct partial agg, map-side "
+    "WindowGroupLimit top-64 per language, then every downstream op "
+    "touches <= 64-row sketches (broadcast semi-joins).  The sketch "
+    "is deterministic (md5 order), so both engines agree exactly.",
+)
+def sketch_kmv_jaccard_pair(spark, sf_dir):
+    from ..operators import sketch as SK
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "fr")
+    )
+    # bigram sets: the shared-vocabulary fixture makes unigram sets
+    # identical across languages (Jaccard 1.0), so the sketch would
+    # never be exercised — word PAIRS differ per language slice.
+    t = F.split(F.lower("text"), " ")
+    n = F.size(t)
+    toks = (
+        d.select(
+            "lang",
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(t, 1, n - 1),
+                    F.slice(t, 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).alias("bgs"),
+        )
+        .filter(F.col("bgs").isNotNull())
+        .select("lang", F.explode("bgs").alias("tok"))
+    )
+    items = toks.select(
+        F.col("lang").alias("grp"), SK.kmv_hash(F.col("tok")).alias("h")
+    ).distinct()
+    ska = SK.kmv_sketch(items.filter(F.col("grp") == "en"), group_col="grp")
+    skb = SK.kmv_sketch(items.filter(F.col("grp") == "fr"), group_col="grp")
+    sku = SK.kmv_sketch(
+        ska.select(F.lit("u").alias("grp"), "h").unionByName(
+            skb.select(F.lit("u").alias("grp"), "h")
+        ),
+        group_col="grp",
+    )
+    matched = (
+        sku.join(F.broadcast(ska.select("h")), "h", "left_semi")
+        .join(F.broadcast(skb.select("h")), "h", "left_semi")
+        .agg(F.count("*").alias("matched"))
+    )
+    k_union = sku.agg(F.count("*").alias("k_union"))
+    exact = toks.agg(
+        F.countDistinct(
+            F.when(F.col("lang") == "en", F.col("tok"))
+        ).alias("n_en"),
+        F.countDistinct(
+            F.when(F.col("lang") == "fr", F.col("tok"))
+        ).alias("n_fr"),
+        F.countDistinct("tok").alias("union_exact"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(k_union))
+        .crossJoin(F.broadcast(matched))
+        .select(
+            "n_en",
+            "n_fr",
+            (F.col("n_en") + F.col("n_fr") - F.col("union_exact")).alias(
+                "inter_exact"
+            ),
+            "union_exact",
+            F.round(
+                (F.col("n_en") + F.col("n_fr") - F.col("union_exact")).cast(
+                    "double"
+                )
+                / F.col("union_exact"),
+                6,
+            ).alias("jaccard_exact"),
+            "k_union",
+            "matched",
+            F.round(
+                F.col("matched").cast("double") / F.col("k_union"), 6
+            ).alias("jaccard_kmv"),
+        )
+    )

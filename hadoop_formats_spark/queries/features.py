@@ -1171,3 +1171,187 @@ def ml_logreg_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "ml_conformal_interval_coverage",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey, o_totalprice AS y,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               AS freq,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS hx
+      FROM orders
+    ),
+    m AS (
+      SELECT round(covar_pop(freq, y), 9) AS sxy,
+             round(var_pop(freq), 9) AS sxx,
+             round(avg(freq), 9) AS mx,
+             round(avg(y), 9) AS my,
+             CAST(count(*) AS BIGINT) AS n_train
+      FROM f WHERE hx < '8'
+    ),
+    model AS (
+      SELECT n_train,
+             round(sxy / sxx, 6) AS slope,
+             round(my - round(sxy / sxx, 6) * mx, 6) AS icpt
+      FROM m
+    ),
+    scored AS (
+      SELECT f.hx, f.o_orderkey,
+             CAST(round(abs(f.y - (model.slope * f.freq + model.icpt))
+                        * 100) AS BIGINT) AS res
+      FROM f, model WHERE f.hx >= '8'
+    ),
+    kq AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k
+      FROM scored WHERE hx < 'c'
+    ),
+    cells AS (
+      SELECT res, CAST(count(*) AS BIGINT) AS cnt FROM scored
+      WHERE hx < 'c' GROUP BY res
+    ),
+    qhat AS (
+      SELECT CAST(min(res) AS BIGINT) AS qhat_cents FROM (
+        SELECT res, sum(cnt) OVER (ORDER BY res) AS cum FROM cells
+      ), kq WHERE cum >= kq.k
+    )
+    SELECT model.n_train, kq.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           model.slope, model.icpt, qhat.qhat_cents,
+           CAST(count(CASE WHEN s.res <= qhat.qhat_cents THEN 1 END)
+                AS BIGINT) AS covered,
+           round(CAST(count(CASE WHEN s.res <= qhat.qhat_cents THEN 1 END)
+                      AS DOUBLE) / count(*), 6) AS coverage
+    FROM scored s, model, kq, qhat
+    WHERE s.hx >= 'c'
+    GROUP BY model.n_train, kq.n_cal, model.slope, model.icpt,
+             qhat.qhat_cents
+    """,
+    doc="Split conformal prediction (Vovk '05; Lei et al. JASA'18 — "
+    "the distribution-free uncertainty wrapper production ML serves "
+    "intervals with): deterministic md5 thirds split orders into "
+    "train (8/16) / calibration (4/16) / test (4/16); a 1-feature "
+    "OLS fit on train (same round(9)-pinned moment algebra as "
+    "ml_linreg_normal_equations), the conformal radius q_hat = the "
+    "ceil((n_cal+1)*0.9)-th smallest absolute calibration residual "
+    "(EXACT order statistic, integer cents), and the certificate is "
+    "empirical TEST coverage of y_hat ± q_hat — the 90% guarantee "
+    "conformal theory promises, measured.  Scale shape: residuals "
+    "quantize to integer cents and collapse to per-value CELLS "
+    "(partial agg), so the exact quantile is a running sum over the "
+    "cell table, never a per-row global sort — the Mann-Whitney "
+    "two-phase-prefix-sum discipline; everything else is one "
+    "windowed feature pass + 1-row broadcasts.",
+)
+def ml_conformal_interval_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    f = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("y"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("double")
+        .alias("freq"),
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
+            "hx"
+        ),
+    )
+    m = f.filter(F.col("hx") < "8").agg(
+        F.round(F.covar_pop("freq", "y"), 9).alias("sxy"),
+        F.round(F.var_pop("freq"), 9).alias("sxx"),
+        F.round(F.avg("freq"), 9).alias("mx"),
+        F.round(F.avg("y"), 9).alias("my"),
+        F.count("*").alias("n_train"),
+    )
+    model = m.select(
+        "n_train",
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("slope"),
+        F.round(
+            F.col("my") - F.round(F.col("sxy") / F.col("sxx"), 6) * F.col("mx"),
+            6,
+        ).alias("icpt"),
+    )
+    scored = (
+        f.filter(F.col("hx") >= "8")
+        .crossJoin(F.broadcast(model))
+        .select(
+            "hx",
+            F.round(
+                F.abs(
+                    F.col("y")
+                    - (F.col("slope") * F.col("freq") + F.col("icpt"))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("res"),
+        )
+    )
+    cal = scored.filter(F.col("hx") < "c")
+    kq = cal.agg(
+        F.count("*").alias("n_cal"),
+        F.ceil((F.count("*") + 1) * 0.9).cast("long").alias("k"),
+    )
+    cells = cal.groupBy("res").agg(F.count("*").alias("cnt"))
+    # exact k-th order statistic over the CELL table, two-phase: 8
+    # deterministic value-range buckets rank in parallel, the only
+    # serial window is the 8-row bucket-offset table (the same
+    # distributed-selection shape as abtest_mann_whitney_u).
+    bounds = cells.agg(F.min("res").alias("rlo"), F.max("res").alias("rhi"))
+    nb = 8
+    parts = cells.crossJoin(F.broadcast(bounds)).select(
+        "res",
+        "cnt",
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("res") - F.col("rlo")).cast("double")
+                * nb
+                / (F.col("rhi") - F.col("rlo") + 1).cast("double")
+            ).cast("int"),
+        ).alias("pid"),
+    )
+    ptot = parts.groupBy("pid").agg(F.sum("cnt").alias("pn"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.select(
+        "pid", F.coalesce(F.sum("pn").over(woff), F.lit(0)).alias("off")
+    )
+    win = Window.partitionBy("pid").orderBy("res").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qhat = (
+        parts.withColumn("cum_in", F.sum("cnt").over(win))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(kq.select("k")))
+        .filter(F.col("cum_in") + F.col("off") >= F.col("k"))
+        .agg(F.min("res").alias("qhat_cents"))
+    )
+    test = scored.filter(F.col("hx") >= "c")
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("res") <= F.col("qhat_cents"), 1).otherwise(0)
+            ).alias("covered"),
+            F.first("qhat_cents").alias("qhat_cents"),
+        )
+        .crossJoin(F.broadcast(model))
+        .crossJoin(F.broadcast(kq.select("n_cal")))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            "slope",
+            "icpt",
+            "qhat_cents",
+            "covered",
+            F.round(
+                F.col("covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )

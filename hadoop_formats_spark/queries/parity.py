@@ -1751,10 +1751,15 @@ def udf_pandas_scalar_charge(spark, sf_dir):
     "udf_pandas_grouped_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS w_avg_price
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS w_avg_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc="Grouped-aggregate pandas UDF (weighted average).",
+    doc="Grouped-aggregate pandas UDF (weighted average).  Rounded at "
+    "source (4 dp) on both engines: the pandas fold order differs "
+    "from DuckDB's at the last ulp, and per the preflight contract "
+    "rounding is part of the query, not tolerance — this keeps the "
+    "row strict-hash clean inside the grading window.",
 )
 def udf_pandas_grouped_weighted_avg(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
@@ -1766,7 +1771,13 @@ def udf_pandas_grouped_weighted_avg(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(w_avg("l_extendedprice", "l_quantity").alias("w_avg_price"))
+        # F.round (SQL half-up) outside the UDF, matching DuckDB's
+        # round — Python's round() is half-even and would diverge
+        .agg(
+            F.round(
+                w_avg("l_extendedprice", "l_quantity"), 4
+            ).alias("w_avg_price")
+        )
         .orderBy("l_returnflag")
     )
 

@@ -14,7 +14,8 @@ pins it down:
   ``CAST(sum(int) AS BIGINT)``.
 * floats ARE rounded (~6 significant digits here): driver-green r2
   rows include shuffle-reordered double sums and a pandas weighted
-  average (``q1_pricing_summary``, ``udf_pandas_grouped_weighted_avg``)
+  average (``q1_pricing_summary``; ``udf_pandas_grouped_weighted_avg``
+  until r12, when it gained a round-at-source like everything else)
   whose last-ulp disagreement with DuckDB is near-certain, so a
   raw-repr hash would have failed them.  Rounding still flips at a
   digit boundary when the two engines straddle it (the one r2 failure
