@@ -5149,8 +5149,12 @@ def sketch_kmv_jaccard_pair(spark, sf_dir):
     items = toks.select(
         F.col("lang").alias("grp"), SK.kmv_hash(F.col("tok")).alias("h")
     ).distinct()
-    ska = SK.kmv_sketch(items.filter(F.col("grp") == "en"), group_col="grp")
-    skb = SK.kmv_sketch(items.filter(F.col("grp") == "fr"), group_col="grp")
+    # BOTH language sketches in ONE grouped top-64 pass (grp = lang);
+    # filtering per-branch before kmv_sketch would re-execute the
+    # corpus-scale explode+distinct lineage once per sketch.
+    sk_all = SK.kmv_sketch(items, group_col="grp")
+    ska = sk_all.filter(F.col("grp") == "en")
+    skb = sk_all.filter(F.col("grp") == "fr")
     sku = SK.kmv_sketch(
         ska.select(F.lit("u").alias("grp"), "h").unionByName(
             skb.select(F.lit("u").alias("grp"), "h")

@@ -1242,8 +1242,11 @@ def ml_logreg_calibration_bins(spark, sf_dir):
     "quantize to integer cents and collapse to per-value CELLS "
     "(partial agg), so the exact quantile is a running sum over the "
     "cell table, never a per-row global sort — the Mann-Whitney "
-    "two-phase-prefix-sum discipline; everything else is one "
-    "windowed feature pass + 1-row broadcasts.",
+    "two-phase-prefix-sum discipline.  Corpus passes are capped at "
+    "TWO (train moments; one persisted scored materialization) via "
+    "1-row collects, the documented driver-holds-k-bounded-state "
+    "contract — the lazy multi-branch form re-derived the windowed "
+    "feature frame per branch (15 orders scans in the plan).",
 )
 def ml_conformal_interval_coverage(spark, sf_dir):
     from pyspark.sql import Window
@@ -1267,29 +1270,40 @@ def ml_conformal_interval_coverage(spark, sf_dir):
         F.round(F.avg("y"), 9).alias("my"),
         F.count("*").alias("n_train"),
     )
-    model = m.select(
-        "n_train",
-        F.round(F.col("sxy") / F.col("sxx"), 6).alias("slope"),
-        F.round(
-            F.col("my") - F.round(F.col("sxy") / F.col("sxx"), 6) * F.col("mx"),
-            6,
-        ).alias("icpt"),
-    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        # SQL half-up at 1e-6 (Python round() is half-even) — same
+        # pin as ml_linreg_normal_equations
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    # 1-row model collect (the documented driver-holds-k-bounded-state
+    # contract, as in the linreg/logreg rows): with slope/icpt as
+    # literals the cal/test branches need no broadcast-join chain, and
+    # persisting `scored` caps the corpus passes at TWO (train moments
+    # + one scored materialization) — the lazy multi-branch form
+    # re-derived the windowed feature frame once per downstream
+    # reference (15 orders scans in the physical plan).
+    mr = m.collect()[0]
+    slope = _r6(mr.sxy / mr.sxx)
+    icpt = _r6(mr.my - slope * mr.mx)
     scored = (
         f.filter(F.col("hx") >= "8")
-        .crossJoin(F.broadcast(model))
         .select(
             "hx",
             F.round(
                 F.abs(
                     F.col("y")
-                    - (F.col("slope") * F.col("freq") + F.col("icpt"))
+                    - (F.lit(slope) * F.col("freq") + F.lit(icpt))
                 )
                 * 100
             )
             .cast("long")
             .alias("res"),
         )
+        .persist()
     )
     cal = scored.filter(F.col("hx") < "c")
     kq = cal.agg(
@@ -1323,35 +1337,39 @@ def ml_conformal_interval_coverage(spark, sf_dir):
     win = Window.partitionBy("pid").orderBy("res").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    kqr = kq.collect()[0]  # 1 row; materializes the `scored` cache
     qhat = (
         parts.withColumn("cum_in", F.sum("cnt").over(win))
         .join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(kq.select("k")))
-        .filter(F.col("cum_in") + F.col("off") >= F.col("k"))
+        .filter(F.col("cum_in") + F.col("off") >= F.lit(kqr.k))
         .agg(F.min("res").alias("qhat_cents"))
+        .collect()[0]
+        .qhat_cents
     )
-    test = scored.filter(F.col("hx") >= "c")
-    return (
-        test.crossJoin(F.broadcast(qhat))
+    cov = (
+        scored.filter(F.col("hx") >= "c")
         .agg(
             F.count("*").alias("n_test"),
             F.sum(
-                F.when(F.col("res") <= F.col("qhat_cents"), 1).otherwise(0)
+                F.when(F.col("res") <= F.lit(qhat), 1).otherwise(0)
             ).alias("covered"),
-            F.first("qhat_cents").alias("qhat_cents"),
         )
-        .crossJoin(F.broadcast(model))
-        .crossJoin(F.broadcast(kq.select("n_cal")))
-        .select(
-            "n_train",
-            "n_cal",
-            "n_test",
-            "slope",
-            "icpt",
-            "qhat_cents",
-            "covered",
-            F.round(
-                F.col("covered").cast("double") / F.col("n_test"), 6
-            ).alias("coverage"),
-        )
+        .collect()[0]
+    )
+    scored.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [
+            (
+                mr.n_train,
+                kqr.n_cal,
+                cov.n_test,
+                slope,
+                icpt,
+                qhat,
+                cov.covered,
+                _r6(cov.covered / cov.n_test),
+            )
+        ],
+        "n_train bigint, n_cal bigint, n_test bigint, slope double, "
+        "icpt double, qhat_cents bigint, covered bigint, coverage double",
     )

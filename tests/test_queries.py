@@ -1689,3 +1689,76 @@ def test_next_window_spans_cover_registry():
     spans = registration_spans()
     missing = set(QUERIES) - set(spans)
     assert not missing, f"no registration span for {sorted(missing)}"
+
+
+# ---------------------------------------------------------------------------
+# round-12 additions: plan quality
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # shared _per_arm_look_moments frame: user_id shuffles + K-row
+        # reduce; the 1-row time-bounds/threshold frames broadcast
+        ("abtest_sequential_obf", 7),
+        ("abtest_msprt_always_valid", 7),
+        # one broadcast-dim join + a 1-row conditional-moment reduce
+        ("abtest_welch_ttest", 2),
+        # single partial-agg groupBy + orderBy
+        ("agg_bitwise_checksum_bitmap", 2),
+        # |segments|-row cells only
+        ("privacy_dp_laplace_counts", 2),
+        # read-back reduce over the merged MapFile runs
+        ("seqfile_sorter_merge_runs", 4),
+        # map-side pack/write + one read-back reduce
+        ("seqfile_binary_payload_roundtrip", 2),
+    ],
+)
+def test_r12_rows_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    df = _df(spark, sf_dir, name)
+    df.count()  # settle AQE before reading the plan
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan, name
+    assert plans.has_partial_aggregation(df), name
+    assert plans.shuffle_count(df) <= max_shuffles, (
+        name,
+        plans.shuffle_count(df),
+    )
+
+
+def test_dsir_models_broadcast_no_python(spark, sf_dir):
+    # the 64-row log-ratio model and 1-row totals must BROADCAST onto
+    # the (doc, bucket) cell table; ranking is TakeOrderedAndProject,
+    # and nothing drops to Python
+    df = _df(spark, sf_dir, "sample_dsir_importance")
+    df.count()
+    plan = plans.executed_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_jaccard_single_grouped_sketch_pass(spark, sf_dir):
+    # both language sketches come from ONE grouped WindowGroupLimit
+    # pass (filtering before kmv_sketch would re-run the corpus-scale
+    # explode+distinct once per branch); sketch joins broadcast
+    df = _df(spark, sf_dir, "sketch_kmv_jaccard_pair")
+    df.count()
+    plan = plans.executed_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_coverage_close_to_guarantee(spark, sf_dir):
+    # split conformal promises >= 90% coverage in expectation over
+    # splits; the fixed md5 split should land within binomial noise
+    row = _df(spark, sf_dir, "ml_conformal_interval_coverage").collect()[0]
+    assert row.n_train > 0 and row.n_cal > 0 and row.n_test > 0
+    # 3-sigma binomial band around 0.9 for the test-set size
+    sigma = (0.9 * 0.1 / row.n_test) ** 0.5
+    assert abs(row.coverage - 0.9) <= 3 * sigma + 1.0 / row.n_test, (
+        row.coverage,
+        row.n_test,
+    )
