@@ -404,6 +404,17 @@ def main() -> None:
         "dq_quarantine_split_sink",
         "mapfile_get_closest_lookup",
         "stream_dq_quarantine_split",
+        # round-12 operators
+        "abtest_sequential_obf",
+        "abtest_msprt_always_valid",
+        "abtest_welch_ttest",
+        "seqfile_sorter_merge_runs",
+        "seqfile_binary_payload_roundtrip",
+        "sample_dsir_importance",
+        "agg_bitwise_checksum_bitmap",
+        "sketch_kmv_jaccard_pair",
+        "ml_conformal_interval_coverage",
+        "privacy_dp_laplace_counts",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

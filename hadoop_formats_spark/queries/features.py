@@ -1245,8 +1245,10 @@ def ml_logreg_calibration_bins(spark, sf_dir):
     "two-phase-prefix-sum discipline.  Corpus passes are capped at "
     "TWO (train moments; one persisted scored materialization) via "
     "1-row collects, the documented driver-holds-k-bounded-state "
-    "contract — the lazy multi-branch form re-derived the windowed "
-    "feature frame per branch (15 orders scans in the plan).",
+    "contract — the lazy multi-branch form carried 15 static scan "
+    "references to the windowed feature frame, leaving the real scan "
+    "count to optimizer-dependent exchange reuse (SCALE.md r12 plan "
+    "audit); the explicit form makes the bound deterministic.",
 )
 def ml_conformal_interval_coverage(spark, sf_dir):
     from pyspark.sql import Window

@@ -99,6 +99,11 @@ QUERIES_TO_DUMP = [
     ("corpus_build_pipeline_v2", "curation capstone v2: Gopher gate -> CCNet keep -> dedup -> mixture cells, one certified chain (round 11)"),
     ("transform_fim_split", "FIM rewrite: map-side string arithmetic, content checksum, no text shuffle (round 11)"),
     ("pack_length_bucketing_waste", "padding-waste audit: shard-local batch windows, arrival vs bucketed policies (round 11)"),
+    ("abtest_sequential_obf", "OBF sequential guard: one user_id shuffle builds the K-look cumulative frame, K-row reduce (round 12)"),
+    ("sample_dsir_importance", "DSIR targeting: 64-row hashed LM models broadcast onto (doc,bucket) cells, TakeOrderedAndProject top-k (round 12)"),
+    ("sketch_kmv_jaccard_pair", "KMV Jaccard: one grouped WindowGroupLimit sketch pass, <=64-row broadcast joins (round 12)"),
+    ("seqfile_sorter_merge_runs", "SequenceFile.Sorter: range shuffle + per-task sort into validated MapFile runs, bucketed read-back reduce (round 12)"),
+    ("agg_bitwise_checksum_bitmap", "bitwise aggregates: presence bitmap + xor checksum in one partial-agg groupBy (round 12)"),
 ]
 
 
