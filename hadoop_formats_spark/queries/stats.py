@@ -2698,8 +2698,8 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str):
            round(true_n + round(-2.0 * sign(uu)
                                 * ln(1.0 - 2.0 * abs(uu)), 6), 4)
              AS noisy_n,
-           0.5 AS epsilon,
-           2.0 AS laplace_scale
+           CAST(0.5 AS DOUBLE) AS epsilon,
+           CAST(2.0 AS DOUBLE) AS laplace_scale
     FROM u ORDER BY segment
     """,
     doc="Differentially-private count release via the Laplace "
