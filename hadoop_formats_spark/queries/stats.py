@@ -2741,3 +2741,101 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str):
         F.lit(0.5).alias("epsilon"),
         F.lit(2.0).alias("laplace_scale"),
     ).orderBy("segment")
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, pri
+    ),
+    margins AS (
+      SELECT seg, pri, n,
+             CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS row_n,
+             CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS col_n,
+             CAST(sum(n) OVER () AS BIGINT) AS tot
+      FROM cells
+    ),
+    terms AS (
+      SELECT seg, pri,
+             CAST(row_n AS DOUBLE) * col_n / tot AS expected,
+             (n - CAST(row_n AS DOUBLE) * col_n / tot)
+             * (n - CAST(row_n AS DOUBLE) * col_n / tot)
+             / (CAST(row_n AS DOUBLE) * col_n / tot) AS term,
+             row_n, col_n, tot
+      FROM margins
+    )
+    SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT pri) AS BIGINT) AS n_cols,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
+           CAST(max(tot) AS BIGINT) AS n_total,
+           round(sum(round(term, 9)), 6) AS chi2,
+           round(sqrt(sum(round(term, 9)) / (max(tot)
+                 * least(count(DISTINCT seg) - 1,
+                         count(DISTINCT pri) - 1))), 6) AS cramers_v
+    FROM terms
+    """,
+    doc="Chi-square test of INDEPENDENCE over the segment x priority "
+    "contingency table (Pearson 1900) with Cramer's V effect size — "
+    "the categorical-association complement to the GOF chi-square the "
+    "SRM gate runs: is order priority distributed independently of "
+    "customer segment?  Each cell's (O-E)^2/E term is quantized "
+    "round(,9) before the sum so the |cells|-term fold is "
+    "engine-stable (the CUPED/moments pin).  Scale shape: one "
+    "broadcast dim join + ONE partial-agg groupBy collapses the fact "
+    "table to |segments|x|priorities| cells; the margins are windows "
+    "over that 25-row cell table and the reduction is 1-row — the "
+    "fact table shuffles exactly once.",
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    m = (
+        cells.withColumn("row_n", F.sum("n").over(Window.partitionBy("seg")))
+        .withColumn("col_n", F.sum("n").over(Window.partitionBy("pri")))
+        .withColumn(
+            "tot",
+            F.sum("n").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("tot")
+    term = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    t = m.withColumn("term", F.round(term, 9))
+    return t.agg(
+        F.countDistinct("seg").alias("n_rows"),
+        F.countDistinct("pri").alias("n_cols"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        ).alias("dof"),
+        F.max("tot").alias("n_total"),
+        F.round(F.sum("term"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("term")
+                / (
+                    F.max("tot")
+                    * F.least(
+                        F.countDistinct("seg") - 1,
+                        F.countDistinct("pri") - 1,
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
