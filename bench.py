@@ -415,6 +415,8 @@ def main() -> None:
         "sketch_kmv_jaccard_pair",
         "ml_conformal_interval_coverage",
         "privacy_dp_laplace_counts",
+        "stats_chi_square_independence",
+        "sample_neyman_allocation",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
