@@ -2839,3 +2839,89 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str):
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "dq_volume_anomaly_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY day
+    ),
+    base AS (
+      SELECT day, n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+             CAST(median(n) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+               AS med
+      FROM daily
+    ),
+    scored AS (
+      SELECT day, n, med,
+             round(n / med, 4) AS ratio,
+             (n < 0.5 * med OR n > 1.5 * med) AS is_anomaly
+      FROM base WHERE rn > 7
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY abs(n - med) / med DESC, day) AS INT) AS rk,
+           day, n, med, ratio, is_anomaly
+    FROM scored
+    ORDER BY abs(n - med) / med DESC, day LIMIT 5
+    """,
+    doc="Daily ingest-volume anomaly detection — the pipeline-health "
+    "check every ingest DAG runs before anything downstream trusts a "
+    "partition: per-day row counts vs the TRAILING-7-DAY MEDIAN "
+    "(robust to the previous day itself being broken, unlike a mean), "
+    "flagged outside the 0.5x-1.5x band; the graded surface ranks the "
+    "5 most deviant days.  The median of a 7-element integer window "
+    "is EXACT on both engines (DuckDB window median; Spark "
+    "element_at(array_sort(collect_list over the same frame), 4)), "
+    "no approx-percentile anywhere.  Scale shape: the fact table "
+    "collapses to a |days| cell table in one partial-agg pass; the "
+    "trailing window and ranking run on that date-bounded table "
+    "(years of days, not rows), and the top-5 is "
+    "TakeOrderedAndProject.",
+)
+def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    wr = Window.orderBy("day")
+    base = daily.select(
+        "day",
+        "n",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.element_at(F.array_sort(F.collect_list("n").over(w7)), 4)
+        .cast("double")
+        .alias("med"),
+    ).filter(F.col("rn") > 7)
+    scored = base.select(
+        "day",
+        "n",
+        "med",
+        F.round(F.col("n") / F.col("med"), 4).alias("ratio"),
+        (
+            (F.col("n") < 0.5 * F.col("med"))
+            | (F.col("n") > 1.5 * F.col("med"))
+        ).alias("is_anomaly"),
+        (F.abs(F.col("n") - F.col("med")) / F.col("med")).alias("_dev"),
+    )
+    wrank = Window.orderBy(F.desc("_dev"), "day")
+    return (
+        scored.orderBy(F.desc("_dev"), "day")
+        .limit(5)
+        .select(
+            F.row_number().over(wrank).cast("int").alias("rk"),
+            "day",
+            "n",
+            "med",
+            "ratio",
+            "is_anomaly",
+        )
+        .orderBy("rk")
+    )
