@@ -2925,3 +2925,185 @@ def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str):
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "abtest_experiment_readout_capstone",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((floor(epoch(min(ts))) + floor(epoch(max(ts))))
+                        / 2.0) AS BIGINT) AS mid
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(coalesce(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                         < mid
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                         >= mid
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               END), 0) AS BIGINT) AS y
+      FROM events, b
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    theta AS (
+      SELECT round(covar_pop(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), 9)
+               / nullif(round(var_pop(CAST(x AS DOUBLE)), 9), 0) AS th,
+             round(avg(CAST(x AS DOUBLE)), 9) AS mx
+      FROM per_user
+    ),
+    m AS (
+      SELECT
+        CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+        avg(CASE WHEN arm = 'A' THEN CAST(x + y AS DOUBLE) END) AS ma,
+        avg(CASE WHEN arm = 'B' THEN CAST(x + y AS DOUBLE) END) AS mb,
+        var_samp(CASE WHEN arm = 'A' THEN CAST(x + y AS DOUBLE) END) AS va,
+        var_samp(CASE WHEN arm = 'B' THEN CAST(x + y AS DOUBLE) END) AS vb,
+        avg(CASE WHEN arm = 'A'
+                 THEN CAST(y AS DOUBLE) - theta.th
+                      * (CAST(x AS DOUBLE) - theta.mx) END) AS ca,
+        avg(CASE WHEN arm = 'B'
+                 THEN CAST(y AS DOUBLE) - theta.th
+                      * (CAST(x AS DOUBLE) - theta.mx) END) AS cb
+      FROM per_user, theta
+    )
+    SELECT n_a, n_b,
+           round((n_a - n_b) * (n_a - n_b)
+                 / CAST(n_a + n_b AS DOUBLE), 4) AS srm_chi2,
+           (n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE)
+             < 3.841 AS srm_pass,
+           round(mb - ma, 4) AS delta_cents,
+           round(cb - ca, 4) AS delta_cuped_cents,
+           round((mb - ma) / sqrt(va / n_a + vb / n_b), 4) AS welch_t,
+           round((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                 / ((va / n_a) * (va / n_a) / (n_a - 1)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2)
+             AS df_welch,
+           abs(round((mb - ma) / sqrt(va / n_a + vb / n_b), 4))
+             > 2.0400 AS obf_final_crossed,
+           round(least(1.0, exp(-round(
+             0.5 * ln((va / n_a + vb / n_b)
+                      / (va / n_a + vb / n_b + 5000.0 * 5000.0))
+             + (mb - ma) * (mb - ma) * 5000.0 * 5000.0
+               / (2.0 * (va / n_a + vb / n_b)
+                      * (va / n_a + vb / n_b + 5000.0 * 5000.0)), 6))),
+             6) AS msprt_p,
+           round(least(1.0, exp(-round(
+             0.5 * ln((va / n_a + vb / n_b)
+                      / (va / n_a + vb / n_b + 5000.0 * 5000.0))
+             + (mb - ma) * (mb - ma) * 5000.0 * 5000.0
+               / (2.0 * (va / n_a + vb / n_b)
+                      * (va / n_a + vb / n_b + 5000.0 * 5000.0)), 6))),
+             6) < 0.05 AS msprt_reject
+    FROM m
+    """,
+    doc="The experimentation shelf composed end-to-end — one "
+    "declarative readout every experiment review needs, built from "
+    "the SAME certified pieces the individual rows grade (the "
+    "corpus_build_pipeline pattern applied to A/B): sample-ratio "
+    "chi-square GATE (1 dof, 3.841 = 95% critical), raw and "
+    "CUPED-adjusted treatment deltas (theta = cov/var on the "
+    "pre-period, moments round(9)-pinned), Welch t with "
+    "Satterthwaite df on full-horizon per-user spend, the OBF "
+    "final-look decision (|z| vs the tabulated 2.04), and the mSPRT "
+    "always-valid p (tau = 5000 cents, log-space) with its 0.05 "
+    "decision.  Integer-cent per-user sums are exact; every derived "
+    "statistic rounds at source.  Scale shape: ONE events scan -> "
+    "per-user partial agg, a 1-row theta broadcast, and 1-row "
+    "conditional-moment reductions — nothing after the first "
+    "groupBy exceeds |users| rows.",
+)
+def abtest_experiment_readout_capstone(spark: SparkSession, sf_dir: str):
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    s = F.unix_timestamp("ts").cast("long")
+    b = e.agg(
+        F.floor((F.min(s) + F.max(s)) / F.lit(2.0)).cast("long").alias("mid")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(s < F.col("mid"), cents)), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(s >= F.col("mid"), cents)), F.lit(0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    theta = per_user.agg(
+        (
+            F.round(F.covar_pop(xd, yd), 9)
+            / F.nullif(F.round(F.var_pop(xd), 9), F.lit(0.0))
+        ).alias("th"),
+        F.round(F.avg(xd), 9).alias("mx"),
+    )
+    tot = (F.col("x") + F.col("y")).cast("double")
+    adj = yd - F.col("th") * (xd - F.col("mx"))
+    A = F.col("arm") == "A"
+    B = F.col("arm") == "B"
+    m = per_user.crossJoin(F.broadcast(theta)).agg(
+        F.count(F.when(A, 1)).alias("n_a"),
+        F.count(F.when(B, 1)).alias("n_b"),
+        F.avg(F.when(A, tot)).alias("ma"),
+        F.avg(F.when(B, tot)).alias("mb"),
+        F.var_samp(F.when(A, tot)).alias("va"),
+        F.var_samp(F.when(B, tot)).alias("vb"),
+        F.avg(F.when(A, adj)).alias("ca"),
+        F.avg(F.when(B, adj)).alias("cb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    V = F.col("va") / na + F.col("vb") / nb
+    d = F.col("mb") - F.col("ma")
+    tau2 = 5000.0 * 5000.0
+    log_lambda = F.round(
+        0.5 * F.log(V / (V + F.lit(tau2)))
+        + d * d * F.lit(tau2) / (2.0 * V * (V + F.lit(tau2))),
+        6,
+    )
+    msprt_p = F.round(F.least(F.lit(1.0), F.exp(-log_lambda)), 6)
+    srm = (na - nb) * (na - nb) / (na + nb)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(srm, 4).alias("srm_chi2"),
+        (srm < 3.841).alias("srm_pass"),
+        F.round(d, 4).alias("delta_cents"),
+        F.round(F.col("cb") - F.col("ca"), 4).alias("delta_cuped_cents"),
+        F.round(d / F.sqrt(V), 4).alias("welch_t"),
+        F.round(
+            V * V
+            / (
+                (F.col("va") / na) * (F.col("va") / na) / (na - 1)
+                + (F.col("vb") / nb) * (F.col("vb") / nb) / (nb - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+        (F.abs(F.round(d / F.sqrt(V), 4)) > 2.0400).alias(
+            "obf_final_crossed"
+        ),
+        msprt_p.alias("msprt_p"),
+        (msprt_p < 0.05).alias("msprt_reject"),
+    )
