@@ -417,6 +417,8 @@ def main() -> None:
         "privacy_dp_laplace_counts",
         "stats_chi_square_independence",
         "sample_neyman_allocation",
+        "dq_volume_anomaly_daily",
+        "abtest_experiment_readout_capstone",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
