@@ -2332,7 +2332,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str):
     ),
     s AS (
       SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop,
-             round(stddev_samp(CAST(cents AS DOUBLE)), 6) AS sigma
+             round(stddev_samp(CAST(cents AS DOUBLE)), 2) AS sigma
       FROM f GROUP BY stratum
     ),
     w AS (
@@ -2364,8 +2364,12 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str):
     "every survey/eval-set builder wants instead of proportional "
     "allocation when strata differ in spread; the existing "
     "stratified row uses FIXED rates, this one derives them from the "
-    "data.  Per-stratum sigma rounds at 6 before the weight product "
-    "(engine-stable), the allocation is integer, and the realized "
+    "data.  Per-stratum sigma is cents-scale (~1e6), so it rounds at "
+    "2 decimals — ~8 significant digits, a grid comfortably wider "
+    "than cross-engine fold-order noise in a distributed variance "
+    "(round(,6) on this magnitude was ~12 sig digits, tighter than "
+    "the noise floor) — before the N_h*sigma_h weight product; the "
+    "allocation is integer, and the realized "
     "sample admits rows via a seeded md5 uniform against the "
     "stratum's rate — deterministic, reproducible, map-side.  The "
     "graded surface reconciles allocation vs realized counts.  Scale "
@@ -2384,7 +2388,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str):
     )
     s = f.groupBy("stratum").agg(
         F.count("*").alias("n_pop"),
-        F.round(F.stddev_samp(F.col("cents").cast("double")), 6).alias(
+        F.round(F.stddev_samp(F.col("cents").cast("double")), 2).alias(
             "sigma"
         ),
     )

@@ -2958,11 +2958,11 @@ def ann_ivf_index_persisted(spark, sf_dir):
             os.path.join(tmp, "assigned")
         )
         centroids.write.parquet(os.path.join(tmp, "centroids"))
-        os.makedirs(_IVF_INDEX_CACHE, exist_ok=True)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        from .registry import publish_dir
+
+        publish_dir(
+            tmp, final, lambda d: os.path.isdir(os.path.join(d, "assigned"))
+        )
         # prune stale fingerprints of the SAME corpus path so repeated
         # regenerations don't grow the cache unboundedly (ADVICE r4).
         # Only EXACT final names (<prefix><size>.<mtime> — two numeric

@@ -1307,6 +1307,25 @@ def ml_conformal_interval_coverage(spark, sf_dir):
         )
         .persist()
     )
+    try:
+        return _conformal_from_scored(spark, scored, mr, slope, icpt)
+    finally:
+        # unpersist in finally: an exception anywhere in the collect
+        # sequence (empty calibration split, executor loss) must not
+        # leak the cached dataset for the rest of the session.
+        scored.unpersist(blocking=False)
+
+
+def _conformal_from_scored(spark, scored, mr, slope, icpt):
+    from pyspark.sql import Window
+
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
     cal = scored.filter(F.col("hx") < "c")
     kq = cal.agg(
         F.count("*").alias("n_cal"),
@@ -1358,7 +1377,6 @@ def ml_conformal_interval_coverage(spark, sf_dir):
         )
         .collect()[0]
     )
-    scored.unpersist(blocking=False)
     return spark.createDataFrame(
         [
             (

@@ -37,6 +37,43 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 from hadoop_formats_spark.cachedir import cache_path
 
+
+def publish_dir(
+    tmp: str, final: str, populated: Callable[[str], bool]
+) -> str:
+    """Atomically publish a freshly built cache dir: rename(tmp, final);
+    on OSError assume a concurrent builder won the publish race and
+    discard ``tmp``.  Either way, VERIFY ``populated(final)`` before
+    returning — an OSError can also mean a filesystem quirk or an empty
+    pre-existing ``final``, and returning an unpopulated path would
+    silently yield empty reads downstream (ADVICE r12).  Fail loudly
+    instead."""
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race (probably)
+    if not (os.path.isdir(final) and populated(final)):
+        raise RuntimeError(
+            f"cache publish failed: {final!r} is missing or unpopulated "
+            "after rename — not a lost race; inspect the cache root"
+        )
+    return final
+
+
+def _has_file(suffix: str = "", prefix: str = "") -> Callable[[str], bool]:
+    """Predicate factory for publish_dir: final dir contains an entry
+    matching the given suffix/prefix."""
+
+    def check(d: str) -> bool:
+        return any(
+            f.endswith(suffix) and f.startswith(prefix)
+            for f in os.listdir(d)
+        )
+
+    return check
+
+
 _EVENTS_CACHE = cache_path("events_us")
 
 
@@ -66,11 +103,7 @@ def events_path(sf_dir: str) -> str:
     tmp = final + "." + uuid.uuid4().hex[:8]
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(suffix=".parquet"))
 
 
 _DOCS_STREAM_CACHE = cache_path("docs_streamdir_v2")
@@ -111,12 +144,7 @@ def docs_stream_dir(sf_dir: str, *, nfiles: int = 8) -> str:
         if sl.num_rows == 0:
             break
         pq.write_table(sl, os.path.join(tmp, f"part-{i}.parquet"))
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(suffix=".parquet"))
 
 DOCS_STREAM_FILES = 8  # files_per_trigger partner for docs_stream_dir
 
@@ -414,58 +442,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # first, then post-fix non-green, then changed-code-first via git log
 # -L over each registration span + referenced operator modules, then
 # oldest-green round-robin across families).  This list is that tool's
-# verbatim output at the r12 freeze; regenerate it each round.
+# verbatim output at the r13 freeze; regenerate it each round.
 PRIORITY_ORDER = [
-    "set_bag_ops_shipyear",  # never-graded
-    "join_null_safe_priority",  # never-graded
-    "map_higher_order_funcs",  # never-graded
-    "sql_group_order_by_all",  # never-graded
-    "agg_listagg_within_group",  # never-graded
-    "scalar_try_functions",  # never-graded
-    "udf_arrow_scalar_margin",  # never-graded
-    "ann_ivfpq_adc_recall_at_3",  # never-graded
-    "sample_hard_negatives_band",  # never-graded
-    "multimodal_resize_checksum",  # never-graded
-    "abtest_mann_whitney_u",  # never-graded
-    "stream_dq_quarantine_split",  # never-graded
-    "mapfile_get_closest_lookup",  # never-graded
-    "curation_ccnet_ppl_buckets",  # never-graded
-    "transform_fim_split",  # never-graded
-    "pack_length_bucketing_waste",  # never-graded
-    "corpus_build_pipeline_v2",  # never-graded
-    "layout_zorder_pruned_scan",  # never-graded
-    "dq_quarantine_split_sink",  # never-graded
-    "text_gopher_quality_rules",  # never-graded
-    "ml_naive_bayes_score_confusion",  # never-graded
-    "ml_logreg_calibration_bins",  # never-graded
-    "approx_distinct_quantiles",  # non-green r11
-    "ml_logreg_quality_train",  # changed since r09: span hadoop_formats_spark/queries/features.py:488-529
-    "seqfile_metadata_roundtrip",  # oldest-green r04 [seqfile]
-    "dedup_incremental_batch",  # oldest-green r05 [dedup]
-    "join_inner_revenue_by_nation",  # oldest-green r05 [join]
-    "sample_weighted_quality",  # oldest-green r05 [sample]
-    "sketch_kmv_distinct_union",  # oldest-green r05 [sketch]
-    "stream_dedup_by_user_type",  # oldest-green r05 [stream]
-    "text_lang_id_confusion",  # oldest-green r05 [text]
-    "q21_waiting_suppliers",  # oldest-green r05 [tpch]
-    "ann_ivf_recall_at_3",  # oldest-green r06 [ann]
-    "curation_pipeline_docs",  # oldest-green r06 [curation]
-    "date_functions",  # oldest-green r06 [date]
-    "dq_constraint_suite",  # oldest-green r06 [dq]
-    "graph_copurchase_pairs",  # oldest-green r06 [graph]
-    "mapfile_point_lookup",  # oldest-green r06 [mapfile]
-    "multimodal_audio_window_counts",  # oldest-green r06 [multimodal]
-    "pareto_frontier_quality_length",  # oldest-green r06 [pareto]
-    "parquet_partitioned_pruned_read",  # oldest-green r06 [parquet]
-    "privacy_k_anonymity",  # oldest-green r06 [privacy]
-    "scd2_dimension_merge",  # oldest-green r06 [scd2]
-    "search_hybrid_rrf",  # oldest-green r06 [search]
-    "set_intersect_except",  # oldest-green r06 [set]
-    "sql_entry_revenue_by_segment",  # oldest-green r06 [sql]
-    "stats_outlier_zscore",  # oldest-green r06 [stats]
-    "timeseries_resample_ffill",  # oldest-green r06 [timeseries]
-    "udf_pandas_grouped_weighted_avg",  # oldest-green r06 [udf]
-    "window_range_frame_spend",  # oldest-green r06 [window]
+    "agg_bitwise_checksum_bitmap",  # never-graded
+    "sketch_kmv_jaccard_pair",  # never-graded
+    "abtest_sequential_obf",  # never-graded
+    "abtest_msprt_always_valid",  # never-graded
+    "abtest_welch_ttest",  # never-graded
+    "privacy_dp_laplace_counts",  # never-graded
+    "stats_chi_square_independence",  # never-graded
+    "dq_volume_anomaly_daily",  # never-graded
+    "abtest_experiment_readout_capstone",  # never-graded
+    "seqfile_sorter_merge_runs",  # never-graded
+    "seqfile_binary_payload_roundtrip",  # never-graded
+    "sample_dsir_importance",  # never-graded
+    "sample_neyman_allocation",  # never-graded
+    "ml_conformal_interval_coverage",  # never-graded
+    "seqfile_permissive_corrupt_tail",  # oldest-green r04 [seqfile]
+    "dedup_minhash_lsh",  # oldest-green r05 [dedup]
+    "join_salted_lineitem_orders",  # oldest-green r05 [join]
+    "stream_session_windows",  # oldest-green r05 [stream]
+    "text_tfidf_top_terms",  # oldest-green r05 [text]
+    "q9_product_type_profit",  # oldest-green r05 [tpch]
+    "ann_pq_adc_recall_at_3",  # oldest-green r06 [ann]
+    "graph_label_propagation",  # oldest-green r06 [graph]
+    "sketch_histogram_quantiles",  # oldest-green r06 [sketch]
+    "stats_quantile_normalize",  # oldest-green r06 [stats]
+    "window_rank_dense_ntile",  # oldest-green r06 [window]
+    "abtest_bootstrap_ci",  # oldest-green r08 [abtest]
+    "cohort_retention_weekly",  # oldest-green r08 [cohort]
+    "csv_write_read_roundtrip",  # oldest-green r08 [csv]
+    "cube_status_priority",  # oldest-green r08 [cube]
+    "embedding_centroid_drift",  # oldest-green r08 [embedding]
+    "events_trigram_mining",  # oldest-green r08 [events]
+    "filter_predicates",  # oldest-green r08 [filter]
+    "intervals_merge_coverage",  # oldest-green r08 [intervals]
+    "link_fuzzy_customer_names",  # oldest-green r08 [link]
+    "map_constructor_lookup",  # oldest-green r08 [map]
+    "null_handling_fill_nullsafe",  # oldest-green r08 [null]
+    "projection_compute",  # oldest-green r08 [projection]
+    "rollup_region_nation",  # oldest-green r08 [rollup]
+    "scd2_point_in_time_join",  # oldest-green r08 [scd2]
+    "session_entry_exit_flows",  # oldest-green r08 [session]
+    "set_union_distinct",  # oldest-green r08 [set]
+    "sort_multikey_nulls",  # oldest-green r08 [sort]
+    "struct_map_collect",  # oldest-green r08 [struct]
+    "subquery_scalar_near_max",  # oldest-green r08 [subquery]
+    "timeseries_ewma_anomaly",  # oldest-green r08 [timeseries]
+    "udf_pandas_scalar_charge",  # oldest-green r08 [udf]
+    "unpivot_price_measures",  # oldest-green r08 [unpivot]
+    "agg_exact_percentiles",  # oldest-green r09 [agg]
+    "attribution_last_touch",  # oldest-green r09 [attribution]
+    "customer_rfm_segments",  # oldest-green r09 [customer]
 ]
 
 

@@ -15,7 +15,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from .registry import register, table
+from .registry import _has_file, publish_dir, register, table
 
 REFERENCE_TEXT_INT = "/root/reference/tests/text-int.seq"
 from hadoop_formats_spark.cachedir import cache_path
@@ -40,12 +40,7 @@ def _roundtrip_dir(spark, sf_dir: str, name: str, build, writer_options=None) ->
     for k, v in opts.items():
         w = w.option(k, v)
     w.save(tmp)
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; winner's is fine
-    return final
+    return publish_dir(tmp, final, _has_file(suffix=".seq"))
 
 
 @register(
@@ -473,12 +468,7 @@ def _mapfile_orders_dir(spark, sf_dir: str) -> str:
         .mode("append")
         .save(tmp)
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(prefix="part-"))
 
 
 @register(
@@ -565,12 +555,7 @@ def _bloommap_even_orders_dir(spark, sf_dir: str) -> str:
         .mode("append")
         .save(tmp)
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(prefix="part-"))
 
 
 @register(
@@ -629,12 +614,7 @@ def _setfile_ledger_dir(spark, sf_dir: str) -> str:
         .mode("append")
         .save(tmp)
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(prefix="part-"))
 
 
 @register(
@@ -710,12 +690,7 @@ def _tombstone_dir(spark, sf_dir: str) -> str:
         .mode("append")
         .save(tmp)
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(prefix="part-"))
 
 
 @register(
@@ -793,12 +768,7 @@ def _mapfile_sparse_orders_dir(spark, sf_dir: str) -> str:
         .mode("append")
         .save(tmp)
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(prefix="part-"))
 
 
 @register(
@@ -921,12 +891,7 @@ def _sorter_merged_dir(spark, sf_dir: str) -> str:
         .mode("append")
         .save(tmp)
     )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return final
+    return publish_dir(tmp, final, _has_file(prefix="part-"))
 
 
 @register(

@@ -2694,9 +2694,11 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str):
       FROM t
     )
     SELECT segment, true_n,
-           round(-2.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6) AS noise,
+           round(-2.0 * sign(uu)
+                 * ln(greatest(1.0 - 2.0 * abs(uu), pow(2, -33))), 6)
+             AS noise,
            round(true_n + round(-2.0 * sign(uu)
-                                * ln(1.0 - 2.0 * abs(uu)), 6), 4)
+                 * ln(greatest(1.0 - 2.0 * abs(uu), pow(2, -33))), 6), 4)
              AS noisy_n,
            CAST(0.5 AS DOUBLE) AS epsilon,
            CAST(2.0 AS DOUBLE) AS laplace_scale
@@ -2730,8 +2732,16 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str):
         / F.lit(4294967296.0)
         - 0.5
     )
+    # Clamp the inverse-CDF argument at 2^-33 (just under the 2^-32
+    # uniform grid): uu == -0.5 exactly (hash prefix 0) would make it
+    # ln(0) — Spark log(0) returns NULL while DuckDB raises, an
+    # asymmetric engine edge; the clamp caps |noise| at 2*33*ln(2),
+    # identical in builder and oracle.
     noise = F.round(
-        F.lit(-2.0) * F.signum(uu) * F.log(F.lit(1.0) - 2.0 * F.abs(uu)), 6
+        F.lit(-2.0)
+        * F.signum(uu)
+        * F.log(F.greatest(F.lit(1.0) - 2.0 * F.abs(uu), F.lit(2.0 ** -33))),
+        6,
     )
     return t.select(
         "segment",
@@ -2844,16 +2854,25 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str):
 @register(
     "dq_volume_anomaly_daily",
     oracle="""
-    WITH daily AS (
+    WITH present AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(count(*) AS BIGINT) AS n
       FROM orders GROUP BY day
     ),
+    grid AS (
+      SELECT CAST(unnest(generate_series(min(day), max(day),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM present
+    ),
+    daily AS (
+      SELECT g.day, CAST(coalesce(p.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN present p USING (day)
+    ),
     base AS (
       SELECT day, n,
              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
-             CAST(median(n) OVER (ORDER BY day
-               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+             nullif(CAST(median(n) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0)
                AS med
       FROM daily
     ),
@@ -2864,17 +2883,24 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str):
       FROM base WHERE rn > 7
     )
     SELECT CAST(row_number() OVER (
-             ORDER BY abs(n - med) / med DESC, day) AS INT) AS rk,
+             ORDER BY abs(n - med) / med DESC NULLS LAST, day) AS INT) AS rk,
            day, n, med, ratio, is_anomaly
     FROM scored
-    ORDER BY abs(n - med) / med DESC, day LIMIT 5
+    ORDER BY abs(n - med) / med DESC NULLS LAST, day LIMIT 5
     """,
     doc="Daily ingest-volume anomaly detection — the pipeline-health "
     "check every ingest DAG runs before anything downstream trusts a "
     "partition: per-day row counts vs the TRAILING-7-DAY MEDIAN "
     "(robust to the previous day itself being broken, unlike a mean), "
     "flagged outside the 0.5x-1.5x band; the graded surface ranks the "
-    "5 most deviant days.  The median of a 7-element integer window "
+    "5 most deviant days.  The date grid is DENSIFIED first "
+    "(sequence(min(day), max(day)) left-joined to the per-day counts, "
+    "missing days = 0) so a FULLY MISSING day — the canonical ingest "
+    "failure this monitor exists to catch — produces an n=0 row and "
+    "is flagged, rather than silently absent from the window; a "
+    "nullif(med, 0) guard keeps an all-zero trailing window NULL on "
+    "both engines instead of dividing by zero.  The median of a "
+    "7-element integer window "
     "is EXACT on both engines (DuckDB window median; Spark "
     "element_at(array_sort(collect_list over the same frame), 4)), "
     "no approx-percentile anywhere.  Scale shape: the fact table "
@@ -2887,18 +2913,28 @@ def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(
+    present = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(F.count("*").alias("n"))
+    # Densify the date grid: a fully missing day must surface as n=0,
+    # not vanish from the trailing window (|days| rows — driver-cheap).
+    grid = present.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = grid.join(present, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
     w7 = Window.orderBy("day").rowsBetween(-7, -1)
     wr = Window.orderBy("day")
     base = daily.select(
         "day",
         "n",
         F.row_number().over(wr).cast("long").alias("rn"),
-        F.element_at(F.array_sort(F.collect_list("n").over(w7)), 4)
-        .cast("double")
-        .alias("med"),
+        F.nullif(
+            F.element_at(F.array_sort(F.collect_list("n").over(w7)), 4)
+            .cast("double"),
+            F.lit(0.0),
+        ).alias("med"),
     ).filter(F.col("rn") > 7)
     scored = base.select(
         "day",
@@ -2911,9 +2947,9 @@ def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str):
         ).alias("is_anomaly"),
         (F.abs(F.col("n") - F.col("med")) / F.col("med")).alias("_dev"),
     )
-    wrank = Window.orderBy(F.desc("_dev"), "day")
+    wrank = Window.orderBy(F.desc_nulls_last("_dev"), "day")
     return (
-        scored.orderBy(F.desc("_dev"), "day")
+        scored.orderBy(F.desc_nulls_last("_dev"), "day")
         .limit(5)
         .select(
             F.row_number().over(wrank).cast("int").alias("rk"),
