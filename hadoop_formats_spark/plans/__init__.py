@@ -44,6 +44,20 @@ def parquet_scans(df: DataFrame) -> list[ScanInfo]:
     return out
 
 
+def post_execution_plan(df: DataFrame) -> str:
+    """Execute the SAME DataFrame (collect — a derived ``count()`` plans
+    a different query) and return the FINAL adaptive plan.  This is the
+    plan that tells the truth about iterative lineages: the static plan
+    is an upper bound that counts each repeated identical subtree once
+    per reference, while AQE's exchange reuse collapses them at runtime
+    (``ReusedExchange``) — the difference that made "fixing" the
+    PageRank scan-count flag with persist() 4.5x slower (SCALE.md r12)."""
+    df.collect()
+    plan = executed_plan(df)
+    assert "isFinalPlan=false" not in plan, "collect() did not finalize AQE"
+    return plan
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 

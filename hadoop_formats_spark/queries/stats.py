@@ -1682,10 +1682,11 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str):
     "CDFs are evaluated AFTER ties at the distinct-value level so "
     "both engines agree exactly.  Scale shape: ONE partial-agg "
     "groupBy collapses the stream to per-distinct-value side "
-    "counts; the exact test then needs one ordered pass over the "
-    "|distinct| table (a global sort — the price of exactness; at "
-    "extreme cardinality use the binned PSI or a deterministic "
-    "hash-sample first).",
+    "counts; the cumulative CDFs then run as the DISTRIBUTED "
+    "two-phase prefix sum (deterministic value-range buckets ranked "
+    "in parallel + a broadcast <=8-row bucket-offset table — the "
+    "abtest_mann_whitney_u pattern), so the exact test no longer "
+    "pays a global single-task sort of the value domain.",
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
@@ -1710,15 +1711,58 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str):
         F.sum("is_ref").alias("n1"),
         F.sum(1 - F.col("is_ref")).alias("n2"),
     )
-    wall = Window.partitionBy()
-    wcum = Window.orderBy("value").rowsBetween(
+    # DISTRIBUTED prefix sum over the distinct-value cells — the same
+    # two-phase scan as abtest_mann_whitney_u: `value` can be
+    # near-unique, so a global unpartitioned ORDER BY value window
+    # would serialize the whole cell table onto one task.  Bucket by
+    # value range (boundaries DETERMINISTIC from the 1-row min/max
+    # aggregate, never sampled — this frame is read twice: offsets +
+    # ranks), rank within each bucket in parallel, add each bucket's
+    # broadcast offset.  The only single-task window is the <= nb-row
+    # offset table.
+    bounds = pervalue.agg(
+        F.min("value").alias("vlo"), F.max("value").alias("vhi")
+    )
+    nb = 8
+    parts = pervalue.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        "n1",
+        "n2",
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("value") - F.col("vlo"))
+                * nb
+                / (F.col("vhi") - F.col("vlo") + F.lit(1.0))
+            ).cast("int"),
+        ).alias("pid"),
+    )
+    ptot = parts.groupBy("pid").agg(
+        F.sum("n1").alias("p1"), F.sum("n2").alias("p2")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.select(
+        "pid",
+        F.coalesce(F.sum("p1").over(woff), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("p2").over(woff), F.lit(0)).alias("off2"),
+    )
+    totals = ptot.agg(
+        F.sum("p1").alias("tot1"), F.sum("p2").alias("tot2")
+    )
+    wcum = Window.partitionBy("pid").orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = pervalue.select(
-        (F.sum("n1").over(wcum) / F.sum("n1").over(wall)).alias("f1"),
-        (F.sum("n2").over(wcum) / F.sum("n2").over(wall)).alias("f2"),
-        F.sum("n1").over(wall).alias("tot1"),
-        F.sum("n2").over(wall).alias("tot2"),
+    cum = (
+        parts.withColumn("c1_in", F.sum("n1").over(wcum))
+        .withColumn("c2_in", F.sum("n2").over(wcum))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            ((F.col("c1_in") + F.col("off1")) / F.col("tot1")).alias("f1"),
+            ((F.col("c2_in") + F.col("off2")) / F.col("tot2")).alias("f2"),
+            "tot1",
+            "tot2",
+        )
     )
     d = F.max(F.abs(F.col("f1") - F.col("f2")))
     scale = F.sqrt(
