@@ -419,7 +419,15 @@ def main() -> None:
         "sample_neyman_allocation",
         "dq_volume_anomaly_daily",
         "abtest_experiment_readout_capstone",
+        # round-13 operators
+        "multimodal_pnm_real_decode",
     ]
+    # local-iteration knob: the ~150-query extras section takes several
+    # minutes at sf0.1; skip it when only the headline + format-layer
+    # sections are being validated.  The driver never sets this, so
+    # driver-recorded BENCH_r{N} runs always carry the full extras.
+    if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS"):
+        EXTRA = []
     extra: dict[str, float] = {}
     for name in EXTRA:
         spec = QUERIES[name]
@@ -510,6 +518,37 @@ def main() -> None:
         flagged.append("seqfile_scaled_scan_jvm")
     check_record("seqfile_scaled_scan_jvm", jvm_s, not bad)
 
+    # round-12 WRITE/SORT path (VERDICT r12 #5): SequenceFile.Sorter
+    # parity, perf-tracked round-over-round like the read paths.  COLD
+    # = evict the sorter's two cache dirs and run the graded query once
+    # end-to-end (8 unsorted seqfile shard writes + range-shuffle sort
+    # + order-validated MapFile-run write + read-back aggregation);
+    # WARM = the steady-state read-back.  Its own summary field — NOT
+    # in the headline total, which stays comparable to r1/r2.
+    import shutil as _sh
+
+    from hadoop_formats_spark.queries.seqfile_q import _CACHE_ROOT
+
+    _skey = sf_dir.strip("/").replace("/", "_")
+    for d in ("orders_sorter_merge", "orders_unsorted_shards"):
+        _sh.rmtree(os.path.join(_CACHE_ROOT, _skey, d), ignore_errors=True)
+    _sorter = QUERIES["seqfile_sorter_merge_runs"]
+    sorter_build_s, bad_build = timed_best(
+        lambda: _sorter.builder(spark, sf_dir).count(), n=1, max_extra=0
+    )  # n=1: the cold build is one-shot by construction (cache publish)
+    sorter_read_s, bad_read = timed_best(
+        lambda: _sorter.builder(spark, sf_dir).count(), n=2
+    )
+    if bad_build or bad_read:
+        flagged.append("seqfile_sorter_merge")
+    check_record("seqfile_sorter_build", sorter_build_s, not bad_build)
+    check_record("seqfile_sorter_read", sorter_read_s, not bad_read)
+    print(
+        f"# seqfile_sorter_merge: build {sorter_build_s:.2f}s, "
+        f"read {sorter_read_s:.2f}s",
+        file=sys.stderr,
+    )
+
     # persist the rolling clean record (best-effort; never fail a run)
     try:
         tmp = RECORD_PATH + f".{os.getpid()}"
@@ -539,6 +578,13 @@ def main() -> None:
             "sec": round(jvm_s, 3),
             "recs_per_sec": round(n_scaled / jvm_s),
             "speedup_vs_python_ds": round(scaled_s / jvm_s, 2),
+        },
+        # write/sort path (Sorter parity): cold end-to-end build
+        # (shard writes + range sort + validated MapFile-run write)
+        # vs warm read-back; not in the headline total
+        "seqfile_sorter_merge": {
+            "build_sec": round(sorter_build_s, 3),
+            "read_sec": round(sorter_read_s, 3),
         },
         # queries whose every timing sample was polluted — hypervisor
         # steal >3% of the interval OR the CPU calibration probe >30%

@@ -4,9 +4,10 @@ Media travel as opaque ``binary`` columns with typed metadata —
 ``BytesWritable`` is the natural SequenceFile carrier
 (``Writable.hs:97-99``).  The Spark-side plumbing (schema, Arrow batch
 shape, ``mapInPandas`` signatures, partitioning) is real and tested;
-the actual pixel/sample decode is stubbed behind an import gate
-because no image/audio libraries exist in this container — swap
-``_decode_image_stub`` for a PIL/libav call in production.
+general pixel/sample decode is gated on PIL (absent in this
+container) — EXCEPT binary PNM (P5/P6), which ``decode_pnm`` parses
+with pure numpy so the ``decode='real'`` branch runs and is tested
+everywhere; swap in PIL/libav for other containers in production.
 """
 
 from __future__ import annotations
@@ -59,6 +60,64 @@ def extract_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(parse, META_SCHEMA)
 
 
+def decode_pnm(payload: bytes):
+    """Pure-numpy decoder for BINARY PNM images (P5 grayscale / P6
+    RGB, maxval <= 255) — the one trivial container whose real pixel
+    decode needs no image library, so ``decode='real'`` is exercisable
+    in any environment (VERDICT r12 #4).  Returns a float64 GRAYSCALE
+    matrix (P6 converts via the ITU-R BT.601 integer luma
+    (299R + 587G + 114B) // 1000 — PIL's ``convert('L')`` convention),
+    or ``None`` when the payload is not a parseable binary PNM.
+    Header grammar: magic, width, height, maxval as whitespace-
+    separated tokens with ``#``-to-newline comments, then EXACTLY one
+    whitespace byte before the raster."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
+        return None
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3:
+        if i >= len(payload):
+            return None
+        c = payload[i : i + 1]
+        if c == b"#":
+            j = payload.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        return None
+    i += 1  # the single post-maxval whitespace byte
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    depth = 1 if payload[:2] == b"P5" else 3
+    need = w * h * depth
+    raster = payload[i : i + need]
+    if len(raster) < need:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+    if depth == 1:
+        return arr.reshape(h, w).astype(np.float64)
+    rgb = arr.reshape(h, w, 3)
+    luma = (
+        299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+    ) // 1000
+    return luma.astype(np.float64)
+
+
 def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
     """Decode media → feature vector summary.
 
@@ -69,26 +128,20 @@ def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
     * ``"stub"`` (default): deterministic fake decode — mean payload
       byte / 255, byte count.  Environment-independent, so results are
       reproducible and oracle-checkable anywhere.
-    * ``"real"``: decode payloads as images with PIL (grayscale pixel
-      mean / 255, pixel count).  Raises ``NotImplementedError`` when
-      PIL is absent — never falls back silently.  Payloads that are
-      not parseable images still take the stub feature (per-row
-      fallback is data-dependent, not environment-dependent).
+    * ``"real"``: decode payloads as images (grayscale pixel mean /
+      255, pixel count).  Binary PNM (P5/P6) decodes with the built-in
+      pure-numpy ``decode_pnm`` — deterministic and available in EVERY
+      environment, so PNM-only corpora are fully oracle-checkable.
+      Non-PNM payloads go to PIL when present (PIL-unparseable bytes
+      take the stub feature — a data-dependent fallback, not an
+      environment-dependent one); when PIL is ABSENT a non-PNM payload
+      raises ``NotImplementedError`` at execution — the job fails
+      loudly, values never silently differ by environment.
 
     Both paths share FEATURE_SCHEMA and the same distributed plumbing
     (Arrow batches in, vectorized numpy work, Arrow batches out)."""
     if decode not in ("stub", "real"):
         raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
-
-    if decode == "real":
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "decode='real' requires an image library (PIL) not "
-                "present in this environment; use decode='stub' for the "
-                "deterministic fake decode"
-            )
 
     want_real = decode == "real"
 
@@ -101,16 +154,38 @@ def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
         if want_real:
             import io
 
-            import PIL.Image as _Image  # executor must match the driver
+            try:
+                import PIL.Image as _Image  # executor must match driver
+            except ImportError:
+                _Image = None
 
         def one(payload: bytes) -> tuple[float, int]:
-            if _Image is not None:
-                try:
-                    img = _Image.open(io.BytesIO(payload))
-                    arr = np.asarray(img.convert("L"), dtype=np.float64)
-                    return round(float(arr.mean()) / 255.0, 6), int(arr.size)
-                except Exception:
-                    pass  # not an image payload → stub feature below
+            if want_real:
+                gray = decode_pnm(payload)
+                if gray is not None:
+                    return (
+                        round(float(gray.mean()) / 255.0, 6),
+                        int(gray.size),
+                    )
+                if _Image is not None:
+                    try:
+                        img = _Image.open(io.BytesIO(payload))
+                        arr = np.asarray(
+                            img.convert("L"), dtype=np.float64
+                        )
+                        return (
+                            round(float(arr.mean()) / 255.0, 6),
+                            int(arr.size),
+                        )
+                    except Exception:
+                        pass  # not an image payload → stub feature below
+                elif payload:
+                    raise NotImplementedError(
+                        "decode='real' on a non-PNM payload requires an "
+                        "image library (PIL) not present in this "
+                        "environment; PNM (P5/P6) payloads decode "
+                        "everywhere via the built-in numpy parser"
+                    )
             if not payload:
                 return 0.0, 0
             mean = float(np.frombuffer(payload, dtype=np.uint8).mean())

@@ -1484,6 +1484,84 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_pnm_real_decode",
+    # Each document becomes a deterministic 8x8 P5 (grayscale PNM)
+    # image — pixel j = (doc_id*7 + j) % 256 — so the ORACLE can
+    # recompute the true pixel mean from first principles while Spark
+    # actually DECODES the bytes: header parse + raster extraction via
+    # the pure-numpy decode_pnm inside decode_features(decode='real').
+    # mean = (sum/64)/255 with a power-of-two divisor, so the double is
+    # exact before the round(,6); quantized to integer micro-units so
+    # the cross-engine aggregate is an exact integer sum.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, (d.doc_id * 7 + CAST(i AS BIGINT)) % 256 AS v
+      FROM documents d, UNNEST(generate_series(0, 63)) AS t(i)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(round(round((CAST(sum(v) AS DOUBLE) / 64.0) / 255.0, 6)
+                        * 1000000.0) AS BIGINT) AS micro
+      FROM px GROUP BY doc_id
+    )
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 64 AS BIGINT) AS pixels,
+           CAST(sum(micro) AS BIGINT) AS micro_sum
+    FROM feat GROUP BY bucket ORDER BY bucket
+    """,
+    doc="REAL image decode end-to-end without an image library "
+    "(VERDICT r12 #4): every document is rendered as a deterministic "
+    "8x8 binary-PNM (P5) payload, and decode_features(decode='real') "
+    "must PARSE the header and raster (operators/multimodal.py "
+    "decode_pnm, pure numpy — the env-gated branch the PIL-less "
+    "container previously could not execute) to recover the exact "
+    "pixel mean the oracle derives arithmetically.  A header-parse or "
+    "raster-offset bug shifts every mean and fails the hash.  Scale "
+    "shape: generate + decode are ONE fused mapInPandas pipeline "
+    "stage (no shuffle until the |buckets| groupBy); real corpora "
+    "stream the binary column straight out of the seqfile/parquet "
+    "scan the same way.",
+)
+def multimodal_pnm_real_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        header = bytes(M.MAGIC_TAG) + b"P5\n8 8\n255\n"
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            media = [
+                header
+                + (
+                    (int(i) * 7 + np.arange(64, dtype=np.int64)) % 256
+                ).astype(np.uint8).tobytes()
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "media": media})
+
+    packed = d.mapInPandas(build, "doc_id bigint, media binary")
+    feats = M.decode_features(packed, decode="real")
+    quant = feats.select(
+        (F.col("doc_id") % 4).cast("long").alias("bucket"),
+        F.round(F.col("feat_mean") * 1e6).cast("long").alias("micro"),
+        "feat_dim",
+    )
+    return (
+        quant.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("feat_dim").cast("long").alias("pixels"),
+            F.sum("micro").cast("long").alias("micro_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _proj_sql(e: str = "e", out_dim: int = 16) -> str:
     """SQL list literal reproducing random_projection bit-for-bit:
     component p = round((±e[1] ± e[2] …) * 0.25, 6) — 0.25 = 1/sqrt(16)

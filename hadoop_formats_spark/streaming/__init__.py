@@ -102,11 +102,13 @@ def tws_group_minmax(
     NOT runnable in this container: the transformWithState driver
     worker needs ``google.protobuf`` (absent here, installs forbidden)
     — it fails at query start with STREAMING_PYTHON_RUNNER_
-    INITIALIZATION_FAILURE.  The operator is kept (correct per the
-    documented API, verified to reach the driver-worker boundary) for
-    environments with protobuf; ``stateful_group_stats`` below is the
-    applyInPandasWithState equivalent that runs everywhere and carries
-    the driver-checked query."""
+    INITIALIZATION_FAILURE.  Re-probed at the start of round 13
+    (2026-08-16): ``import google.protobuf`` still fails, gate stays.
+    The operator is kept (correct per the documented API, verified to
+    reach the driver-worker boundary) for environments with protobuf;
+    ``stateful_group_stats`` below is the applyInPandasWithState
+    equivalent that runs everywhere and carries the driver-checked
+    query."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (

@@ -808,7 +808,50 @@ def test_contamination_shuffle_join_matches_broadcast(spark, docs):
     assert shuf == bcast and bcast  # same numbers, either join strategy
 
 
-def test_decode_features_real_requires_pil(spark, docs):
+def _ppm_p5(w, h, pixels):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _ppm_p6(w, h, rgb):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def test_decode_pnm_pure_numpy():
+    # P5 grayscale: exact mean
+    g = M.decode_pnm(_ppm_p5(4, 2, range(8)))
+    assert g.shape == (2, 4) and g.mean() == 3.5
+    # P6 RGB: BT.601 integer luma
+    rgb = [255, 0, 0, 0, 255, 0]  # one red, one green pixel
+    c = M.decode_pnm(_ppm_p6(2, 1, rgb))
+    assert c.shape == (1, 2)
+    assert c[0, 0] == (299 * 255) // 1000 and c[0, 1] == (587 * 255) // 1000
+    # comments in the header
+    assert M.decode_pnm(b"P5\n# a comment\n2 1\n255\n\x00\xff").mean() == 127.5
+    # rejections: bad magic, truncated raster, maxval > 255
+    assert M.decode_pnm(b"JFIF....") is None
+    assert M.decode_pnm(_ppm_p5(4, 2, range(7))) is None
+    assert M.decode_pnm(b"P5\n2 1\n65535\n\x00\x00\x00\x00") is None
+
+
+def test_decode_features_real_pnm_without_pil(spark):
+    # the env-gated 'real' branch runs in CI: PNM payloads decode with
+    # the built-in numpy parser, no PIL needed (VERDICT r12 #4)
+    rows = [
+        (1, bytearray(M.MAGIC_TAG + _ppm_p5(4, 2, range(8)))),
+        (2, bytearray(M.MAGIC_TAG + _ppm_p6(2, 1, [255, 0, 0, 0, 255, 0]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    out = {
+        r.doc_id: r
+        for r in M.decode_features(df, decode="real").collect()
+    }
+    assert out[1].feat_dim == 8
+    assert out[1].feat_mean == round(3.5 / 255.0, 6)
+    assert out[2].feat_dim == 2
+    assert out[2].feat_mean == round((76 + 149) / 2 / 255.0, 6)
+
+
+def test_decode_features_real_non_pnm_fails_loud_without_pil(spark, docs):
     packed = M.pack_binary(docs, "doc_id", "text")
     try:
         import PIL.Image  # noqa: F401
@@ -817,9 +860,11 @@ def test_decode_features_real_requires_pil(spark, docs):
     except ImportError:
         have_pil = False
     if have_pil:
-        pytest.skip("PIL present: decode='real' is exercised elsewhere")
-    with pytest.raises(NotImplementedError, match="decode='real'"):
-        M.decode_features(packed, decode="real")
+        pytest.skip("PIL present: non-PNM payloads decode via PIL")
+    # text payloads are not PNM and there is no PIL: the job must fail
+    # loudly at execution, never silently stub
+    with pytest.raises(Exception, match="decode='real'"):
+        M.decode_features(packed, decode="real").collect()
     with pytest.raises(ValueError, match="decode must be"):
         M.decode_features(packed, decode="auto")
 
