@@ -223,7 +223,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
 @register(
     "q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS amount
@@ -239,7 +241,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
     """,
     doc="TPC-H Q9 (adapted: testdata has no partsupp, so profit omits "
     "ps_supplycost*l_quantity): part-name LIKE filter, supplier-nation "
-    "profit by order year.",
+    "profit by order year.  Profit accumulates in integer CENTS "
+    "(round(amount*100) per line, exact bigint sum, /100 at the end) "
+    "on BOTH engines — the q1 discipline — so the per-group sum is "
+    "engine-exact rather than a fold-order-sensitive double.",
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str):
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -255,10 +260,14 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            _revenue().alias("amount"),
+            F.round(_revenue() * 100).cast("long").alias("amount_cents"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(
+            (F.sum("amount_cents").cast("double") / 100.0).alias(
+                "sum_profit"
+            )
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -104,6 +104,8 @@ QUERIES_TO_DUMP = [
     ("sketch_kmv_jaccard_pair", "KMV Jaccard: one grouped WindowGroupLimit sketch pass, <=64-row broadcast joins (round 12)"),
     ("seqfile_sorter_merge_runs", "SequenceFile.Sorter: range shuffle + per-task sort into validated MapFile runs, bucketed read-back reduce (round 12)"),
     ("agg_bitwise_checksum_bitmap", "bitwise aggregates: presence bitmap + xor checksum in one partial-agg groupBy (round 12)"),
+    ("stats_ks_two_sample", "exact KS CDFs as the distributed two-phase bucketed prefix sum — no global value sort (round 13)"),
+    ("multimodal_pnm_real_decode", "real PNM pixel decode fused into one mapInPandas stage, |buckets| groupBy the only shuffle (round 13)"),
 ]
 
 
