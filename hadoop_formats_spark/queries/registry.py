@@ -445,6 +445,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # verbatim output at the r13 freeze; regenerate it each round.
 PRIORITY_ORDER = [
     "agg_bitwise_checksum_bitmap",  # never-graded
+    "multimodal_pnm_real_decode",  # never-graded
     "sketch_kmv_jaccard_pair",  # never-graded
     "abtest_sequential_obf",  # never-graded
     "abtest_msprt_always_valid",  # never-graded
@@ -458,16 +459,19 @@ PRIORITY_ORDER = [
     "sample_dsir_importance",  # never-graded
     "sample_neyman_allocation",  # never-graded
     "ml_conformal_interval_coverage",  # never-graded
+    "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:2998-3062
+    "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1634-1778
+    "q9_product_type_profit",  # changed since r05: span hadoop_formats_spark/queries/tpch.py:223-272
     "seqfile_permissive_corrupt_tail",  # oldest-green r04 [seqfile]
     "dedup_minhash_lsh",  # oldest-green r05 [dedup]
     "join_salted_lineitem_orders",  # oldest-green r05 [join]
     "stream_session_windows",  # oldest-green r05 [stream]
     "text_tfidf_top_terms",  # oldest-green r05 [text]
-    "q9_product_type_profit",  # oldest-green r05 [tpch]
     "ann_pq_adc_recall_at_3",  # oldest-green r06 [ann]
     "graph_label_propagation",  # oldest-green r06 [graph]
     "sketch_histogram_quantiles",  # oldest-green r06 [sketch]
     "stats_quantile_normalize",  # oldest-green r06 [stats]
+    "q13_customer_distribution",  # oldest-green r06 [tpch]
     "window_rank_dense_ntile",  # oldest-green r06 [window]
     "abtest_bootstrap_ci",  # oldest-green r08 [abtest]
     "cohort_retention_weekly",  # oldest-green r08 [cohort]
@@ -490,10 +494,6 @@ PRIORITY_ORDER = [
     "subquery_scalar_near_max",  # oldest-green r08 [subquery]
     "timeseries_ewma_anomaly",  # oldest-green r08 [timeseries]
     "udf_pandas_scalar_charge",  # oldest-green r08 [udf]
-    "unpivot_price_measures",  # oldest-green r08 [unpivot]
-    "agg_exact_percentiles",  # oldest-green r09 [agg]
-    "attribution_last_touch",  # oldest-green r09 [attribution]
-    "customer_rfm_segments",  # oldest-green r09 [customer]
 ]
 
 
