@@ -83,7 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -111,10 +112,19 @@ def q3_shipping_priority(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # exact bigint-cents fold (q1/q9 discipline): the raw double
+        # sum's order differs across engines in last ulps
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -155,7 +165,8 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -179,10 +190,18 @@ def q10_returned_items(spark, sf_dir):
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
+        # exact bigint-cents fold (q1/q9 discipline)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -423,7 +442,8 @@ def join_5way_region_rollup_revenue(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_mktsegment,
            count(o_orderkey)                 AS n_orders,
-           coalesce(sum(o_totalprice), 0.0)  AS spend
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                AS DOUBLE) / 100.0            AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     ORDER BY c_custkey
@@ -436,9 +456,16 @@ def join_left_outer_customer_orders(spark, sf_dir):
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey", "c_mktsegment")
+        # exact bigint-cents fold (q1/q9 discipline)
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0),
+                ).cast("double")
+                / 100.0
+            ).alias("spend"),
         )
         .orderBy("c_custkey")
     )
@@ -1196,36 +1223,54 @@ def window_lag_lead_order_gaps(spark, sf_dir):
 @register(
     "window_running_and_frame",
     oracle="""
+    WITH o AS (
+      SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_spend,
-           avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey
-                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             AS moving_avg3,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS running_spend,
+           CAST(sum(cents) OVER f3 AS DOUBLE)
+             / (100.0 * count(*) OVER f3) AS moving_avg3,
            first(o_orderkey) OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS first_order,
            last(o_orderkey)  OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                             AND UNBOUNDED FOLLOWING) AS last_order
-    FROM orders
+    FROM o
+    WINDOW f3 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
     """,
     doc="Running sum, moving average, first/last with explicit frames.",
 )
 def window_running_and_frame(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    # exact bigint-cents folds (q1/q9 discipline): Spark's sliding
+    # frame updates a double accumulator by add/remove, whose drift
+    # differs from DuckDB's recompute — integers are drift-free
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("running_spend"),
-        F.avg("o_totalprice").over(w.rowsBetween(-2, 0)).alias("moving_avg3"),
+        (
+            F.sum("cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            / 100.0
+        ).alias("running_spend"),
+        (
+            F.sum("cents").over(w3).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w3))
+        ).alias("moving_avg3"),
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))

@@ -38,7 +38,9 @@ def _revenue():
 @register(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -75,7 +77,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str):
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        # money sums accumulate as exact bigint CENTS on both engines
+        # (the q1/q9 discipline): the raw double fold differs in last
+        # ulps across engines
+        .agg((F.sum(F.round(_revenue() * 100).cast("long")).cast("double") / 100.0).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -88,7 +93,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str):
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -140,7 +147,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str):
             _revenue().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        # exact bigint-cents fold (q1/q9 discipline)
+        .agg((F.sum(F.round(F.col("volume") * 100).cast("long")).cast("double") / 100.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -154,8 +162,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str):
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume) AS mkt_share
+           CAST(sum(CASE WHEN nation = 'NATION_3'
+                    THEN CAST(round(volume * 100) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+             / sum(CAST(round(volume * 100) AS BIGINT)) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -205,10 +215,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str):
         .join(broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
         .groupBy("o_year")
+        # exact integer-cents ratio (q1/q9 discipline): both sums are
+        # bigint folds, the one division is engine-identical
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume")
+                F.sum(
+                    F.when(
+                        F.col("nation") == "NATION_3",
+                        F.round(F.col("volume") * 100).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.sum(F.round(F.col("volume") * 100).cast("long"))
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -621,7 +638,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str):
 @register(
     "q19_discounted_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -655,7 +673,10 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str):
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return j.filter(cond).agg(F.sum(_revenue()).alias("revenue"))
+    # exact bigint-cents fold (q1/q9 discipline)
+    return j.filter(cond).agg(
+        (F.sum(F.round(_revenue() * 100).cast("long")).cast("double") / 100.0).alias("revenue")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -784,14 +805,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str):
     "q22_global_sales_opportunity",
     oracle="""
     WITH eligible AS (
-      SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_nationkey % 5 AS cntrycode
       FROM customer
       WHERE c_nationkey % 5 IN (0, 1, 2)
     )
-    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
     FROM eligible
-    WHERE c_acctbal > (
-        SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0.0
+    WHERE bal_cents > (
+        SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*)
+        FROM eligible WHERE bal_cents > 0
       )
       AND NOT EXISTS (
         SELECT 1 FROM orders
@@ -806,24 +831,35 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str):
     "over recent orders (left-anti join) + grouped count/sum.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str):
-    c = table(spark, sf_dir, "customer").withColumn(
-        "cntrycode", F.col("c_nationkey") % 5
+    # balances in exact integer CENTS end to end (q1/q9 discipline):
+    # the avg threshold, the comparison, and the group sum are all
+    # integer folds + one engine-identical division, so neither the
+    # selected ROW SET nor the output values depend on float fold order
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        (F.col("c_nationkey") % 5).alias("cntrycode"),
     )
     eligible = c.filter(F.col("cntrycode").isin(0, 1, 2))
-    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    avg_bal = eligible.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents").cast("double") / F.count(F.lit(1))).alias(
+            "avg_cents"
+        )
     )
     o = table(spark, sf_dir, "orders")
     return (
         eligible.join(broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
         .join(
             o.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
             eligible.c_custkey == o.o_custkey,
             "left_anti",
         )
         .groupBy("cntrycode")
-        .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents").cast("double") / 100.0).alias("totacctbal"),
+        )
         .orderBy("cntrycode")
     )
 

@@ -1811,3 +1811,12 @@ def test_ks_two_sample_no_global_value_sort(spark, sf_dir):
             assert "pid" in line, line.strip()
     rows = df.collect()
     assert len(rows) == 1 and rows[0].ks_d >= 0.0
+
+
+def test_triangle_count_runtime_reuses_exchanges(spark, sf_dir):
+    # third of the scan-count-audit flags (18 static lineitem refs):
+    # the edge-derivation subtree repeats across the triangle join's
+    # branches and must collapse to ReusedExchange at runtime
+    df = _df(spark, sf_dir, "graph_triangle_count")
+    plan = plans.post_execution_plan(df)
+    assert plan.count("ReusedExchange") >= 4, plan.count("ReusedExchange")
