@@ -459,9 +459,18 @@ PRIORITY_ORDER = [
     "sample_dsir_importance",  # never-graded
     "sample_neyman_allocation",  # never-graded
     "ml_conformal_interval_coverage",  # never-graded
+    "q3_shipping_priority",  # changed since r08: span hadoop_formats_spark/queries/parity.py:82-132
+    "q10_returned_items",  # changed since r08: span hadoop_formats_spark/queries/parity.py:164-209
+    "join_left_outer_customer_orders",  # changed since r08: span hadoop_formats_spark/queries/parity.py:440-471
+    "window_running_and_frame",  # changed since r08: span hadoop_formats_spark/queries/parity.py:1223-1278
     "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:2998-3062
     "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1634-1778
-    "q9_product_type_profit",  # changed since r05: span hadoop_formats_spark/queries/tpch.py:223-272
+    "q5_local_supplier_volume",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:38-85
+    "q7_volume_shipping",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:93-153
+    "q8_market_share",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:161-232
+    "q9_product_type_profit",  # changed since r05: span hadoop_formats_spark/queries/tpch.py:240-289
+    "q19_discounted_revenue",  # changed since r08: span hadoop_formats_spark/queries/tpch.py:638-679
+    "q22_global_sales_opportunity",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:804-864
     "seqfile_permissive_corrupt_tail",  # oldest-green r04 [seqfile]
     "dedup_minhash_lsh",  # oldest-green r05 [dedup]
     "join_salted_lineitem_orders",  # oldest-green r05 [join]
@@ -485,15 +494,6 @@ PRIORITY_ORDER = [
     "map_constructor_lookup",  # oldest-green r08 [map]
     "null_handling_fill_nullsafe",  # oldest-green r08 [null]
     "projection_compute",  # oldest-green r08 [projection]
-    "rollup_region_nation",  # oldest-green r08 [rollup]
-    "scd2_point_in_time_join",  # oldest-green r08 [scd2]
-    "session_entry_exit_flows",  # oldest-green r08 [session]
-    "set_union_distinct",  # oldest-green r08 [set]
-    "sort_multikey_nulls",  # oldest-green r08 [sort]
-    "struct_map_collect",  # oldest-green r08 [struct]
-    "subquery_scalar_near_max",  # oldest-green r08 [subquery]
-    "timeseries_ewma_anomaly",  # oldest-green r08 [timeseries]
-    "udf_pandas_scalar_charge",  # oldest-green r08 [udf]
 ]
 
 
