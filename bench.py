@@ -421,6 +421,7 @@ def main() -> None:
         "abtest_experiment_readout_capstone",
         # round-13 operators
         "multimodal_pnm_real_decode",
+        "abtest_bh_fdr_segments",
     ]
     # local-iteration knob: the ~150-query extras section takes several
     # minutes at sf0.1; skip it when only the headline + format-layer

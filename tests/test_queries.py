@@ -1820,3 +1820,26 @@ def test_triangle_count_runtime_reuses_exchanges(spark, sf_dir):
     df = _df(spark, sf_dir, "graph_triangle_count")
     plan = plans.post_execution_plan(df)
     assert plan.count("ReusedExchange") >= 4, plan.count("ReusedExchange")
+
+
+def test_bh_fdr_step_up_semantics(spark, sf_dir):
+    # the rank column must be a 1..m permutation over strictly
+    # descending |z|, thresholds the tabulated normal quantiles
+    # (verified against statistics.NormalDist, not trusted as magic),
+    # and the reject set a PREFIX of the ranking (the step-up rule)
+    from statistics import NormalDist
+
+    rows = _df(spark, sf_dir, "abtest_bh_fdr_segments").collect()
+    m = len(rows)
+    assert [r.bh_rank for r in rows] == list(range(1, m + 1))
+    zs = [r.z_abs for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    nd = NormalDist()
+    for r in rows:
+        expected = nd.inv_cdf(1 - 0.10 * r.bh_rank / (2 * m))
+        assert abs(r.z_crit - expected) < 5e-6, (r.bh_rank, r.z_crit)
+    rejects = [r.reject for r in rows]
+    # prefix property: once a rank fails to reject, no later rank may
+    assert all(
+        rejects[i] or not rejects[i + 1] for i in range(m - 1)
+    ), rejects
