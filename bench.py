@@ -422,6 +422,7 @@ def main() -> None:
         # round-13 operators
         "multimodal_pnm_real_decode",
         "abtest_bh_fdr_segments",
+        "dedup_winnow_fingerprint_pairs",
     ]
     # local-iteration knob: the ~150-query extras section takes several
     # minutes at sf0.1; skip it when only the headline + format-layer

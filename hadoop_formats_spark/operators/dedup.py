@@ -948,3 +948,78 @@ def shingle_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window, and SELECT THE MINIMUM hash per window — the
+    selected set is a position-robust local fingerprint with density
+    ~2/(w+1) and the guarantee that any shared substring of at least
+    w + k - 1 tokens yields at least one shared fingerprint (the
+    property plain rolling/whole-doc hashes lack, and MinHash only
+    gives globally).  Returns DISTINCT (doc_id, h) selected-hash rows.
+
+    Engine determinism: grams hash via the house md5-prefix integer
+    (no seeded RNG), and the window-min runs over the ENCODED key
+    h * 2^20 + gram_pos so ties break at the leftmost position
+    identically everywhere (positions stay < 2^20; ~1e6 tokens per
+    doc, far beyond the corpus).  Distinct-ing the encoded key first
+    implements winnowing's "record each selection once per
+    occurrence" rule exactly.
+
+    100 TB shape: tokenize/gram/hash are map-side over one doc_id
+    shuffle (the per-doc windows); downstream consumers join on the
+    fingerprint hash — an inverted index, never all-pairs."""
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", j).over(wdoc) for j in range(1, k)
+    ]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *gram_parts).alias("gram"),
+        F.lead("tok", k - 1).over(wdoc).isNotNull().alias("full"),
+    )
+    hashed = grams.filter(F.col("full")).select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            * 1048576
+            + F.col("pos")
+        ).alias("key"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    winsel = hashed.select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        F.min("key").over(wwin).alias("sel"),
+    )
+    return (
+        winsel.filter(F.col("pos") + (w - 1) <= F.col("n_grams") - 1)
+        .select("doc_id", "sel")
+        .distinct()
+        .select("doc_id", F.shiftright("sel", 20).alias("h"))
+        .distinct()
+    )

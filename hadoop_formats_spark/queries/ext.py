@@ -1335,6 +1335,92 @@ def text_fingerprint_dups(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_winnow_fingerprint_pairs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+      FROM norm, UNNEST(generate_series(1, len(toks))) AS t(i)
+      WHERE toks[1] <> ''
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok, 1) OVER wd || ' '
+                 || lead(tok, 2) OVER wd AS gram,
+             lead(tok, 2) OVER wd IS NOT NULL AS is_full
+      FROM tok
+      WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT * 1048576 + pos
+               AS key,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams WHERE is_full
+    ),
+    winsel AS (
+      SELECT doc_id, pos, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS sel
+      FROM hashed
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, sel >> 20 AS h
+      FROM winsel WHERE pos + 3 <= n_grams - 1
+    ),
+    cold AS (
+      SELECT h FROM fp GROUP BY h HAVING count(*) <= 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fp a
+      JOIN cold USING (h)
+      JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 10
+    """,
+    doc="Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken "
+    "SIGMOD'03 — MOSS): per-doc window-min selection over 3-gram "
+    "hashes (w=4) guarantees any shared token run of length >= "
+    "w+k-1 = 6 produces a shared fingerprint, at density ~2/(w+1) — "
+    "the LOCAL-similarity detector (plagiarism spans, boilerplate "
+    "runs) that whole-doc fingerprints miss and MinHash only "
+    "approximates globally; the graded surface is the top-10 doc "
+    "pairs by shared-fingerprint count.  Window-min runs over the "
+    "encoded key h*2^20+pos so tie-breaks are positional and "
+    "engine-identical; fingerprints in > 50 docs are dropped before "
+    "pairing (the max_doc_freq hot-shingle discipline).  Scale "
+    "shape: tokenize/gram/hash ride ONE doc_id shuffle; matching is "
+    "an inverted-index join on the fingerprint hash with the hot "
+    "list excluded — posting lists stay bounded, never all-pairs.",
+)
+def dedup_winnow_fingerprint_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = D.winnow_fingerprints(d, k=3, w=4)
+    hot = fp.groupBy("h").count().filter(F.col("count") > 50).select("h")
+    cold = fp.join(F.broadcast(hot), "h", "left_anti")
+    a = cold.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = cold.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal binary columns
 # --------------------------------------------------------------------------

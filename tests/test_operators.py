@@ -1506,3 +1506,29 @@ def test_bfs_distances_hop_bound(spark):
         for r in bfs_distances(chain, src, max_hops=2).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2}  # bounded at 2 hops
+
+
+def test_winnow_guarantee_and_density(spark):
+    # Schleimer et al.'s guarantee: any shared token run of length
+    # >= w + k - 1 (= 6 for k=3, w=4) yields a shared fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "completely different words with no overlap here at all"),
+        (4, "tiny"),  # shorter than k+w-1 tokens: no full window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = D.winnow_fingerprints(docs, k=3, w=4)
+    by_doc = {
+        r.doc_id: set(r.hs)
+        for r in fp.groupBy("doc_id").agg(
+            F.collect_set("h").alias("hs")
+        ).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a print"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc  # too short for any full window
+    # density: selections per doc are ~2/(w+1) of grams, never all
+    n1_tokens = len(rows[0][1].split())
+    assert 1 <= len(by_doc[1]) < n1_tokens - 2
