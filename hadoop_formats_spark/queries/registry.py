@@ -445,11 +445,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # verbatim output at the r13 freeze; regenerate it each round.
 PRIORITY_ORDER = [
     "agg_bitwise_checksum_bitmap",  # never-graded
+    "dedup_winnow_fingerprint_pairs",  # never-graded
     "multimodal_pnm_real_decode",  # never-graded
     "sketch_kmv_jaccard_pair",  # never-graded
     "abtest_sequential_obf",  # never-graded
     "abtest_msprt_always_valid",  # never-graded
     "abtest_welch_ttest",  # never-graded
+    "abtest_bh_fdr_segments",  # never-graded
     "privacy_dp_laplace_counts",  # never-graded
     "stats_chi_square_independence",  # never-graded
     "dq_volume_anomaly_daily",  # never-graded
@@ -463,7 +465,7 @@ PRIORITY_ORDER = [
     "q10_returned_items",  # changed since r08: span hadoop_formats_spark/queries/parity.py:164-209
     "join_left_outer_customer_orders",  # changed since r08: span hadoop_formats_spark/queries/parity.py:440-471
     "window_running_and_frame",  # changed since r08: span hadoop_formats_spark/queries/parity.py:1223-1278
-    "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:2998-3062
+    "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:3084-3148
     "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1634-1778
     "q5_local_supplier_volume",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:38-85
     "q7_volume_shipping",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:93-153
@@ -492,8 +494,6 @@ PRIORITY_ORDER = [
     "intervals_merge_coverage",  # oldest-green r08 [intervals]
     "link_fuzzy_customer_names",  # oldest-green r08 [link]
     "map_constructor_lookup",  # oldest-green r08 [map]
-    "null_handling_fill_nullsafe",  # oldest-green r08 [null]
-    "projection_compute",  # oldest-green r08 [projection]
 ]
 
 
