@@ -106,6 +106,8 @@ QUERIES_TO_DUMP = [
     ("agg_bitwise_checksum_bitmap", "bitwise aggregates: presence bitmap + xor checksum in one partial-agg groupBy (round 12)"),
     ("stats_ks_two_sample", "exact KS CDFs as the distributed two-phase bucketed prefix sum — no global value sort (round 13)"),
     ("multimodal_pnm_real_decode", "real PNM pixel decode fused into one mapInPandas stage, |buckets| groupBy the only shuffle (round 13)"),
+    ("dedup_winnow_fingerprint_pairs", "winnowing: per-doc window-min selection + hot-capped inverted-index pair join, never all-pairs (round 13)"),
+    ("abtest_bh_fdr_segments", "BH-FDR: one conditional-moment groupBy to 5 rows, step-up on the cell table (round 13)"),
 ]
 
 
