@@ -231,7 +231,8 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str):
       SELECT o_custkey,
              max(o_orderdate) AS last_d,
              CAST(count(*) AS BIGINT) AS freq,
-             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ),
     maxd AS (SELECT max(o_orderdate) AS d1 FROM orders),
@@ -250,8 +251,8 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str):
     )
     SELECT r_score, f_score, m_score,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(rec_days), 2) AS avg_recency_days,
-           round(CAST(sum(cents) AS BIGINT) / (100.0 * count(*)), 2)
+           floor(avg(rec_days) * 100 + 0.5) / 100.0 AS avg_recency_days,
+           floor(CAST(sum(cents) AS BIGINT) * 1.0 / count(*) + 0.5) / 100.0
              AS avg_monetary
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
@@ -273,16 +274,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
-    # per-customer money is quantized to INTEGER cents at source: the
-    # double sum's partial-order differs between engines in the last
-    # ulp, and round(avg(double), 2) straddles a half-cent boundary for
-    # some segment sooner or later (it did, at sf0.01).  Integer cents
-    # sum exactly, so the segment average is bit-identical on both
-    # engines by construction.
+    # per-customer money is quantized to INTEGER cents PER LINE (round
+    # then sum, never round a fold-ordered double sum — that flipped a
+    # customer's cents by 1 at sf0.001), and the segment averages use
+    # the floor(x+0.5) form: Spark's round() is exact-decimal while
+    # DuckDB's is scaled-float, so identical doubles can round
+    # DIFFERENTLY at a half-cent boundary; floor on identical doubles
+    # cannot.
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
         F.count("*").alias("freq"),
-        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
     )
     maxd = o.agg(F.max("o_orderdate").alias("d1"))
     rfm = per.crossJoin(F.broadcast(maxd)).select(
@@ -311,9 +315,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str):
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("rec_days"), 2).alias("avg_recency_days"),
-            F.round(
-                F.sum("cents") / (100.0 * F.count("*")), 2
+            (
+                F.floor(F.avg("rec_days") * 100 + 0.5) / 100.0
+            ).alias("avg_recency_days"),
+            (
+                F.floor(
+                    F.sum("cents") * 1.0 / F.count(F.lit(1)) + 0.5
+                )
+                / 100.0
             ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")

@@ -478,10 +478,12 @@ def sketch_hll_distinct_merge(spark, sf_dir):
       FROM lineitem GROUP BY rf
     )
     SELECT x.rf AS l_returnflag,
-           round(x.exact_p50, 2) AS exact_p50,
-           round(lo + (e.b50 + 1) * (hi - lo) / 128, 2) AS hist_p50,
-           round(x.exact_p95, 2) AS exact_p95,
-           round(lo + (e.b95 + 1) * (hi - lo) / 128, 2) AS hist_p95
+           floor(x.exact_p50 * 100 + 0.5) / 100.0 AS exact_p50,
+           floor((lo + (e.b50 + 1) * (hi - lo) / 128) * 100 + 0.5)
+             / 100.0 AS hist_p50,
+           floor(x.exact_p95 * 100 + 0.5) / 100.0 AS exact_p95,
+           floor((lo + (e.b95 + 1) * (hi - lo) / 128) * 100 + 0.5)
+             / 100.0 AS hist_p95
     FROM exact x JOIN est e ON x.rf = e.rf, b
     ORDER BY l_returnflag
     """,
@@ -539,13 +541,42 @@ def sketch_histogram_quantiles(spark, sf_dir):
         .crossJoin(F.broadcast(bounds))
         .select(
             F.col("rf").alias("l_returnflag"),
-            F.round("exact_p50", 2).alias("exact_p50"),
-            F.round(
-                F.col("lo") + (F.col("b50") + 1) * (F.col("hi") - F.col("lo")) / 128, 2
+            # floor(x*100+0.5)/100 instead of round(x,2): Spark rounds
+            # exact-decimal, DuckDB scaled-float — identical doubles can
+            # ROUND differently at a half-cent boundary (p50 flipped
+            # 52724.24 vs .25 at sf0.001); floor on identical doubles
+            # cannot diverge
+            (F.floor(F.col("exact_p50") * 100 + 0.5) / 100.0).alias(
+                "exact_p50"
+            ),
+            (
+                F.floor(
+                    (
+                        F.col("lo")
+                        + (F.col("b50") + 1)
+                        * (F.col("hi") - F.col("lo"))
+                        / 128
+                    )
+                    * 100
+                    + 0.5
+                )
+                / 100.0
             ).alias("hist_p50"),
-            F.round("exact_p95", 2).alias("exact_p95"),
-            F.round(
-                F.col("lo") + (F.col("b95") + 1) * (F.col("hi") - F.col("lo")) / 128, 2
+            (F.floor(F.col("exact_p95") * 100 + 0.5) / 100.0).alias(
+                "exact_p95"
+            ),
+            (
+                F.floor(
+                    (
+                        F.col("lo")
+                        + (F.col("b95") + 1)
+                        * (F.col("hi") - F.col("lo"))
+                        / 128
+                    )
+                    * 100
+                    + 0.5
+                )
+                / 100.0
             ).alias("hist_p95"),
         )
         .orderBy("l_returnflag")
