@@ -466,13 +466,15 @@ PRIORITY_ORDER = [
     "join_left_outer_customer_orders",  # changed since r08: span hadoop_formats_spark/queries/parity.py:440-471
     "window_running_and_frame",  # changed since r08: span hadoop_formats_spark/queries/parity.py:1223-1278
     "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:3084-3148
-    "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1634-1778
+    "sketch_histogram_quantiles",  # changed since r06: span hadoop_formats_spark/queries/stats.py:448-583
+    "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1665-1809
     "q5_local_supplier_volume",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:38-85
     "q7_volume_shipping",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:93-153
     "q8_market_share",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:161-232
     "q9_product_type_profit",  # changed since r05: span hadoop_formats_spark/queries/tpch.py:240-289
     "q19_discounted_revenue",  # changed since r08: span hadoop_formats_spark/queries/tpch.py:638-679
     "q22_global_sales_opportunity",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:804-864
+    "customer_rfm_segments",  # changed since r09: span hadoop_formats_spark/queries/features.py:227-329
     "seqfile_permissive_corrupt_tail",  # oldest-green r04 [seqfile]
     "dedup_minhash_lsh",  # oldest-green r05 [dedup]
     "join_salted_lineitem_orders",  # oldest-green r05 [join]
@@ -480,7 +482,7 @@ PRIORITY_ORDER = [
     "text_tfidf_top_terms",  # oldest-green r05 [text]
     "ann_pq_adc_recall_at_3",  # oldest-green r06 [ann]
     "graph_label_propagation",  # oldest-green r06 [graph]
-    "sketch_histogram_quantiles",  # oldest-green r06 [sketch]
+    "sketch_hll_distinct_merge",  # oldest-green r06 [sketch]
     "stats_quantile_normalize",  # oldest-green r06 [stats]
     "q13_customer_distribution",  # oldest-green r06 [tpch]
     "window_rank_dense_ntile",  # oldest-green r06 [window]
@@ -492,8 +494,6 @@ PRIORITY_ORDER = [
     "events_trigram_mining",  # oldest-green r08 [events]
     "filter_predicates",  # oldest-green r08 [filter]
     "intervals_merge_coverage",  # oldest-green r08 [intervals]
-    "link_fuzzy_customer_names",  # oldest-green r08 [link]
-    "map_constructor_lookup",  # oldest-green r08 [map]
 ]
 
 
