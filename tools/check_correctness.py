@@ -24,6 +24,17 @@ pins it down:
   tolerance.  Pass ``--strict`` to hash floats raw (``repr``) when
   separating "ulp noise" from "genuinely different values".
 
+Round-13 discipline: run the FULL ``--strict`` sweep at BOTH sf0.01 and
+sf0.001 each round.  Strict failures come in three classes, each with a
+known fix: (1) fold-ordered double money sums → quantize to bigint
+CENTS PER LINE before summing (never round a summed double); (2) ratios
+/ thresholds over two folded sums → keep both operands integer so even
+row-set membership cannot flip (q8/q22); (3) identical doubles that
+ROUND apart because Spark's round() is exact-decimal while DuckDB's is
+scaled-float → use the ``floor(x*100 + 0.5)/100`` form, which cannot
+diverge on identical inputs (sketch_histogram_quantiles).  As of round
+13 the registry is strict-clean at both SFs — keep new queries that way.
+
 Usage: python tools/check_correctness.py [--strict|--loose] [sf_dir] [query ...]
 
 Default mode is WINDOW-STRICT: queries inside the driver's 50-slot
