@@ -423,6 +423,7 @@ def main() -> None:
         "multimodal_pnm_real_decode",
         "abtest_bh_fdr_segments",
         "dedup_winnow_fingerprint_pairs",
+        "search_mmr_rerank",
     ]
     # local-iteration knob: the ~150-query extras section takes several
     # minutes at sf0.1; skip it when only the headline + format-layer

@@ -1257,6 +1257,155 @@ def text_bm25_search(spark, sf_dir):
     return T.bm25_topk(d, list(_BM25_TERMS), k=15)
 
 
+def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    """Chained-CTE oracle for the k-step MMR greedy selection: stage i
+    scores every remaining candidate as 7*rel_u - 3*max(sim_u to the
+    i-1 already-selected) — ALL integer units, so argmax and output are
+    engine-exact — and takes the top-1 (score desc, vec_id).  k is
+    small and fixed, so the loop unrolls into k CTE stages instead of
+    a recursive CTE that would have to carry a selected-set."""
+    qcos = _COS_SQL.replace("a.embedding", "q.embedding").replace(
+        "b.embedding", "c.embedding"
+    )
+    parts = [
+        f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding, rel_u FROM (
+        SELECT c.vec_id, c.embedding,
+               CAST(round({qcos} * 10000) AS BIGINT) AS rel_u
+        FROM embeddings c, q WHERE c.vec_id <> 0
+      ) ORDER BY rel_u DESC, vec_id LIMIT {pool}
+    ),
+    sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round({_COS_SQL} * 10000) AS BIGINT) AS sim_u
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT vec_id, rel_u, CAST(0 AS BIGINT) AS pen_u,
+             7 * rel_u AS score_u
+      FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        chosen = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+    rem{i} AS (
+      SELECT c.vec_id, c.rel_u, max(s.sim_u) AS pen_u
+      FROM cand c JOIN sim s ON s.ia = c.vec_id
+                            AND s.ib IN ({chosen})
+      WHERE c.vec_id NOT IN ({chosen})
+      GROUP BY c.vec_id, c.rel_u
+    ),
+    sel{i} AS (
+      SELECT vec_id, rel_u, pen_u, 7 * rel_u - 3 * pen_u AS score_u
+      FROM rem{i} ORDER BY score_u DESC, vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id, rel_u, pen_u, score_u FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rnk AS INT) AS rnk, vec_id,
+           rel_u / 10000.0 AS rel,
+           pen_u / 10000.0 AS max_sim_prev,
+           score_u / 100000.0 AS mmr
+    FROM ({finals}) ORDER BY rnk"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=_mmr_oracle_sql(),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "SIGIR'98): greedily pick 5 of the top-20 cosine candidates for "
+    "query vec 0, each step maximizing lambda*rel - (1-lambda)*max-sim "
+    "to the already-picked set (lambda=0.7) — the diversity-aware "
+    "re-rank that keeps an eval/context set from filling with 5 "
+    "near-copies of the same best hit, the result-diversification "
+    "complement to the RRF fusion row.  Every score is INTEGER units "
+    "(rel/sim quantized to 1e-4 grid, score_u = 7*rel_u - 3*pen_u), "
+    "so the argmax at every step and the reported mmr are engine-exact "
+    "by construction; ties break by vec_id.  The greedy loop runs "
+    "driver-side over the COLLECTED 20-candidate pool (20 rel rows + "
+    "380 pairwise sims — the documented driver-holds-k-bounded-state "
+    "pattern, like the BPE merge loop): candidate GENERATION is the "
+    "distributed broadcast-cosine scan + TakeOrderedAndProject; the "
+    "O(k*pool) selection over a fixed tiny pool is not distributable "
+    "work.  Oracle = the same greedy unrolled into 5 chained CTE "
+    "stages.",
+)
+def search_mmr_rerank(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                F.round(S.cosine(F.col("embedding"), F.col("qe")), 4)
+                * 10000
+            )
+            .cast("long")
+            .alias("rel_u"),
+        )
+        .orderBy(F.desc("rel_u"), "vec_id")
+        .limit(20)
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                F.round(S.cosine(F.col("ea"), F.col("eb")), 4) * 10000
+            )
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    rels = {
+        r.vec_id: r.rel_u for r in cand.select("vec_id", "rel_u").collect()
+    }
+    smap = {(r.ia, r.ib): r.sim_u for r in sims.collect()}
+    selected: list = []
+    rows = []
+    remaining = set(rels)
+    for rank in range(1, 6):
+        best = None
+        for v in sorted(remaining):
+            pen = max((smap[(v, s)] for s in selected), default=0)
+            score = 7 * rels[v] - 3 * pen
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, pen, score)
+        _, v, pen, score = best
+        selected.append(v)
+        remaining.remove(v)
+        rows.append(
+            (rank, v, rels[v] / 10000.0, pen / 10000.0, score / 100000.0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "rnk int, vec_id bigint, rel double, max_sim_prev double, "
+        "mmr double",
+    )
+
+
 @register(
     "search_hybrid_rrf",
     oracle=f"""

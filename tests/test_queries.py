@@ -1843,3 +1843,16 @@ def test_bh_fdr_step_up_semantics(spark, sf_dir):
     assert all(
         rejects[i] or not rejects[i + 1] for i in range(m - 1)
     ), rejects
+
+
+def test_mmr_rerank_invariants(spark, sf_dir):
+    rows = _df(spark, sf_dir, "search_mmr_rerank").collect()
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    # first pick is pure relevance; its penalty is zero
+    assert rows[0].max_sim_prev == 0.0
+    assert rows[0].rel == max(r.rel for r in rows)
+    # reported mmr must equal 0.7*rel - 0.3*max_sim_prev on the 1e-5
+    # grid (integer-unit construction)
+    for r in rows:
+        assert abs(r.mmr - (0.7 * r.rel - 0.3 * r.max_sim_prev)) < 1e-9, r
