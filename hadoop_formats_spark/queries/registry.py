@@ -445,6 +445,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # verbatim output at the r13 freeze; regenerate it each round.
 PRIORITY_ORDER = [
     "agg_bitwise_checksum_bitmap",  # never-graded
+    "search_mmr_rerank",  # never-graded
     "dedup_winnow_fingerprint_pairs",  # never-graded
     "multimodal_pnm_real_decode",  # never-graded
     "sketch_kmv_jaccard_pair",  # never-graded
@@ -465,7 +466,7 @@ PRIORITY_ORDER = [
     "q10_returned_items",  # changed since r08: span hadoop_formats_spark/queries/parity.py:164-209
     "join_left_outer_customer_orders",  # changed since r08: span hadoop_formats_spark/queries/parity.py:440-471
     "window_running_and_frame",  # changed since r08: span hadoop_formats_spark/queries/parity.py:1223-1278
-    "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:3084-3148
+    "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:3233-3297
     "sketch_histogram_quantiles",  # changed since r06: span hadoop_formats_spark/queries/stats.py:448-583
     "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1665-1809
     "q5_local_supplier_volume",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:38-85
@@ -493,7 +494,6 @@ PRIORITY_ORDER = [
     "embedding_centroid_drift",  # oldest-green r08 [embedding]
     "events_trigram_mining",  # oldest-green r08 [events]
     "filter_predicates",  # oldest-green r08 [filter]
-    "intervals_merge_coverage",  # oldest-green r08 [intervals]
 ]
 
 
