@@ -235,6 +235,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     flagged: list[str] = []
+    headline_runs: dict = {}  # kept for the self-healing re-measure pass
     for name in HEADLINE:
         spec = QUERIES[name]
 
@@ -242,6 +243,7 @@ def main() -> None:
             df = spec.builder(spark, sf_dir)
             return df.count() if name != "q1_pricing_summary" else len(df.collect())
 
+        headline_runs[name] = run
         best, bad = timed_best(run, n=2)
         timings[name] = round(best, 3)
         if bad:
@@ -552,6 +554,73 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # ---- self-healing re-measure (VERDICT r13 #2) ----
+    # A steal/record-flagged timing is an upper bound taken inside a
+    # polluted host window (r13's driver artifact recorded 21.3s while
+    # the same head ran 12.8s clean); by the END of the battery that
+    # window has usually passed.  Re-measure every flagged query (up to
+    # 2 passes, one clean sample each) and keep the best clean sample,
+    # so the official artifact records the code, not the co-tenant.
+    # The JSON carries BOTH: value/queries self-healed, value_raw +
+    # steal_flagged_raw the untouched first pass.  The one-shot sorter
+    # COLD build is excluded (healing it would evict + rebuild the
+    # cache — a different measurement, not a re-sample).
+    raw_timings = dict(timings)
+    raw_flagged = list(dict.fromkeys(flagged))
+    heal_runs: dict = dict(headline_runs)
+    for _n in EXTRA:
+        heal_runs[_n] = lambda spec=QUERIES[_n]: spec.builder(
+            spark, sf_dir
+        ).count()
+    heal_runs["seqfile_full_scan"] = (
+        lambda: spark.read.format("hadoop_seq").load(seq_dir).count()
+    )
+    heal_runs["seqfile_scaled_scan"] = (
+        lambda: spark.read.format("hadoop_seq").load(scaled_path).count()
+    )
+    heal_runs["seqfile_scaled_scan_jvm"] = lambda: jvm_rdd._jrdd.count()
+    healed: dict[str, float] = {}
+    for _pass in range(2):
+        todo = [
+            n
+            for n in dict.fromkeys(flagged + record_flagged)
+            if n in heal_runs
+        ]
+        if not todo:
+            break
+        for name in todo:
+            best, bad = timed_best(heal_runs[name], n=1)
+            if bad:
+                continue  # window still polluted — next pass
+            healed[name] = round(best, 3)
+            if name == "seqfile_full_scan":
+                decode_s = min(decode_s, best)  # feeds decode recs/s
+            if name in timings:
+                timings[name] = round(min(timings[name], best), 3)
+            elif name in extra:
+                extra[name] = round(min(extra[name], best), 3)
+            elif name == "seqfile_scaled_scan":
+                scaled_s = min(scaled_s, best)
+            elif name == "seqfile_scaled_scan_jvm":
+                jvm_s = min(jvm_s, best)
+            while name in flagged:
+                flagged.remove(name)
+            # the clean sample enters the rolling record; the record
+            # flag drops unless the clean value STILL exceeds the bar
+            # (then it is a genuine regression, not noise)
+            hist = record.get(name) or []
+            hist = hist if isinstance(hist, list) else [hist]
+            bar = sorted(hist)[len(hist) // 2] if hist else None
+            record[name] = (hist + [round(best, 3)])[-RECORD_WINDOW:]
+            if name in record_flagged and (
+                bar is None or best <= bar * RECORD_LIMIT
+            ):
+                record_flagged.remove(name)
+            print(
+                f"# healed {name}: {best:.2f}s (pass {_pass + 1})",
+                file=sys.stderr,
+            )
+
     # persist the rolling clean record (best-effort; never fail a run)
     try:
         tmp = RECORD_PATH + f".{os.getpid()}"
@@ -568,6 +637,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # first-pass headline before the self-healing re-measure of
+        # flagged queries (value == value_raw on a quiet run); healed
+        # maps each re-measured query to its clean end-of-battery
+        # sample.  Flag lists below are POST-heal: a surviving flag
+        # means no clean sample was obtainable in 3 windows (or, for
+        # record_flagged, a clean sample still over the bar — a real
+        # regression).
+        "value_raw": round(sum(raw_timings.values()), 3),
+        "steal_flagged_raw": raw_flagged,
+        "healed": healed,
         "seqfile_decode_recs_per_sec": round(n_rows / decode_s),
         "seqfile_scaled_scan": {
             "records": n_scaled,
@@ -614,6 +693,7 @@ def main() -> None:
     }
     full = dict(summary)
     full["extra_queries"] = extra
+    full["queries_raw"] = raw_timings
     try:
         with open(os.path.join(REPO, "BENCH_extras_local.json"), "w") as fh:
             json.dump(full, fh, indent=1)
@@ -622,9 +702,9 @@ def main() -> None:
     print(f"# extra_queries total: {round(sum(extra.values()), 3)}s", file=sys.stderr)
     line = json.dumps(summary)
     if len(line) > 1900:  # stay inside the driver's 2000-char tail
-        for k in ("record_flagged", "steal_flagged"):
+        for k in ("record_flagged", "steal_flagged", "steal_flagged_raw", "healed"):
             if len(line) > 1900:
-                summary[k] = f"{len(summary[k])} flagged (see extras_file)"
+                summary[k] = f"{len(summary[k])} entries (see extras_file)"
                 line = json.dumps(summary)
     print(line, flush=True)
 

@@ -997,13 +997,27 @@ def winnow_fingerprints(
         F.concat_ws(" ", *gram_parts).alias("gram"),
         F.lead("tok", k - 1).over(wdoc).isNotNull().alias("full"),
     )
+    # The encoded tie-break key reserves the low 20 bits for gram_pos;
+    # a doc with >= 2^20 grams (~1M tokens) would silently bleed pos
+    # bits into the hash and corrupt fingerprints (ADVICE r13).  Fail
+    # loudly instead: any out-of-range pos raises at execution time.
+    guarded_pos = F.when(F.col("pos") < 1048576, F.col("pos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" exceeds 2^20 grams; encoded window-min key "
+                      "would overflow — chunk the document first"),
+            )
+        ).cast("int")
+    )
     hashed = grams.filter(F.col("full")).select(
         "doc_id",
         "pos",
         (
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
             * 1048576
-            + F.col("pos")
+            + guarded_pos
         ).alias("key"),
         F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
     )

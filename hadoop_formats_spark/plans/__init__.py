@@ -54,7 +54,11 @@ def post_execution_plan(df: DataFrame) -> str:
     PageRank scan-count flag with persist() 4.5x slower (SCALE.md r12)."""
     df.collect()
     plan = executed_plan(df)
-    assert "isFinalPlan=false" not in plan, "collect() did not finalize AQE"
+    if "isFinalPlan=false" in plan:
+        # explicit raise, not assert: under ``python -O`` an assert
+        # vanishes and the regression guards built on this helper would
+        # silently validate a non-final plan (ADVICE r13).
+        raise RuntimeError("collect() did not finalize AQE")
     return plan
 
 

@@ -1797,6 +1797,101 @@ def multimodal_pnm_real_decode(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_bmp_real_decode",
+    # Second real container beside PNM (VERDICT r13 #7): each document
+    # becomes a deterministic 4x4 24-bit UNCOMPRESSED BMP — pixel j
+    # (row-major from the top) has B=(id*3+j)%256, G=(id*5+j)%256,
+    # R=(id*11+j)%256, stored bottom-up with BGR byte order as the BMP
+    # spec demands — so the oracle recomputes the true BT.601 luma
+    # mean arithmetically while Spark PARSES the 54-byte header, walks
+    # the stride, flips the rows, and reorders the channels via the
+    # pure-numpy decode_bmp inside decode_features(decode='real').
+    # mean=(sum/16)/255 has a power-of-two divisor (exact double before
+    # the round) and micro=sum*12500/51 can never land on an exact
+    # half-micro (50000*sum = 51*odd is unsatisfiable), so banker's vs
+    # half-away rounding can never diverge.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (299 * ((d.doc_id * 11 + CAST(i AS BIGINT)) % 256)
+              + 587 * ((d.doc_id * 5 + CAST(i AS BIGINT)) % 256)
+              + 114 * ((d.doc_id * 3 + CAST(i AS BIGINT)) % 256))
+             // 1000 AS luma
+      FROM documents d, UNNEST(generate_series(0, 15)) AS t(i)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(round(round((CAST(sum(luma) AS DOUBLE) / 16.0) / 255.0, 6)
+                        * 1000000.0) AS BIGINT) AS micro
+      FROM px GROUP BY doc_id
+    )
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 16 AS BIGINT) AS pixels,
+           CAST(sum(micro) AS BIGINT) AS micro_sum
+    FROM feat GROUP BY bucket ORDER BY bucket
+    """,
+    doc="REAL image decode of a SECOND container without an image "
+    "library: every document renders as a 4x4 24-bit BI_RGB BMP "
+    "(bottom-up rows, BGR channels), and decode_features(decode="
+    "'real') must parse the bitmap file + info headers, honor the "
+    "pixel-array offset and 4-byte row stride, un-flip the rows, and "
+    "swap BGR→RGB before the BT.601 luma (operators/multimodal.py "
+    "decode_bmp, pure numpy) to recover the exact mean the oracle "
+    "derives arithmetically — any offset/stride/channel-order bug "
+    "shifts every mean and fails the hash.  Same fused "
+    "generate+decode mapInPandas shape as the PNM row: no shuffle "
+    "until the |buckets| groupBy.",
+)
+def multimodal_bmp_real_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import struct
+
+        # 4x4 24bpp: 12-byte rows (already 4-byte aligned), 48-byte
+        # pixel array, 54-byte headers, 102-byte file.
+        hdr = struct.pack("<2sIHHI", b"BM", 102, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 2835, 2835, 0, 0
+        )
+        prefix = bytes(M.MAGIC_TAG) + hdr
+        j = np.arange(16, dtype=np.int64)  # row-major from the TOP
+
+        def render(i: int) -> bytes:
+            bgr = np.stack(
+                [(i * 3 + j) % 256, (i * 5 + j) % 256, (i * 11 + j) % 256],
+                axis=1,
+            ).astype(np.uint8).reshape(4, 4, 3)
+            return prefix + bgr[::-1].tobytes()  # bottom-up storage
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": [render(int(i)) for i in ids]}
+            )
+
+    packed = d.mapInPandas(build, "doc_id bigint, media binary")
+    feats = M.decode_features(packed, decode="real")
+    quant = feats.select(
+        (F.col("doc_id") % 4).cast("long").alias("bucket"),
+        F.round(F.col("feat_mean") * 1e6).cast("long").alias("micro"),
+        "feat_dim",
+    )
+    return (
+        quant.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("feat_dim").cast("long").alias("pixels"),
+            F.sum("micro").cast("long").alias("micro_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _proj_sql(e: str = "e", out_dim: int = 16) -> str:
     """SQL list literal reproducing random_projection bit-for-bit:
     component p = round((±e[1] ± e[2] …) * 0.25, 6) — 0.25 = 1/sqrt(16)

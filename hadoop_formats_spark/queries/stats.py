@@ -1759,12 +1759,20 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str):
         "value",
         "n1",
         "n2",
+        # scale by the ACTUAL range (epsilon-guarded), not range+1: the
+        # +1 form assumed an integer-scale domain and collapsed any
+        # sub-unit range into bucket 0, silently re-serializing the
+        # prefix sum onto one task (ADVICE r13).  v == vhi hits
+        # floor(nb) and is clamped by the least().  pid is internal
+        # only — bucketing never reaches the output.
         F.least(
             F.lit(nb - 1),
             F.floor(
                 (F.col("value") - F.col("vlo"))
                 * nb
-                / (F.col("vhi") - F.col("vlo") + F.lit(1.0))
+                / F.greatest(
+                    F.col("vhi") - F.col("vlo"), F.lit(1e-12)
+                )
             ).cast("int"),
         ).alias("pid"),
     )
@@ -2685,13 +2693,14 @@ def abtest_msprt_always_valid(spark: SparkSession, sf_dir: str):
       FROM s
     )
     SELECT n1, n2,
-           round(m1 - m2, 4) AS mean_diff_cents,
-           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t,
-           round(
+           floor((m1 - m2) * 10000 + 0.5) / 10000.0 AS mean_diff_cents,
+           floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 10000 + 0.5)
+             / 10000.0 AS t,
+           floor(
              (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
              / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                + (v2 / n2) * (v2 / n2) / (n2 - 1)),
-             2) AS df_welch
+                + (v2 / n2) * (v2 / n2) / (n2 - 1))
+             * 100 + 0.5) / 100.0 AS df_welch
     FROM m
     """,
     doc="Welch's unequal-variance t-test (the default two-sample mean "
@@ -2736,21 +2745,33 @@ def abtest_welch_ttest(spark: SparkSession, sf_dir: str):
     )
     se1 = F.col("v1") / F.col("n1")
     se2 = F.col("v2") / F.col("n2")
+    # floor form, not round(): strict-failure class 3 discipline — see
+    # abtest_bh_fdr_segments above (ADVICE r13 applied shelf-wide).
     return m.select(
         "n1",
         "n2",
-        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff_cents"),
-        F.round(
-            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4
+        (
+            F.floor((F.col("m1") - F.col("m2")) * 10000 + 0.5) / 10000.0
+        ).alias("mean_diff_cents"),
+        (
+            F.floor(
+                (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2) * 10000
+                + 0.5
+            )
+            / 10000.0
         ).alias("t"),
-        F.round(
-            (se1 + se2)
-            * (se1 + se2)
-            / (
-                se1 * se1 / (F.col("n1") - 1)
-                + se2 * se2 / (F.col("n2") - 1)
-            ),
-            2,
+        (
+            F.floor(
+                (se1 + se2)
+                * (se1 + se2)
+                / (
+                    se1 * se1 / (F.col("n1") - 1)
+                    + se2 * se2 / (F.col("n2") - 1)
+                )
+                * 100
+                + 0.5
+            )
+            / 100.0
         ).alias("df_welch"),
     )
 
@@ -2788,9 +2809,9 @@ _BH_Z_M5_A10 = (2.326348, 2.053749, 1.880794, 1.750686, 1.644854)
     ),
     zz AS (
       SELECT seg, n_a, n_b,
-             round(m_a - m_b, 4) AS mean_diff_cents,
-             round(abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)), 4)
-               AS z_abs
+             floor((m_a - m_b) * 10000 + 0.5) / 10000.0 AS mean_diff_cents,
+             floor(abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b))
+                   * 10000 + 0.5) / 10000.0 AS z_abs
       FROM cells
     ),
     ranked AS (
@@ -2864,20 +2885,31 @@ def abtest_bh_fdr_segments(spark: SparkSession, sf_dir: str):
             "v_b"
         ),
     )
+    # floor(x*1e4+0.5)/1e4 instead of round(x,4): Spark rounds doubles
+    # via exact decimal expansion while DuckDB rounds the scaled float,
+    # and the two can disagree on bit-identical inputs (strict-failure
+    # class 3, tools/check_correctness.py) — the floor form is engine-
+    # identical (ADVICE r13).
     zz = cells.select(
         "seg",
         "n_a",
         "n_b",
-        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff_cents"),
-        F.round(
-            F.abs(
-                (F.col("m_a") - F.col("m_b"))
-                / F.sqrt(
-                    F.col("v_a") / F.col("n_a")
-                    + F.col("v_b") / F.col("n_b")
+        (
+            F.floor((F.col("m_a") - F.col("m_b")) * 10000 + 0.5) / 10000.0
+        ).alias("mean_diff_cents"),
+        (
+            F.floor(
+                F.abs(
+                    (F.col("m_a") - F.col("m_b"))
+                    / F.sqrt(
+                        F.col("v_a") / F.col("n_a")
+                        + F.col("v_b") / F.col("n_b")
+                    )
                 )
-            ),
-            4,
+                * 10000
+                + 0.5
+            )
+            / 10000.0
         ).alias("z_abs"),
     )
     wrank = Window.orderBy(F.desc("z_abs"), "seg")  # 5-row table

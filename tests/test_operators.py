@@ -827,10 +827,80 @@ def test_decode_pnm_pure_numpy():
     assert c[0, 0] == (299 * 255) // 1000 and c[0, 1] == (587 * 255) // 1000
     # comments in the header
     assert M.decode_pnm(b"P5\n# a comment\n2 1\n255\n\x00\xff").mean() == 127.5
-    # rejections: bad magic, truncated raster, maxval > 255
+    # 16-bit maxval: big-endian 2-byte samples rescaled onto 0..255
+    # (ADVICE r13 — the built-in parser owns the full PNM family)
+    import struct
+
+    g16 = M.decode_pnm(b"P5\n2 1\n65535\n" + struct.pack(">HH", 0, 65535))
+    assert g16[0, 0] == 0.0 and g16[0, 1] == pytest.approx(255.0)
+    assert (
+        M.decode_pnm(b"P5\n2 1\n1000\n" + struct.pack(">HH", 500, 1000))[
+            0, 0
+        ]
+        == pytest.approx(127.5)
+    )
+    # rejections: bad magic, truncated 8-bit raster, truncated 16-bit
+    # raster (2 bytes/sample), maxval out of range
     assert M.decode_pnm(b"JFIF....") is None
     assert M.decode_pnm(_ppm_p5(4, 2, range(7))) is None
-    assert M.decode_pnm(b"P5\n2 1\n65535\n\x00\x00\x00\x00") is None
+    assert M.decode_pnm(b"P5\n2 1\n65535\n\x00\x00\x00") is None
+    assert M.decode_pnm(b"P5\n2 1\n65536\n\x00\x00\x00\x00") is None
+
+
+def _bmp24(w, h, bgr_rows_topdown, *, bottom_up=True, bpp=24, comp=0):
+    """Minimal BITMAPINFOHEADER BMP with the given top-down pixel rows
+    (list of rows, each a list of (B,G,R) byte tuples)."""
+    import struct
+
+    import numpy as np
+
+    nch = bpp // 8
+    stride = ((w * nch + 3) // 4) * 4
+    px = np.zeros((h, stride), dtype=np.uint8)
+    for r, row in enumerate(bgr_rows_topdown):
+        flat = [c for pix in row for c in (list(pix) + [0] * (nch - 3))]
+        px[r, : w * nch] = flat
+    if bottom_up:
+        px = px[::-1]
+    data = px.tobytes()
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        h if bottom_up else -h,
+        1,
+        bpp,
+        comp,
+        len(data),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return hdr + data
+
+
+def test_decode_bmp_pure_numpy():
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    # luma from (B,G,R): (299R + 587G + 114B) // 1000
+    want = [
+        [(114 * 255) // 1000, (587 * 255) // 1000],
+        [(299 * 255) // 1000, (299 * 30 + 587 * 20 + 114 * 10) // 1000],
+    ]
+    g = M.decode_bmp(_bmp24(2, 2, rows))
+    assert g.shape == (2, 2) and g.tolist() == want
+    # top-down (negative height) and 32-bit BGRX agree with bottom-up
+    assert M.decode_bmp(_bmp24(2, 2, rows, bottom_up=False)).tolist() == want
+    assert M.decode_bmp(_bmp24(2, 2, rows, bpp=32)).tolist() == want
+    # width 2 @24bpp exercises the 4-byte row stride padding (6→8)
+    # rejections: bad magic, compressed, paletted 8bpp, truncated
+    assert M.decode_bmp(b"JFIF....") is None
+    assert M.decode_bmp(_bmp24(2, 2, rows, comp=1)) is None
+    payload = _bmp24(2, 2, rows)
+    assert M.decode_bmp(payload[:-1]) is None
+    assert M.decode_bmp(payload[:20]) is None
 
 
 def test_decode_features_real_pnm_without_pil(spark):
@@ -849,6 +919,45 @@ def test_decode_features_real_pnm_without_pil(spark):
     assert out[1].feat_mean == round(3.5 / 255.0, 6)
     assert out[2].feat_dim == 2
     assert out[2].feat_mean == round((76 + 149) / 2 / 255.0, 6)
+
+
+def test_decode_features_real_bmp_without_pil(spark):
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    df = spark.createDataFrame(
+        [(1, bytearray(M.MAGIC_TAG + _bmp24(2, 2, rows)))],
+        "doc_id bigint, media binary",
+    )
+    r = M.decode_features(df, decode="real").collect()[0]
+    luma = [
+        (114 * 255) // 1000,
+        (587 * 255) // 1000,
+        (299 * 255) // 1000,
+        (299 * 30 + 587 * 20 + 114 * 10) // 1000,
+    ]
+    assert r.feat_dim == 4
+    assert r.feat_mean == round(sum(luma) / 4 / 255.0, 6)
+
+
+def test_decode_features_pnm_magic_unparseable_raises_everywhere(spark):
+    # PNM magic + truncated raster = corrupt image: ValueError with the
+    # accurate diagnostic in BOTH the PIL and no-PIL environments —
+    # never handed to PIL, never a missing-library error (ADVICE r13)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.MAGIC_TAG + b"P5\n4 4\n255\n\x00"))],
+        "doc_id bigint, media binary",
+    )
+    with pytest.raises(Exception, match="unparseable"):
+        M.decode_features(df, decode="real").collect()
+
+
+def test_winnow_pos_overflow_guard(spark):
+    # a doc with >= 2^20 grams would bleed position bits into the
+    # window-min hash: the encoded key raises instead (ADVICE r13)
+    big = spark.createDataFrame(
+        [(9, "a " * 1_050_000)], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^20"):
+        D.winnow_fingerprints(big, k=2, w=4).count()
 
 
 def test_decode_features_real_non_pnm_fails_loud_without_pil(spark, docs):
