@@ -442,58 +442,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # first, then post-fix non-green, then changed-code-first via git log
 # -L over each registration span + referenced operator modules, then
 # oldest-green round-robin across families).  This list is that tool's
-# verbatim output at the r13 freeze; regenerate it each round.
+# verbatim output at the r14 freeze; regenerate it each round.
 PRIORITY_ORDER = [
-    "agg_bitwise_checksum_bitmap",  # never-graded
-    "search_mmr_rerank",  # never-graded
-    "dedup_winnow_fingerprint_pairs",  # never-graded
-    "multimodal_pnm_real_decode",  # never-graded
-    "sketch_kmv_jaccard_pair",  # never-graded
-    "abtest_sequential_obf",  # never-graded
-    "abtest_msprt_always_valid",  # never-graded
-    "abtest_welch_ttest",  # never-graded
-    "abtest_bh_fdr_segments",  # never-graded
-    "privacy_dp_laplace_counts",  # never-graded
-    "stats_chi_square_independence",  # never-graded
-    "dq_volume_anomaly_daily",  # never-graded
-    "abtest_experiment_readout_capstone",  # never-graded
-    "seqfile_sorter_merge_runs",  # never-graded
-    "seqfile_binary_payload_roundtrip",  # never-graded
-    "sample_dsir_importance",  # never-graded
-    "sample_neyman_allocation",  # never-graded
-    "ml_conformal_interval_coverage",  # never-graded
-    "q3_shipping_priority",  # changed since r08: span hadoop_formats_spark/queries/parity.py:82-132
-    "q10_returned_items",  # changed since r08: span hadoop_formats_spark/queries/parity.py:164-209
-    "join_left_outer_customer_orders",  # changed since r08: span hadoop_formats_spark/queries/parity.py:440-471
-    "window_running_and_frame",  # changed since r08: span hadoop_formats_spark/queries/parity.py:1223-1278
-    "ann_ivf_index_persisted",  # changed since r09: span hadoop_formats_spark/queries/ext.py:3233-3297
-    "sketch_histogram_quantiles",  # changed since r06: span hadoop_formats_spark/queries/stats.py:448-583
-    "stats_ks_two_sample",  # changed since r09: span hadoop_formats_spark/queries/stats.py:1665-1809
-    "q5_local_supplier_volume",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:38-85
-    "q7_volume_shipping",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:93-153
-    "q8_market_share",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:161-232
-    "q9_product_type_profit",  # changed since r05: span hadoop_formats_spark/queries/tpch.py:240-289
-    "q19_discounted_revenue",  # changed since r08: span hadoop_formats_spark/queries/tpch.py:638-679
-    "q22_global_sales_opportunity",  # changed since r06: span hadoop_formats_spark/queries/tpch.py:804-864
-    "customer_rfm_segments",  # changed since r09: span hadoop_formats_spark/queries/features.py:227-329
-    "seqfile_permissive_corrupt_tail",  # oldest-green r04 [seqfile]
-    "dedup_minhash_lsh",  # oldest-green r05 [dedup]
-    "join_salted_lineitem_orders",  # oldest-green r05 [join]
-    "stream_session_windows",  # oldest-green r05 [stream]
-    "text_tfidf_top_terms",  # oldest-green r05 [text]
-    "ann_pq_adc_recall_at_3",  # oldest-green r06 [ann]
-    "graph_label_propagation",  # oldest-green r06 [graph]
-    "sketch_hll_distinct_merge",  # oldest-green r06 [sketch]
-    "stats_quantile_normalize",  # oldest-green r06 [stats]
-    "q13_customer_distribution",  # oldest-green r06 [tpch]
-    "window_rank_dense_ntile",  # oldest-green r06 [window]
-    "abtest_bootstrap_ci",  # oldest-green r08 [abtest]
-    "cohort_retention_weekly",  # oldest-green r08 [cohort]
-    "csv_write_read_roundtrip",  # oldest-green r08 [csv]
-    "cube_status_priority",  # oldest-green r08 [cube]
-    "embedding_centroid_drift",  # oldest-green r08 [embedding]
-    "events_trigram_mining",  # oldest-green r08 [events]
-    "filter_predicates",  # oldest-green r08 [filter]
+    "multimodal_bmp_real_decode",  # never-graded
+    "dedup_exact",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
+    "dedup_minhash_lsh",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
+    "dedup_ngram_jaccard",  # changed since r05: module hadoop_formats_spark/operators/dedup.py
+    "dedup_prefix_filter_join",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "dedup_group_assignment",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
+    "dedup_keeper_by_quality",  # changed since r09: module hadoop_formats_spark/operators/dedup.py
+    "dedup_simhash",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
+    "dedup_embedding_cosine",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "dedup_embedding_lsh_blocked",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "dedup_embedding_lsh_gemm",  # changed since r06: module hadoop_formats_spark/operators/similarity.py
+    "dedup_embedding_lsh_recall",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "ann_brute_force_topk",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "ann_filtered_topk",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "ann_ivf_topk",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "ann_ivf_nprobe2_topk",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "embedding_quantize_int8_error",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "kmeans_cluster_profile",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "dedup_semantic_semdedup",  # changed since r05: module hadoop_formats_spark/operators/similarity.py
+    "pq_encode_stats",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "dedup_winnow_fingerprint_pairs",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
+    "multimodal_metadata",  # changed since r11: module hadoop_formats_spark/operators/multimodal.py
+    "multimodal_audio_window_counts",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
+    "multimodal_frame_sample",  # changed since r10: module hadoop_formats_spark/operators/multimodal.py
+    "multimodal_decode_features",  # changed since r11: module hadoop_formats_spark/operators/multimodal.py
+    "multimodal_pnm_real_decode",  # changed since r13: span hadoop_formats_spark/queries/ext.py:1722-1797
+    "ann_projected_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "graph_triangle_count",  # changed since r06: module hadoop_formats_spark/operators/graph.py
+    "dedup_minhash_band_pr",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
+    "ann_matryoshka_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "dedup_cross_source_matrix",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "multimodal_resize_checksum",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
+    "stream_stateful_user_stats",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
+    "stream_minhash_band_dedup",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
+    "stats_ks_two_sample",  # changed since r13: span hadoop_formats_spark/queries/stats.py:1665-1817
+    "abtest_welch_ttest",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2674-2776
+    "abtest_bh_fdr_segments",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2788-2945
+    "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
+    "stream_attribution_last_touch",  # changed since r09: module hadoop_formats_spark/streaming/__init__.py
+    "stream_tws_running_stats",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
+    "stream_foreach_batch_upsert",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
+    "seqfile_stream_source_counts",  # changed since r06: module hadoop_formats_spark/streaming/__init__.py
+    "contamination_ngram_overlap",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
+    "dedup_incremental_batch",  # changed since r12: module hadoop_formats_spark/operators/dedup.py
+    "dedup_chunk_boilerplate",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
+    "dedup_substring_spans",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "dedup_containment_excerpts",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "seqfile_record_layout_roundtrip",  # oldest-green r04 [seqfile]
+    "stream_tumbling_hourly_counts",  # oldest-green r05 [stream]
+    "join_asof_purchase_last_click",  # oldest-green r06 [join]
 ]
 
 

@@ -66,20 +66,32 @@ def registration_spans() -> dict[str, tuple[str, int, int, set[str]]]:
         # module-level alias -> source module file (only our package)
         alias_file: dict[str, str] = {}
         for node in ast.walk(tree):
-            if isinstance(node, ast.ImportFrom) and node.module:
-                mod = node.module
-                if mod.startswith("hadoop_formats_spark."):
-                    parts = mod.split(".")
-                    if len(parts) >= 2 and parts[1] in OP_PACKAGES:
-                        f = os.path.join("hadoop_formats_spark", *parts[1:])
-                        for a in node.names:
-                            alias_file[a.asname or a.name] = (
-                                f + ".py" if os.path.exists(
-                                    os.path.join(REPO, f + ".py")
-                                ) else os.path.join(f, a.name + ".py")
-                            )
-                elif mod.startswith(".") or mod in OP_PACKAGES:
-                    pass  # relative imports not used for operator modules
+            if isinstance(node, ast.ImportFrom):
+                mod = node.module or ""
+                parts = mod.split(".") if mod else []
+                # absolute: from hadoop_formats_spark.operators import X
+                if node.level == 0 and parts[:1] == ["hadoop_formats_spark"]:
+                    pkg_parts = parts[1:]
+                # relative from queries/*.py: from ..operators import X
+                # (this is the form ext.py/stats.py actually use — the
+                # old resolver skipped it, so operator-module changes
+                # never re-entered their consumer queries, r14 fix)
+                elif node.level == 2:
+                    pkg_parts = parts
+                else:
+                    pkg_parts = None
+                if not pkg_parts or pkg_parts[0] not in OP_PACKAGES:
+                    continue
+                base = os.path.join("hadoop_formats_spark", *pkg_parts)
+                for a in node.names:
+                    for cand in (
+                        base + ".py",                          # module file
+                        os.path.join(base, a.name + ".py"),    # submodule
+                        os.path.join(base, "__init__.py"),     # package attr
+                    ):
+                        if os.path.exists(os.path.join(REPO, cand)):
+                            alias_file[a.asname or a.name] = cand
+                            break
             elif isinstance(node, ast.Import):
                 for a in node.names:
                     if a.name.startswith("hadoop_formats_spark."):
