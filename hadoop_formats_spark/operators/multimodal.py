@@ -178,6 +178,62 @@ def decode_bmp(payload: bytes):
     return luma.astype(np.float64)
 
 
+def decode_wav(payload: bytes):
+    """Pure-numpy decoder for RIFF/WAVE PCM audio (format tag 1,
+    8-bit unsigned or 16-bit signed LE, any channel count) — the audio
+    member of the zero-dependency real-container family beside
+    ``decode_pnm``/``decode_bmp``: a REAL chunked-container walk (fmt
+    + data chunks, even-byte padding) with no audio library.  Returns
+    ``(samples, sample_rate)`` where samples is a float64 MONO array
+    (channels averaged; 8-bit recentred by -128 onto the signed
+    scale), or ``None`` when the payload is not parseable PCM WAV
+    (compressed formats, float PCM, and 24/32-bit depths are out of
+    scope for the built-in parser)."""
+    import numpy as np
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        return None
+    audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or n_ch < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // (2 * n_ch)
+        if n == 0:
+            return None
+        arr = (
+            np.frombuffer(data, dtype="<i2", count=n * n_ch)
+            .astype(np.float64)
+        )
+    else:
+        n = len(data) // n_ch
+        if n == 0:
+            return None
+        arr = (
+            np.frombuffer(data, dtype=np.uint8, count=n * n_ch)
+            .astype(np.float64)
+            - 128.0
+        )
+    mono = arr.reshape(n, n_ch).mean(axis=1)
+    return mono, rate
+
+
 def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
     """Decode media → feature vector summary.
 

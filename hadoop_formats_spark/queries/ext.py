@@ -1892,6 +1892,110 @@ def multimodal_bmp_real_decode(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_wav_real_decode",
+    # Third real container — AUDIO (VERDICT r13 #7 extended): each
+    # document renders as a deterministic 64-sample 16-bit PCM mono
+    # RIFF/WAV — sample j = ((doc_id*13 + j*7) % 401) - 200 — and the
+    # query must WALK the chunked container (RIFF magic, fmt chunk,
+    # data chunk, even-byte padding) via the pure-numpy decode_wav,
+    # then frame (window=32, hop=16 -> 3 windows/doc) and compute each
+    # window's exact integer energy sum(s^2).  Energies are integers
+    # (|s| <= 200, 32 samples -> <= 1.28M, exact in float64), so the
+    # cross-engine aggregate is an exact integer sum — no rounding
+    # discipline needed anywhere.
+    oracle="""
+    WITH win AS (
+      SELECT d.doc_id, CAST(w AS BIGINT) AS w,
+             sum(((d.doc_id * 13 + (16 * w + k) * 7) % 401 - 200)
+                 * ((d.doc_id * 13 + (16 * w + k) * 7) % 401 - 200))
+               AS energy
+      FROM documents d,
+           UNNEST(generate_series(0, 2)) t1(w),
+           UNNEST(generate_series(0, 31)) t2(k)
+      GROUP BY d.doc_id, w
+    )
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS energy_sum
+    FROM win GROUP BY bucket ORDER BY bucket
+    """,
+    doc="REAL audio decode end-to-end without an audio library: every "
+    "document renders as a 64-sample 16-bit PCM mono RIFF/WAV and the "
+    "query parses the actual chunked container (operators/multimodal.py "
+    "decode_wav, pure numpy — RIFF/WAVE magic, fmt-chunk PCM "
+    "validation, data-chunk walk with even-byte padding) before the "
+    "windowed energy front-end (the fan-out shape of any MFCC/mel "
+    "pipeline); a header-walk or sample-width bug shifts every energy "
+    "and fails the exact integer hash.  Completes the zero-dependency "
+    "real-container family: PNM + BMP (image) and WAV (audio).  Scale "
+    "shape: render + decode + window are ONE fused mapInPandas stage "
+    "(no shuffle until the |buckets| groupBy); the 3-windows-per-doc "
+    "fan-out happens inside the task like frame_sample.",
+)
+def multimodal_wav_real_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    window, hop = 32, 16
+
+    def render_decode(batches):
+        import numpy as np
+        import struct
+
+        j = np.arange(64, dtype=np.int64)
+
+        def render(i: int) -> bytes:
+            s = ((i * 13 + j * 7) % 401 - 200).astype("<i2")
+            data = s.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in batches:
+            ids, wins, energies = [], [], []
+            for i in pdf["doc_id"].astype("int64"):
+                decoded = M.decode_wav(render(int(i)))
+                if decoded is None:  # loud: a parser bug must not skip
+                    raise ValueError(f"WAV render/decode failed for {i}")
+                mono, rate = decoded
+                assert rate == 8000
+                n_win = (len(mono) - window) // hop + 1
+                idx = (
+                    np.arange(window)[None, :]
+                    + hop * np.arange(n_win)[:, None]
+                )
+                w = mono[idx]
+                e = (w * w).sum(axis=1).astype(np.int64)
+                ids.extend([int(i)] * n_win)
+                wins.extend(range(n_win))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": wins, "energy": energies}
+            )
+
+    framed = d.mapInPandas(
+        render_decode, "doc_id bigint, win_idx int, energy bigint"
+    )
+    return (
+        framed.groupBy((F.col("doc_id") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("energy").cast("long").alias("energy_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _proj_sql(e: str = "e", out_dim: int = 16) -> str:
     """SQL list literal reproducing random_projection bit-for-bit:
     component p = round((±e[1] ± e[2] …) * 0.25, 6) — 0.25 = 1/sqrt(16)

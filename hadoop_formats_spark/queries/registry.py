@@ -445,6 +445,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # verbatim output at the r14 freeze; regenerate it each round.
 PRIORITY_ORDER = [
     "multimodal_bmp_real_decode",  # never-graded
+    "multimodal_wav_real_decode",  # never-graded
     "dedup_exact",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
     "dedup_minhash_lsh",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
     "dedup_ngram_jaccard",  # changed since r05: module hadoop_formats_spark/operators/dedup.py
@@ -472,15 +473,19 @@ PRIORITY_ORDER = [
     "multimodal_pnm_real_decode",  # changed since r13: span hadoop_formats_spark/queries/ext.py:1722-1797
     "ann_projected_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
     "graph_triangle_count",  # changed since r06: module hadoop_formats_spark/operators/graph.py
+    "sample_negatives_contrastive",  # changed since r10: span hadoop_formats_spark/queries/ext.py:3330-3422
     "dedup_minhash_band_pr",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
     "ann_matryoshka_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
     "dedup_cross_source_matrix",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "contamination_embedding_cosine",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5045-5132
+    "text_vocab_growth",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5135-5182
     "multimodal_resize_checksum",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
     "stream_stateful_user_stats",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stream_minhash_band_dedup",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
-    "stats_ks_two_sample",  # changed since r13: span hadoop_formats_spark/queries/stats.py:1665-1817
-    "abtest_welch_ttest",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2674-2776
-    "abtest_bh_fdr_segments",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2788-2945
+    "stats_ks_two_sample",  # changed since r13: span hadoop_formats_spark/queries/stats.py:1686-1828
+    "abtest_power_analysis",  # changed since r10: span hadoop_formats_spark/queries/stats.py:2133-2200
+    "abtest_welch_ttest",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2685-2787
+    "abtest_bh_fdr_segments",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2799-2956
     "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stream_attribution_last_touch",  # changed since r09: module hadoop_formats_spark/streaming/__init__.py
     "stream_tws_running_stats",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
@@ -489,11 +494,6 @@ PRIORITY_ORDER = [
     "contamination_ngram_overlap",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
     "dedup_incremental_batch",  # changed since r12: module hadoop_formats_spark/operators/dedup.py
     "dedup_chunk_boilerplate",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
-    "dedup_substring_spans",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
-    "dedup_containment_excerpts",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
-    "seqfile_record_layout_roundtrip",  # oldest-green r04 [seqfile]
-    "stream_tumbling_hourly_counts",  # oldest-green r05 [stream]
-    "join_asof_purchase_last_click",  # oldest-green r06 [join]
 ]
 
 

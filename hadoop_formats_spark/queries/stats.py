@@ -15,6 +15,27 @@ from pyspark.sql import functions as F
 
 from .registry import register, table
 
+def range_bucket_pid(col, vlo, vhi, nb: int):
+    """Deterministic value-range bucket id in [0, nb) for the two-phase
+    distributed prefix sum (bucket-rank in parallel + broadcast
+    offsets): ``least(nb-1, floor((col - vlo) * nb / max(vhi - vlo,
+    eps)))``.  Scales by the ACTUAL range with an epsilon guard — the
+    earlier ``range + 1`` form assumed an integer-scale domain and
+    collapsed any sub-unit range into bucket 0, silently
+    re-serializing the prefix sum onto one task (ADVICE r13).
+    ``col == vhi`` hits floor(nb) and is clamped by the least();
+    a constant domain (vhi == vlo) maps everything to bucket 0.
+    Boundaries must come from a deterministic min/max aggregate, never
+    a sample: the bucketed frame is typically read twice (offsets +
+    ranks) and sampled pids could disagree between the subtrees."""
+    return F.least(
+        F.lit(nb - 1),
+        F.floor(
+            (col - vlo) * nb / F.greatest(vhi - vlo, F.lit(1e-12))
+        ).cast("int"),
+    )
+
+
 # One grouped-agg pass per column, unioned: each branch is
 # partial-agg friendly, and at scale the branches share the same scan
 # via Spark's plan-level scan reuse (ReusedExchange on the read).  The
@@ -1759,21 +1780,11 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str):
         "value",
         "n1",
         "n2",
-        # scale by the ACTUAL range (epsilon-guarded), not range+1: the
-        # +1 form assumed an integer-scale domain and collapsed any
-        # sub-unit range into bucket 0, silently re-serializing the
-        # prefix sum onto one task (ADVICE r13).  v == vhi hits
-        # floor(nb) and is clamped by the least().  pid is internal
-        # only — bucketing never reaches the output.
-        F.least(
-            F.lit(nb - 1),
-            F.floor(
-                (F.col("value") - F.col("vlo"))
-                * nb
-                / F.greatest(
-                    F.col("vhi") - F.col("vlo"), F.lit(1e-12)
-                )
-            ).cast("int"),
+        # pid is internal only — bucketing never reaches the output;
+        # range_bucket_pid scales by the actual range so sub-unit
+        # value domains keep their parallelism (ADVICE r13)
+        range_bucket_pid(
+            F.col("value"), F.col("vlo"), F.col("vhi"), nb
         ).alias("pid"),
     )
     ptot = parts.groupBy("pid").agg(

@@ -1641,3 +1641,53 @@ def test_winnow_guarantee_and_density(spark):
     # density: selections per doc are ~2/(w+1) of grams, never all
     n1_tokens = len(rows[0][1].split())
     assert 1 <= len(by_doc[1]) < n1_tokens - 2
+
+
+def _wav_pcm(samples, *, bits=16, channels=1, rate=8000, fmt=1, pad_junk=False):
+    import struct
+
+    import numpy as np
+
+    if bits == 16:
+        arr = np.asarray(samples, dtype="<i2")
+        data = arr.tobytes()
+        block = 2 * channels
+    else:
+        arr = (np.asarray(samples, dtype=np.int64) + 128).astype(np.uint8)
+        data = arr.tobytes()
+        block = channels
+    chunks = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt, channels, rate, rate * block, block, bits
+    )
+    if pad_junk:  # odd-size chunk before data exercises even padding
+        chunks += b"junk" + struct.pack("<I", 3) + b"abc\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_pure_numpy():
+    import numpy as np
+
+    # 16-bit mono
+    mono, rate = M.decode_wav(_wav_pcm([0, 100, -200, 32767]))
+    assert rate == 8000 and mono.tolist() == [0.0, 100.0, -200.0, 32767.0]
+    # stereo averages to mono
+    st, _ = M.decode_wav(_wav_pcm([10, 20, -30, 50], channels=2))
+    assert st.tolist() == [15.0, 10.0]
+    # 8-bit unsigned recentres onto the signed scale
+    u8, _ = M.decode_wav(_wav_pcm([0, -128, 127], bits=8))
+    assert u8.tolist() == [0.0, -128.0, 127.0]
+    # odd-size chunk before data: even-byte padding honored
+    padded, _ = M.decode_wav(_wav_pcm([1, 2], pad_junk=True))
+    assert padded.tolist() == [1.0, 2.0]
+    # rejections: bad magic, non-PCM format tag, unsupported depth,
+    # truncated data chunk
+    assert M.decode_wav(b"RIFX" + b"\x00" * 60) is None
+    assert M.decode_wav(_wav_pcm([1, 2], fmt=3)) is None
+    good = _wav_pcm([1, 2, 3, 4])
+    assert M.decode_wav(good[:-3]) is None
+    import struct
+
+    bad_bits = bytearray(_wav_pcm([1, 2]))
+    struct.pack_into("<H", bad_bits, 34, 24)  # bits field in fmt chunk
+    assert M.decode_wav(bytes(bad_bits)) is None

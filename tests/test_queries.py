@@ -1856,3 +1856,54 @@ def test_mmr_rerank_invariants(spark, sf_dir):
     # grid (integer-unit construction)
     for r in rows:
         assert abs(r.mmr - (0.7 * r.rel - 0.3 * r.max_sim_prev)) < 1e-9, r
+
+
+def test_range_bucket_pid_sub_unit_domain(spark):
+    # ADVICE r13: the old (vhi - vlo + 1) denominator collapsed any
+    # sub-unit value domain into bucket 0, silently serializing the
+    # two-phase prefix sum.  The helper must spread a [0, 0.5) domain
+    # across all buckets, clamp v == vhi into the top bucket, and
+    # survive a constant domain.
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.queries.stats import range_bucket_pid
+
+    df = spark.range(100).select((F.col("id") / 200.0).alias("v"))
+    b = df.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+    pids = {
+        r.pid
+        for r in df.crossJoin(F.broadcast(b))
+        .select(
+            range_bucket_pid(F.col("v"), F.col("vlo"), F.col("vhi"), 8).alias(
+                "pid"
+            )
+        )
+        .collect()
+    }
+    assert pids == set(range(8))
+    # v == vhi lands in (and is clamped to) the top bucket
+    top = (
+        df.crossJoin(F.broadcast(b))
+        .filter(F.col("v") == F.col("vhi"))
+        .select(
+            range_bucket_pid(F.col("v"), F.col("vlo"), F.col("vhi"), 8).alias(
+                "pid"
+            )
+        )
+        .collect()
+    )
+    assert [r.pid for r in top] == [7]
+    # constant domain: everything in bucket 0, no division blow-up
+    one = spark.range(5).select(F.lit(3.14).alias("v"))
+    b1 = one.agg(F.min("v").alias("vlo"), F.max("v").alias("vhi"))
+    only = {
+        r.pid
+        for r in one.crossJoin(F.broadcast(b1))
+        .select(
+            range_bucket_pid(F.col("v"), F.col("vlo"), F.col("vhi"), 8).alias(
+                "pid"
+            )
+        )
+        .collect()
+    }
+    assert only == {0}
