@@ -426,6 +426,9 @@ def main() -> None:
         "abtest_bh_fdr_segments",
         "dedup_winnow_fingerprint_pairs",
         "search_mmr_rerank",
+        # round-14 operators
+        "multimodal_bmp_real_decode",
+        "multimodal_wav_real_decode",
     ]
     # local-iteration knob: the ~150-query extras section takes several
     # minutes at sf0.1; skip it when only the headline + format-layer

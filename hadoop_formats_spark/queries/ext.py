@@ -551,7 +551,10 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
-    return S.ivf_topk(e, queries, centroids, k=3)
+    # method="fold": the oracle recomputes the assignment with a SQL
+    # left-to-right fold; GEMM (the operator default / scale path)
+    # reorders summation and could flip a round-6 near-tie
+    return S.ivf_topk(e, queries, centroids, k=3, method="fold")
 
 
 @register(
@@ -602,7 +605,7 @@ def ann_ivf_nprobe2_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
-    return S.ivf_topk(e, queries, centroids, k=3, nprobe=2)
+    return S.ivf_topk(e, queries, centroids, k=3, nprobe=2, method="fold")
 
 
 _COS_VC = _COS_SQL.replace("a.embedding", "v.embedding").replace(
@@ -672,7 +675,7 @@ def ann_ivf_recall_at_3(spark, sf_dir):
     queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
     bf = S.brute_force_topk(e, queries, k=3).select("query_id", "neighbor_id")
     iv = (
-        S.ivf_topk(e, queries, centroids, k=3)
+        S.ivf_topk(e, queries, centroids, k=3, method="fold")
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -844,7 +847,7 @@ def kmeans_cluster_profile(spark, sf_dir):
 )
 def dedup_semantic_semdedup(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
-    sd = S.semdedup(e, k=4, iters=2, tau=0.4)
+    sd = S.semdedup(e, k=4, iters=2, tau=0.4, assign_method="fold")
     return (
         sd.groupBy("cluster_id")
         .agg(
@@ -3464,7 +3467,7 @@ def ann_ivf_index_persisted(spark, sf_dir):
         centroids = e.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("centroid_id"), "embedding"
         )
-        assigned = S2.ivf_assign(e, centroids)
+        assigned = S2.ivf_assign(e, centroids, method="fold")
         tmp = final + "." + uuid.uuid4().hex[:8]
         assigned.write.partitionBy("centroid_id").parquet(
             os.path.join(tmp, "assigned")
@@ -5312,7 +5315,7 @@ def ann_ivfpq_adc_recall_at_3(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
-    assigned = S.ivf_assign(e, ivfcent)
+    assigned = S.ivf_assign(e, ivfcent, method="fold")
     # probe ranking: the (small) query set × centroids, round-6 cosine
     c = ivfcent.select(
         F.col("centroid_id").alias("probe"), F.col("embedding").alias("cvec")
@@ -5446,7 +5449,7 @@ def sample_hard_negatives_band(spark, sf_dir):
     anchors = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("ae")
     )
-    assigned = S.ivf_assign(e, centroids)
+    assigned = S.ivf_assign(e, centroids, method="fold")
     c = centroids.select(
         F.col("centroid_id").alias("probe"), F.col("embedding").alias("cvec")
     )

@@ -1070,7 +1070,7 @@ def test_ivf_assign_gemm_matches_fold(spark, vectors):
     key = lambda df: {  # noqa: E731
         r["vec_id"]: r["centroid_id"] for r in df.collect()
     }
-    fold = key(S.ivf_assign(vectors, cents))
+    fold = key(S.ivf_assign(vectors, cents, method="fold"))
     gemm = key(S.ivf_assign(vectors, cents, method="gemm"))
     assert gemm == fold and len(fold) == 5
 
@@ -1084,7 +1084,7 @@ def test_ivf_topk_gemm_matches_fold(spark, vectors):
     key = lambda df: [  # noqa: E731
         (r["query_id"], r["neighbor_id"], r["sim"], r["rnk"]) for r in df.collect()
     ]
-    fold = key(S.ivf_topk(vectors, q, cents, k=2))
+    fold = key(S.ivf_topk(vectors, q, cents, k=2, method="fold"))
     gemm = key(S.ivf_topk(vectors, q, cents, k=2, method="gemm"))
     assert gemm == fold and fold
 
@@ -1238,7 +1238,14 @@ def test_semdedup_gemm_assign_matches_fold(spark):
         ],
         "vec_id bigint, embedding array<double>",
     )
-    fold = sorted(map(tuple, S.semdedup(df, k=2, iters=2, tau=0.95).collect()))
+    fold = sorted(
+        map(
+            tuple,
+            S.semdedup(
+                df, k=2, iters=2, tau=0.95, assign_method="fold"
+            ).collect(),
+        )
+    )
     gemm = sorted(
         map(
             tuple,

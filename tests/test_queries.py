@@ -1540,7 +1540,7 @@ def test_ivfpq_candidates_restricted_to_probed_clusters(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") != 0))
-    assigned = S.ivf_assign(e, ivfcent)
+    assigned = S.ivf_assign(e, ivfcent, method="fold")
     c = ivfcent.select(
         F.col("centroid_id").alias("probe"), F.col("embedding").alias("cvec")
     )
@@ -1632,7 +1632,7 @@ def test_hard_negatives_probe_stream_vs_exact_scan(spark, sf_dir):
     centroids = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assigned = S.ivf_assign(e, centroids)
+    assigned = S.ivf_assign(e, centroids, method="fold")
     sizes = {
         r.centroid_id: r.n
         for r in assigned.groupBy("centroid_id")
