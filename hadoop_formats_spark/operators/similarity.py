@@ -659,7 +659,7 @@ def sign_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    method: str = "fold",
+    method: str = "gemm",
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket per vector: bit i = sign of
     the dot product with ±1 plane i.  Cosine-similar vectors collide
@@ -728,7 +728,7 @@ def lsh_banded_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     round_digits: int = 4,
-    method: str = "fold",
+    method: str = "gemm",
     max_bucket_size: int | None = None,
     dropped_out: list | None = None,
 ) -> DataFrame:
@@ -1013,7 +1013,7 @@ def random_projection(
     vec_col: str = "embedding",
     dim: int | None = None,
     out_col: str = "proj",
-    method: str = "fold",
+    method: str = "gemm",
 ) -> DataFrame:
     """Deterministic Rademacher random projection R^dim → R^out_dim:
     component j = round(Σ_d sign(j,d)·v[d] / sqrt(out_dim), 6), with

@@ -382,8 +382,10 @@ _LSH_CAND_CTES = f"""
 )
 def dedup_embedding_lsh_blocked(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
+    # method="fold": oracle reproduces the plane sums bit-for-bit
     return S.lsh_banded_near_dup_pairs(
-        e, threshold=0.4, n_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_EMB_DIM
+        e, threshold=0.4, n_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_EMB_DIM,
+        method="fold",
     ).orderBy("id_a", "id_b")
 
 
@@ -442,7 +444,8 @@ def dedup_embedding_lsh_recall(spark, sf_dir):
         "id_a", "id_b", F.lit(1).alias("ex")
     )
     lsh = S.lsh_banded_near_dup_pairs(
-        e, threshold=0.4, n_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_EMB_DIM
+        e, threshold=0.4, n_planes=_LSH_PLANES, bands=_LSH_BANDS, dim=_EMB_DIM,
+        method="fold",  # oracle-exact plane sums
     ).select("id_a", "id_b", F.lit(1).alias("ls"))
     both = exact.join(lsh, ["id_a", "id_b"], "full")
     n_matched = F.sum(F.col("ex") * F.col("ls"))
@@ -2079,7 +2082,9 @@ def ann_projected_recall_at_3(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     exact3 = S.brute_force_topk(e, q, k=3).select("query_id", "neighbor_id")
-    pr = S.random_projection(e, out_dim=16, dim=_EMB_DIM).withColumnRenamed(
+    pr = S.random_projection(
+        e, out_dim=16, dim=_EMB_DIM, method="fold"  # oracle-exact sums
+    ).withColumnRenamed(
         "proj", "embedding"
     )
     prq = pr.filter(F.col("vec_id") % 100 == 0)

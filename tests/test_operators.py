@@ -731,7 +731,9 @@ def test_random_projection_matches_numpy(spark):
     dim, out_dim = 8, 4
     vec = [float(i + 1) for i in range(dim)]
     d = spark.createDataFrame([(1, vec)], "vec_id bigint, embedding array<double>")
-    row = S.random_projection(d, out_dim=out_dim, dim=dim).collect()[0]
+    row = S.random_projection(
+        d, out_dim=out_dim, dim=dim, method="fold"
+    ).collect()[0]
     planes = np.array(
         [[S.rademacher_sign(p, dd) for dd in range(dim)] for p in range(out_dim)],
         dtype=np.float64,
@@ -994,7 +996,12 @@ def test_sign_lsh_gemm_matches_fold(spark, vectors):
 
 
 def test_random_projection_gemm_matches_fold(spark, vectors):
-    fold = {r["vec_id"]: r["proj"] for r in S.random_projection(vectors, out_dim=4, dim=3).collect()}
+    fold = {
+        r["vec_id"]: r["proj"]
+        for r in S.random_projection(
+            vectors, out_dim=4, dim=3, method="fold"
+        ).collect()
+    }
     gemm = {
         r["vec_id"]: r["proj"]
         for r in S.random_projection(vectors, out_dim=4, dim=3, method="gemm").collect()
