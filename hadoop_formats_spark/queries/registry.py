@@ -454,36 +454,39 @@ PRIORITY_ORDER = [
     "dedup_keeper_by_quality",  # changed since r09: module hadoop_formats_spark/operators/dedup.py
     "dedup_simhash",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
     "dedup_embedding_cosine",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
-    "dedup_embedding_lsh_blocked",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "dedup_embedding_lsh_blocked",  # changed since r11: span hadoop_formats_spark/queries/ext.py:371-389
     "dedup_embedding_lsh_gemm",  # changed since r06: module hadoop_formats_spark/operators/similarity.py
-    "dedup_embedding_lsh_recall",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "dedup_embedding_lsh_recall",  # changed since r10: span hadoop_formats_spark/queries/ext.py:419-457
     "ann_brute_force_topk",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
     "ann_filtered_topk",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "ann_ivf_topk",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "ann_ivf_nprobe2_topk",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "ann_ivf_topk",  # changed since r11: span hadoop_formats_spark/queries/ext.py:517-560
+    "ann_ivf_nprobe2_topk",  # changed since r10: span hadoop_formats_spark/queries/ext.py:563-611
+    "ann_ivf_recall_at_3",  # changed since r12: span hadoop_formats_spark/queries/ext.py:625-694
     "embedding_quantize_int8_error",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
     "kmeans_cluster_profile",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "dedup_semantic_semdedup",  # changed since r05: module hadoop_formats_spark/operators/similarity.py
+    "dedup_semantic_semdedup",  # changed since r05: span hadoop_formats_spark/queries/ext.py:816-861
     "pq_encode_stats",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
+    "search_mmr_rerank",  # changed since r13: module hadoop_formats_spark/operators/similarity.py
+    "search_hybrid_rrf",  # changed since r12: module hadoop_formats_spark/operators/similarity.py
     "dedup_winnow_fingerprint_pairs",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
     "multimodal_metadata",  # changed since r11: module hadoop_formats_spark/operators/multimodal.py
     "multimodal_audio_window_counts",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
     "multimodal_frame_sample",  # changed since r10: module hadoop_formats_spark/operators/multimodal.py
     "multimodal_decode_features",  # changed since r11: module hadoop_formats_spark/operators/multimodal.py
-    "multimodal_pnm_real_decode",  # changed since r13: span hadoop_formats_spark/queries/ext.py:1722-1797
-    "ann_projected_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
+    "multimodal_pnm_real_decode",  # changed since r13: span hadoop_formats_spark/queries/ext.py:1728-1803
+    "ann_projected_recall_at_3",  # changed since r10: span hadoop_formats_spark/queries/ext.py:2029-2117
+    "ann_pq_adc_recall_at_3",  # changed since r13: module hadoop_formats_spark/operators/similarity.py
     "graph_triangle_count",  # changed since r06: module hadoop_formats_spark/operators/graph.py
-    "sample_negatives_contrastive",  # changed since r10: span hadoop_formats_spark/queries/ext.py:3330-3422
+    "ann_ivf_index_persisted",  # changed since r13: span hadoop_formats_spark/queries/ext.py:3440-3504
     "dedup_minhash_band_pr",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
     "ann_matryoshka_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
     "dedup_cross_source_matrix",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
-    "contamination_embedding_cosine",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5045-5132
-    "text_vocab_growth",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5135-5182
+    "ann_ivfpq_adc_recall_at_3",  # changed since r12: span hadoop_formats_spark/queries/ext.py:5297-5379
+    "sample_hard_negatives_band",  # changed since r12: span hadoop_formats_spark/queries/ext.py:5382-5497
     "multimodal_resize_checksum",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
     "stream_stateful_user_stats",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stream_minhash_band_dedup",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stats_ks_two_sample",  # changed since r13: span hadoop_formats_spark/queries/stats.py:1686-1828
-    "abtest_power_analysis",  # changed since r10: span hadoop_formats_spark/queries/stats.py:2133-2200
     "abtest_welch_ttest",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2685-2787
     "abtest_bh_fdr_segments",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2799-2956
     "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
@@ -491,9 +494,6 @@ PRIORITY_ORDER = [
     "stream_tws_running_stats",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
     "stream_foreach_batch_upsert",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
     "seqfile_stream_source_counts",  # changed since r06: module hadoop_formats_spark/streaming/__init__.py
-    "contamination_ngram_overlap",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
-    "dedup_incremental_batch",  # changed since r12: module hadoop_formats_spark/operators/dedup.py
-    "dedup_chunk_boilerplate",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
 ]
 
 
