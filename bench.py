@@ -429,6 +429,8 @@ def main() -> None:
         # round-14 operators
         "multimodal_bmp_real_decode",
         "multimodal_wav_real_decode",
+        "timeseries_downsample_ohlc",
+        "timeseries_interpolate_linear",
     ]
     # local-iteration knob: the ~150-query extras section takes several
     # minutes at sf0.1; skip it when only the headline + format-layer

@@ -4314,6 +4314,213 @@ def timeseries_ewma_anomaly(spark, sf_dir):
 
 
 @register(
+    "timeseries_downsample_ohlc",
+    # open/close need a DETERMINISTIC "first/last by time" even when
+    # two events share a timestamp: the order key is the zero-padded
+    # string (epoch_us, event_id), which both engines compare
+    # identically; values quantize to integer cents so every candle
+    # field is an exact integer.
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, day,
+           CAST(arg_min(cents, okey) AS BIGINT) AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(arg_max(cents, okey) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS vol_c
+    FROM e GROUP BY event_type, day ORDER BY event_type, day
+    """,
+    doc="OHLC candle downsampling (the finance/monitoring resample "
+    "every time-series store ships — open/high/low/close/volume per "
+    "(series, day) bucket): open and close are first/last VALUE by "
+    "event time with a deterministic (epoch_us, event_id) tie-break "
+    "via min_by/max_by — Spark's argmin/argmax aggregates fold "
+    "map-side like any other agg, so the raw stream collapses to "
+    "|series|x|days| candles in ONE partial-agg pass, no window and "
+    "no sort of the raw rows anywhere (the naive row_number()-over-"
+    "(partition ORDER BY ts) formulation shuffles and sorts the whole "
+    "fact table to pick 2 rows per bucket).  All five candle fields "
+    "are exact integers (cents).",
+)
+def timeseries_downsample_ohlc(spark, sf_dir):
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            # cast: unix_micros rejects the parquet TIMESTAMP_NTZ; a
+            # constant tz offset cannot change the ORDERING, which is
+            # all this key is for
+            F.concat(
+                F.lpad(
+                    F.unix_micros(F.col("ts").cast("timestamp")).cast(
+                        "string"
+                    ),
+                    20,
+                    "0",
+                ),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ).alias("okey"),
+        )
+    )
+    return (
+        e.groupBy("event_type", "day")
+        .agg(
+            F.min_by("cents", "okey").cast("long").alias("open_c"),
+            F.max("cents").cast("long").alias("high_c"),
+            F.min("cents").cast("long").alias("low_c"),
+            F.max_by("cents", "okey").cast("long").alias("close_c"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("vol_c"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    # Linear gap-fill between known points (the `interpolate` verb of
+    # Timescale/Influx/pandas, beside the existing resample_ffill LOCF
+    # row): hourly means of a sparse series (purchase events with
+    # value > 150 — gappy at every SF), integer-cent node values, and
+    # interp = prev + (next-prev)*pos/len evaluated on integers with
+    # ONE engine-identical floor-round at 4dp.
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(floor(avg(CAST(round(value * 100) AS BIGINT)) + 0.5)
+                  AS BIGINT) AS val_c
+      FROM events WHERE event_type = 'purchase' AND value > 150
+      GROUP BY h
+    ),
+    grid AS (
+      SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      FROM hourly
+    ),
+    joined AS (
+      SELECT g.h, hh.val_c,
+             CAST(last_value(CASE WHEN hh.val_c IS NOT NULL THEN g.h END
+                             IGNORE NULLS)
+                  OVER (ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS TIMESTAMP) AS ph,
+             last_value(hh.val_c IGNORE NULLS)
+                  OVER (ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS pv,
+             CAST(first_value(CASE WHEN hh.val_c IS NOT NULL THEN g.h END
+                              IGNORE NULLS)
+                  OVER (ORDER BY g.h ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS TIMESTAMP) AS nh,
+             first_value(hh.val_c IGNORE NULLS)
+                  OVER (ORDER BY g.h ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS nv
+      FROM grid g LEFT JOIN hourly hh ON g.h = hh.h
+    )
+    SELECT h, pv AS prev_c, nv AS next_c,
+           CAST(date_diff('hour', ph, h) AS BIGINT) AS gap_pos,
+           CAST(date_diff('hour', ph, nh) AS BIGINT) AS gap_len,
+           floor((pv + CAST((nv - pv) * date_diff('hour', ph, h)
+                            AS DOUBLE) / date_diff('hour', ph, nh))
+                 * 10000 + 0.5) / 10000.0 AS interp_c
+    FROM joined
+    WHERE val_c IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+    ORDER BY h
+    """,
+    doc="Linear interpolation gap-fill over a densified hourly grid "
+    "(the missing-point estimator beside resample_ffill's LOCF): the "
+    "sparse series collapses to |present hours| integer-cent nodes in "
+    "one partial-agg pass, the grid densifies via sequence(min,max), "
+    "prev/next node values+times propagate with ignore-nulls window "
+    "folds, and each gap hour emits prev + (next-prev)*pos/len — "
+    "integer operands, one floor-round at 4dp, engine-identical.  "
+    "Scale shape: only the |grid-hours| table (time-span-bounded, "
+    "~720 rows/month regardless of corpus size — NEVER the raw "
+    "stream) enters the two unpartitioned windows; at multi-year "
+    "spans the same two-phase bucketed prefix sum as the KS row "
+    "applies verbatim.",
+)
+def timeseries_interpolate_linear(spark, sf_dir):
+    from pyspark.sql import Window
+
+    hourly = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.floor(
+                F.avg(F.round(F.col("value") * 100).cast("long")) + 0.5
+            )
+            .cast("long")
+            .alias("val_c")
+        )
+    )
+    grid = hourly.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    j = grid.join(hourly, "h", "left")
+    wb = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    marked = j.select(
+        "h",
+        "val_c",
+        F.last(
+            F.when(F.col("val_c").isNotNull(), F.col("h")), ignorenulls=True
+        ).over(wb).alias("ph"),
+        F.last("val_c", ignorenulls=True).over(wb).alias("pv"),
+        F.first(
+            F.when(F.col("val_c").isNotNull(), F.col("h")), ignorenulls=True
+        ).over(wf).alias("nh"),
+        F.first("val_c", ignorenulls=True).over(wf).alias("nv"),
+    )
+    hrs = lambda a, b: (  # noqa: E731 — whole hours between grid points
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    gap_pos = hrs("ph", F.col("h"))
+    gap_len = hrs("ph", F.col("nh"))
+    return (
+        marked.filter(
+            F.col("val_c").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        )
+        .select(
+            "h",
+            F.col("pv").alias("prev_c"),
+            F.col("nv").alias("next_c"),
+            gap_pos.alias("gap_pos"),
+            gap_len.alias("gap_len"),
+            (
+                F.floor(
+                    (
+                        F.col("pv")
+                        + ((F.col("nv") - F.col("pv")) * gap_pos).cast(
+                            "double"
+                        )
+                        / gap_len
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("interp_c"),
+        )
+        .orderBy("h")
+    )
+
+
+@register(
     "session_entry_exit_flows",
     oracle="""
     WITH marked AS (

@@ -446,6 +446,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = [
     "multimodal_bmp_real_decode",  # never-graded
     "multimodal_wav_real_decode",  # never-graded
+    "timeseries_downsample_ohlc",  # never-graded
+    "timeseries_interpolate_linear",  # never-graded
     "dedup_exact",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
     "dedup_minhash_lsh",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
     "dedup_ngram_jaccard",  # changed since r05: module hadoop_formats_spark/operators/dedup.py
@@ -481,19 +483,17 @@ PRIORITY_ORDER = [
     "dedup_minhash_band_pr",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
     "ann_matryoshka_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
     "dedup_cross_source_matrix",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
-    "ann_ivfpq_adc_recall_at_3",  # changed since r12: span hadoop_formats_spark/queries/ext.py:5297-5379
-    "sample_hard_negatives_band",  # changed since r12: span hadoop_formats_spark/queries/ext.py:5382-5497
+    "embedding_norm_outliers",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5182-5257
+    "contamination_embedding_cosine",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5260-5347
+    "text_vocab_growth",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5350-5397
+    "ann_ivfpq_adc_recall_at_3",  # changed since r12: module hadoop_formats_spark/operators/similarity.py
+    "sample_hard_negatives_band",  # changed since r12: module hadoop_formats_spark/operators/similarity.py
     "multimodal_resize_checksum",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
     "stream_stateful_user_stats",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stream_minhash_band_dedup",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stats_ks_two_sample",  # changed since r13: span hadoop_formats_spark/queries/stats.py:1686-1828
     "abtest_welch_ttest",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2685-2787
     "abtest_bh_fdr_segments",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2799-2956
-    "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
-    "stream_attribution_last_touch",  # changed since r09: module hadoop_formats_spark/streaming/__init__.py
-    "stream_tws_running_stats",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
-    "stream_foreach_batch_upsert",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
-    "seqfile_stream_source_counts",  # changed since r06: module hadoop_formats_spark/streaming/__init__.py
 ]
 
 
