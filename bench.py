@@ -584,6 +584,11 @@ def main() -> None:
         lambda: spark.read.format("hadoop_seq").load(scaled_path).count()
     )
     heal_runs["seqfile_scaled_scan_jvm"] = lambda: jvm_rdd._jrdd.count()
+    # the sorter WARM read-back is re-sampleable (the cached runs are
+    # already built); only the one-shot COLD build stays excluded
+    heal_runs["seqfile_sorter_read"] = lambda: _sorter.builder(
+        spark, sf_dir
+    ).count()
     healed: dict[str, float] = {}
     for _pass in range(2):
         todo = [
@@ -608,6 +613,8 @@ def main() -> None:
                 scaled_s = min(scaled_s, best)
             elif name == "seqfile_scaled_scan_jvm":
                 jvm_s = min(jvm_s, best)
+            elif name == "seqfile_sorter_read":
+                sorter_read_s = min(sorter_read_s, best)
             while name in flagged:
                 flagged.remove(name)
             # the clean sample enters the rolling record; the record
