@@ -4342,12 +4342,14 @@ def timeseries_ewma_anomaly(spark, sf_dir):
     "(series, day) bucket): open and close are first/last VALUE by "
     "event time with a deterministic (epoch_us, event_id) tie-break "
     "via min_by/max_by — Spark's argmin/argmax aggregates fold "
-    "map-side like any other agg, so the raw stream collapses to "
-    "|series|x|days| candles in ONE partial-agg pass, no window and "
-    "no sort of the raw rows anywhere (the naive row_number()-over-"
-    "(partition ORDER BY ts) formulation shuffles and sorts the whole "
-    "fact table to pick 2 rows per bucket).  All five candle fields "
-    "are exact integers (cents).",
+    "map-side like any other agg (Catalyst plans them as a partial "
+    "SortAggregate: each partition sorts by the 2-column GROUP KEY "
+    "and reduces before the shuffle, so only |series|x|days| partial "
+    "candles ever cross the wire), with NO window operator and no "
+    "shuffle of the raw rows (the naive row_number()-over-(partition "
+    "ORDER BY ts) formulation shuffles and sorts the whole fact table "
+    "to pick 2 rows per bucket — pytest pins this plan contract).  "
+    "All five candle fields are exact integers (cents).",
 )
 def timeseries_downsample_ohlc(spark, sf_dir):
     e = (

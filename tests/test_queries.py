@@ -1907,3 +1907,30 @@ def test_range_bucket_pid_sub_unit_domain(spark):
         .collect()
     }
     assert only == {0}
+
+
+def test_ohlc_candles_no_window_partial_agg(spark, sf_dir):
+    # the open/close argmin/argmax must fold as a PARTIAL aggregate
+    # (only |series|x|days| partial candles cross the shuffle) with no
+    # window operator — the naive row_number-over-ts formulation would
+    # shuffle and sort the whole fact table to pick 2 rows per bucket
+    df = _df(spark, sf_dir, "timeseries_downsample_ohlc")
+    plan = plans.post_execution_plan(df)
+    assert "Window" not in plan, "OHLC must not plan a window operator"
+    assert "partial_min_by" in plan or "partial_" in plan, plan
+    rows = df.collect()
+    assert rows and all(
+        r.low_c <= r.open_c <= r.high_c and r.low_c <= r.close_c <= r.high_c
+        for r in rows
+    )
+
+
+def test_interpolate_linear_gap_invariants(spark, sf_dir):
+    # every emitted gap hour sits strictly between its neighbors
+    # (0 < pos < len) and the interpolation is bounded by them
+    rows = _df(spark, sf_dir, "timeseries_interpolate_linear").collect()
+    assert rows  # the filtered series is gappy at every test SF
+    for r in rows:
+        assert 0 < r.gap_pos < r.gap_len, r
+        lo, hi = sorted((r.prev_c, r.next_c))
+        assert lo - 1e-9 <= r.interp_c <= hi + 1e-9, r
