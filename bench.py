@@ -549,8 +549,15 @@ def main() -> None:
     sorter_read_s, bad_read = timed_best(
         lambda: _sorter.builder(spark, sf_dir).count(), n=2
     )
-    if bad_build or bad_read:
-        flagged.append("seqfile_sorter_merge")
+    # flag names match heal_runs keys (ADVICE r14): the warm read-back
+    # flags under "seqfile_sorter_read" so the heal pass can re-sample
+    # and clear it; the one-shot cold build flags under its own name
+    # and is deliberately absent from heal_runs (re-building is a
+    # different measurement, not a re-sample).
+    if bad_build:
+        flagged.append("seqfile_sorter_build")
+    if bad_read:
+        flagged.append("seqfile_sorter_read")
     check_record("seqfile_sorter_build", sorter_build_s, not bad_build)
     check_record("seqfile_sorter_read", sorter_read_s, not bad_read)
     print(
@@ -591,10 +598,17 @@ def main() -> None:
     ).count()
     healed: dict[str, float] = {}
     for _pass in range(2):
+        # "n not in healed" caps each query at ONE clean heal sample
+        # per run (ADVICE r14): a genuinely-regressed query (clean
+        # sample still over the bar) stays record_flagged but must not
+        # be re-measured on pass 2 — a second same-run append would
+        # accelerate the rolling median toward the regressed value and
+        # weaken the detector.  Pass 2 only retries names whose pass-1
+        # sample was itself steal-polluted.
         todo = [
             n
             for n in dict.fromkeys(flagged + record_flagged)
-            if n in heal_runs
+            if n in heal_runs and n not in healed
         ]
         if not todo:
             break

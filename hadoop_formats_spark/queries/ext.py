@@ -1973,7 +1973,8 @@ def multimodal_wav_real_decode(spark, sf_dir):
                 if decoded is None:  # loud: a parser bug must not skip
                     raise ValueError(f"WAV render/decode failed for {i}")
                 mono, rate = decoded
-                assert rate == 8000
+                if rate != 8000:  # explicit: asserts vanish under -O
+                    raise ValueError(f"unexpected WAV rate {rate}")
                 n_win = (len(mono) - window) // hop + 1
                 idx = (
                     np.arange(window)[None, :]
@@ -4313,18 +4314,50 @@ def timeseries_ewma_anomaly(spark, sf_dir):
     )
 
 
+# Micros from 0001-01-01 to the epoch (719162 days * 86400 * 1e6):
+# added to epoch_us so the zero-padded ordering key is NON-NEGATIVE for
+# every timestamp Spark/DuckDB can represent (years 1-9999).  Without
+# it, pre-1970 timestamps break lexicographic==numeric: lpad pads zeros
+# BEFORE the minus sign, so equal-digit negatives compare by magnitude
+# (-123 sorts before -999 — wrong order; VERDICT r14 #1).  Max value
+# (year 9999) is ~3.2e17 — 18 digits, still inside the 20-char pad.
+_OHLC_EPOCH_OFFSET_US = 719162 * 86400 * 1_000_000
+
+
+def _ohlc_order_key(ts, event_id):
+    """Zero-padded (epoch_us+offset, event_id) string — the
+    deterministic min_by/max_by tie-break key both engines compare
+    identically.  The NTZ->timestamp cast is injective ONLY because
+    session.py pins spark.sql.session.timeZone=UTC (a DST zone would
+    collapse distinct NTZ values at spring-forward and could flip
+    open/close tie-breaks vs the oracle's tz-independent epoch_us —
+    ADVICE r14)."""
+    return F.concat(
+        F.lpad(
+            (
+                F.unix_micros(ts.cast("timestamp"))
+                + F.lit(_OHLC_EPOCH_OFFSET_US)
+            ).cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(event_id.cast("string"), 12, "0"),
+    ).alias("okey")
+
+
 @register(
     "timeseries_downsample_ohlc",
     # open/close need a DETERMINISTIC "first/last by time" even when
     # two events share a timestamp: the order key is the zero-padded
-    # string (epoch_us, event_id), which both engines compare
-    # identically; values quantize to integer cents so every candle
-    # field is an exact integer.
+    # string (epoch_us + pre-1970-safe offset, event_id), which both
+    # engines compare identically; values quantize to integer cents so
+    # every candle field is an exact integer.
     oracle="""
     WITH e AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(round(value * 100) AS BIGINT) AS cents,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             lpad(CAST(epoch_us(ts) + 62135596800000000 AS VARCHAR),
+                  20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
       FROM events WHERE value IS NOT NULL
     )
@@ -4359,19 +4392,7 @@ def timeseries_downsample_ohlc(spark, sf_dir):
             "event_type",
             F.date_trunc("day", "ts").cast("date").alias("day"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
-            # cast: unix_micros rejects the parquet TIMESTAMP_NTZ; a
-            # constant tz offset cannot change the ORDERING, which is
-            # all this key is for
-            F.concat(
-                F.lpad(
-                    F.unix_micros(F.col("ts").cast("timestamp")).cast(
-                        "string"
-                    ),
-                    20,
-                    "0",
-                ),
-                F.lpad(F.col("event_id").cast("string"), 12, "0"),
-            ).alias("okey"),
+            _ohlc_order_key(F.col("ts"), F.col("event_id")),
         )
     )
     return (

@@ -442,58 +442,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # first, then post-fix non-green, then changed-code-first via git log
 # -L over each registration span + referenced operator modules, then
 # oldest-green round-robin across families).  This list is that tool's
-# verbatim output at the r14 freeze; regenerate it each round.
+# verbatim output at the r15 freeze; regenerate it each round.
 PRIORITY_ORDER = [
-    "multimodal_bmp_real_decode",  # never-graded
-    "multimodal_wav_real_decode",  # never-graded
-    "timeseries_downsample_ohlc",  # never-graded
-    "timeseries_interpolate_linear",  # never-graded
-    "dedup_exact",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
-    "dedup_minhash_lsh",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
-    "dedup_ngram_jaccard",  # changed since r05: module hadoop_formats_spark/operators/dedup.py
-    "dedup_prefix_filter_join",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
-    "dedup_group_assignment",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
-    "dedup_keeper_by_quality",  # changed since r09: module hadoop_formats_spark/operators/dedup.py
-    "dedup_simhash",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
-    "dedup_embedding_cosine",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
-    "dedup_embedding_lsh_blocked",  # changed since r11: span hadoop_formats_spark/queries/ext.py:371-389
-    "dedup_embedding_lsh_gemm",  # changed since r06: module hadoop_formats_spark/operators/similarity.py
-    "dedup_embedding_lsh_recall",  # changed since r10: span hadoop_formats_spark/queries/ext.py:419-457
-    "ann_brute_force_topk",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
-    "ann_filtered_topk",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "ann_ivf_topk",  # changed since r11: span hadoop_formats_spark/queries/ext.py:517-560
-    "ann_ivf_nprobe2_topk",  # changed since r10: span hadoop_formats_spark/queries/ext.py:563-611
-    "ann_ivf_recall_at_3",  # changed since r12: span hadoop_formats_spark/queries/ext.py:625-694
-    "embedding_quantize_int8_error",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "kmeans_cluster_profile",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "dedup_semantic_semdedup",  # changed since r05: span hadoop_formats_spark/queries/ext.py:816-861
-    "pq_encode_stats",  # changed since r11: module hadoop_formats_spark/operators/similarity.py
-    "search_mmr_rerank",  # changed since r13: module hadoop_formats_spark/operators/similarity.py
-    "search_hybrid_rrf",  # changed since r12: module hadoop_formats_spark/operators/similarity.py
-    "dedup_winnow_fingerprint_pairs",  # changed since r13: module hadoop_formats_spark/operators/dedup.py
-    "multimodal_metadata",  # changed since r11: module hadoop_formats_spark/operators/multimodal.py
-    "multimodal_audio_window_counts",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
-    "multimodal_frame_sample",  # changed since r10: module hadoop_formats_spark/operators/multimodal.py
-    "multimodal_decode_features",  # changed since r11: module hadoop_formats_spark/operators/multimodal.py
-    "multimodal_pnm_real_decode",  # changed since r13: span hadoop_formats_spark/queries/ext.py:1728-1803
-    "ann_projected_recall_at_3",  # changed since r10: span hadoop_formats_spark/queries/ext.py:2029-2117
-    "ann_pq_adc_recall_at_3",  # changed since r13: module hadoop_formats_spark/operators/similarity.py
-    "graph_triangle_count",  # changed since r06: module hadoop_formats_spark/operators/graph.py
-    "ann_ivf_index_persisted",  # changed since r13: span hadoop_formats_spark/queries/ext.py:3440-3504
-    "dedup_minhash_band_pr",  # changed since r06: module hadoop_formats_spark/operators/dedup.py
-    "ann_matryoshka_recall_at_3",  # changed since r10: module hadoop_formats_spark/operators/similarity.py
-    "dedup_cross_source_matrix",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
-    "embedding_norm_outliers",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5182-5257
-    "contamination_embedding_cosine",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5260-5347
-    "text_vocab_growth",  # changed since r10: span hadoop_formats_spark/queries/ext.py:5350-5397
-    "ann_ivfpq_adc_recall_at_3",  # changed since r12: module hadoop_formats_spark/operators/similarity.py
-    "sample_hard_negatives_band",  # changed since r12: module hadoop_formats_spark/operators/similarity.py
-    "multimodal_resize_checksum",  # changed since r12: module hadoop_formats_spark/operators/multimodal.py
-    "stream_stateful_user_stats",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
-    "stream_minhash_band_dedup",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
-    "stats_ks_two_sample",  # changed since r13: span hadoop_formats_spark/queries/stats.py:1686-1828
-    "abtest_welch_ttest",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2685-2787
-    "abtest_bh_fdr_segments",  # changed since r13: span hadoop_formats_spark/queries/stats.py:2799-2956
+    "session_entry_exit_flows",  # changed since r08: span hadoop_formats_spark/queries/ext.py:4525-4616
+    "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
+    "stream_attribution_last_touch",  # changed since r09: module hadoop_formats_spark/streaming/__init__.py
+    "stream_tws_running_stats",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
+    "stream_foreach_batch_upsert",  # changed since r10: module hadoop_formats_spark/streaming/__init__.py
+    "seqfile_stream_source_counts",  # changed since r06: module hadoop_formats_spark/streaming/__init__.py
+    "contamination_ngram_overlap",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
+    "dedup_incremental_batch",  # changed since r12: module hadoop_formats_spark/operators/dedup.py
+    "dedup_chunk_boilerplate",  # changed since r10: module hadoop_formats_spark/operators/dedup.py
+    "dedup_substring_spans",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "dedup_containment_excerpts",  # changed since r08: module hadoop_formats_spark/operators/dedup.py
+    "seqfile_record_layout_roundtrip",  # oldest-green r04 [seqfile]
+    "stream_tumbling_hourly_counts",  # oldest-green r05 [stream]
+    "join_asof_purchase_last_click",  # oldest-green r06 [join]
+    "text_bigram_lm_score",  # oldest-green r06 [text]
+    "q18_large_volume_customer",  # oldest-green r06 [tpch]
+    "abtest_cuped_adjusted",  # oldest-green r08 [abtest]
+    "intervals_merge_coverage",  # oldest-green r08 [intervals]
+    "link_fuzzy_customer_names",  # oldest-green r08 [link]
+    "map_constructor_lookup",  # oldest-green r08 [map]
+    "null_handling_fill_nullsafe",  # oldest-green r08 [null]
+    "projection_compute",  # oldest-green r08 [projection]
+    "rollup_region_nation",  # oldest-green r08 [rollup]
+    "scd2_point_in_time_join",  # oldest-green r08 [scd2]
+    "set_union_distinct",  # oldest-green r08 [set]
+    "sketch_kmv_jaccard_intersect",  # oldest-green r08 [sketch]
+    "sort_multikey_nulls",  # oldest-green r08 [sort]
+    "stats_decayed_engagement",  # oldest-green r08 [stats]
+    "struct_map_collect",  # oldest-green r08 [struct]
+    "subquery_scalar_near_max",  # oldest-green r08 [subquery]
+    "timeseries_ewma_anomaly",  # oldest-green r08 [timeseries]
+    "udf_pandas_scalar_charge",  # oldest-green r08 [udf]
+    "unpivot_price_measures",  # oldest-green r08 [unpivot]
+    "window_lag_lead_order_gaps",  # oldest-green r08 [window]
+    "agg_exact_percentiles",  # oldest-green r09 [agg]
+    "attribution_last_touch",  # oldest-green r09 [attribution]
+    "embedding_covariance_pca",  # oldest-green r09 [embedding]
+    "feature_target_encoding_oof",  # oldest-green r09 [feature]
+    "funnel_conversion",  # oldest-green r09 [funnel]
+    "graph_bfs_distances",  # oldest-green r09 [graph]
+    "json_from_json_struct",  # oldest-green r09 [json]
+    "layout_zorder_clustering",  # oldest-green r09 [layout]
+    "math_conditional",  # oldest-green r09 [math]
+    "orc_write_roundtrip",  # oldest-green r09 [orc]
+    "pack_sequences_stats",  # oldest-green r09 [pack]
+    "parquet_schema_evolution",  # oldest-green r09 [parquet]
+    "privacy_l_diversity",  # oldest-green r09 [privacy]
+    "sample_domain_quota",  # oldest-green r09 [sample]
+    "array_higher_order_funcs",  # oldest-green r10 [array]
+    "bpe_apply_compression",  # oldest-green r10 [bpe]
 ]
 
 

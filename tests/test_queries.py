@@ -1917,12 +1917,67 @@ def test_ohlc_candles_no_window_partial_agg(spark, sf_dir):
     df = _df(spark, sf_dir, "timeseries_downsample_ohlc")
     plan = plans.post_execution_plan(df)
     assert "Window" not in plan, "OHLC must not plan a window operator"
-    assert "partial_min_by" in plan or "partial_" in plan, plan
+    # assert the SPECIFIC functions (ADVICE r14: a bare "partial_"
+    # disjunct is satisfied by any partial agg, e.g. partial_count,
+    # so it could not catch Spark ceasing to plan min_by partially)
+    assert "min_by" in plan and "max_by" in plan, plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
     rows = df.collect()
     assert rows and all(
         r.low_c <= r.open_c <= r.high_c and r.low_c <= r.close_c <= r.high_c
         for r in rows
     )
+
+
+def test_ohlc_order_key_pre_1970(spark):
+    # VERDICT r14 #1: lpad on a NEGATIVE epoch_us pads zeros before the
+    # minus sign, so equal-digit negatives compared by magnitude and
+    # pre-1970 open/close could come back in reverse time order.  The
+    # key now adds a year-1..9999-safe offset; prove open/close follow
+    # true time order across the epoch boundary and that ties on ts
+    # break by event_id.
+    from pyspark.sql import functions as F
+
+    from hadoop_formats_spark.queries.ext import _ohlc_order_key
+
+    rows = [
+        # (event_id, ts, cents) — one bucket, deliberately out of
+        # numeric-string order when negative: -999... < -123... in time
+        (1, "1965-01-01 00:00:00", 10),  # true open
+        (2, "1968-06-01 00:00:00", 20),
+        (3, "1969-12-31 23:59:59", 30),
+        (4, "1971-01-01 00:00:00", 40),  # true close (post-epoch)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, cents long"
+    ).select(
+        F.lit("s").alias("k"),
+        "cents",
+        _ohlc_order_key(
+            F.col("ts").cast("timestamp"), F.col("event_id")
+        ),
+    )
+    got = df.groupBy("k").agg(
+        F.min_by("cents", "okey").alias("open_c"),
+        F.max_by("cents", "okey").alias("close_c"),
+    ).collect()[0]
+    assert (got.open_c, got.close_c) == (10, 40), got
+    # tie on ts (pre-1970) breaks by event_id, both directions
+    ties = spark.createDataFrame(
+        [(7, "1960-05-05 05:00:00", 70), (8, "1960-05-05 05:00:00", 80)],
+        "event_id long, ts string, cents long",
+    ).select(
+        F.lit("s").alias("k"),
+        "cents",
+        _ohlc_order_key(
+            F.col("ts").cast("timestamp"), F.col("event_id")
+        ),
+    )
+    t = ties.groupBy("k").agg(
+        F.min_by("cents", "okey").alias("open_c"),
+        F.max_by("cents", "okey").alias("close_c"),
+    ).collect()[0]
+    assert (t.open_c, t.close_c) == (70, 80), t
 
 
 def test_interpolate_linear_gap_invariants(spark, sf_dir):
