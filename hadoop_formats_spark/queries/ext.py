@@ -2003,6 +2003,99 @@ def multimodal_wav_real_decode(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_png_real_decode",
+    # Fourth real container — PNG, the most common image format on
+    # disk (VERDICT r14 #4): each document renders as a deterministic
+    # 4x4 8-bit RGB PNG — pixel j (row-major) has R=(id*7+j)%256,
+    # G=(id*13+j)%256, B=(id*17+j)%256 — with the per-row scanline
+    # FILTER cycling (id+y)%5, so across the corpus every one of the
+    # five PNG filter types (None/Sub/Up/Average/Paeth) is hit on
+    # every row index.  Spark must walk the chunk stream, zlib-inflate
+    # the IDAT, de-filter each scanline, and take the BT.601 luma
+    # (operators/multimodal.py decode_png) to recover the exact mean
+    # the oracle derives arithmetically.  mean=(sum/16)/255 has a
+    # power-of-two divisor (exact double before the round) and
+    # micro=sum*12500/51 can never land on an exact half-micro
+    # (50000*sum = 51*odd is unsatisfiable), so banker's vs half-away
+    # rounding can never diverge — same discipline as the BMP row.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (299 * ((d.doc_id * 7 + CAST(i AS BIGINT)) % 256)
+              + 587 * ((d.doc_id * 13 + CAST(i AS BIGINT)) % 256)
+              + 114 * ((d.doc_id * 17 + CAST(i AS BIGINT)) % 256))
+             // 1000 AS luma
+      FROM documents d, UNNEST(generate_series(0, 15)) AS t(i)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(round(round((CAST(sum(luma) AS DOUBLE) / 16.0) / 255.0, 6)
+                        * 1000000.0) AS BIGINT) AS micro
+      FROM px GROUP BY doc_id
+    )
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 16 AS BIGINT) AS pixels,
+           CAST(sum(micro) AS BIGINT) AS micro_sum
+    FROM feat GROUP BY bucket ORDER BY bucket
+    """,
+    doc="REAL PNG decode end-to-end without an image library "
+    "(VERDICT r14 #4 — the most common container, completing the "
+    "zero-dependency image family beside PNM and BMP): every "
+    "document renders as a 4x4 8-bit RGB PNG whose per-row scanline "
+    "filter cycles (doc_id+row)%5 across None/Sub/Up/Average/Paeth, "
+    "and decode_features(decode='real') must walk the IHDR/IDAT/IEND "
+    "chunk stream, zlib-inflate, DE-FILTER every scanline, and apply "
+    "the BT.601 luma (operators/multimodal.py decode_png, numpy + "
+    "stdlib zlib) to recover the exact pixel mean the oracle derives "
+    "arithmetically — an inflate, filter-recurrence, or channel-order "
+    "bug shifts every mean and fails the hash.  Same fused "
+    "generate+decode mapInPandas shape as the PNM/BMP rows: no "
+    "shuffle until the |buckets| groupBy.",
+)
+def multimodal_png_real_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        j = np.arange(16, dtype=np.int64)  # row-major from the top
+
+        def render(i: int) -> bytes:
+            rgb = np.stack(
+                [(i * 7 + j) % 256, (i * 13 + j) % 256, (i * 17 + j) % 256],
+                axis=1,
+            ).astype(np.uint8).reshape(4, 4, 3)
+            filters = [(i + y) % 5 for y in range(4)]
+            return bytes(M.MAGIC_TAG) + M.encode_png(rgb, filters=filters)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": [render(int(i)) for i in ids]}
+            )
+
+    packed = d.mapInPandas(build, "doc_id bigint, media binary")
+    feats = M.decode_features(packed, decode="real")
+    quant = feats.select(
+        (F.col("doc_id") % 4).cast("long").alias("bucket"),
+        F.round(F.col("feat_mean") * 1e6).cast("long").alias("micro"),
+        "feat_dim",
+    )
+    return (
+        quant.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("feat_dim").cast("long").alias("pixels"),
+            F.sum("micro").cast("long").alias("micro_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _proj_sql(e: str = "e", out_dim: int = 16) -> str:
     """SQL list literal reproducing random_projection bit-for-bit:
     component p = round((±e[1] ± e[2] …) * 0.25, 6) — 0.25 = 1/sqrt(16)

