@@ -95,7 +95,15 @@ def lang_id_scored(docs, keep_cols=("doc_id",), text_col: str = "text"):
 
 def quality_score(text: Column | str) -> Column:
     """0.4·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.3·alpha_ratio,
-    rounded to 4 decimals (heuristic doc-quality signal)."""
+    quantized to 4 decimals (heuristic doc-quality signal).
+
+    Quantization is the engine-stable ``floor(x·1e4 + 0.5) / 1e4``
+    form, NOT ``round(x, 4)``: Spark's round is exact-decimal while
+    DuckDB's is scaled-float, and on a score whose double repr sits a
+    hair below the .00005 boundary the two disagree by one final digit
+    (first seen at the sf1 decade sweep, round 15 — 4 of 50 k docs).
+    The floor form runs the identical double multiply-add-floor in
+    both engines, so identical inputs can never quantize apart."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(c)
     n_tokens = F.size(toks)
@@ -107,7 +115,8 @@ def quality_score(text: Column | str) -> Column:
         F.length(c), F.lit(1)
     )
     len_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-    return F.round(0.4 * len_score + 0.3 * stop_ratio + 0.3 * alpha_ratio, 4)
+    raw = 0.4 * len_score + 0.3 * stop_ratio + 0.3 * alpha_ratio
+    return F.floor(raw * 10000 + F.lit(0.5)) / 10000.0
 
 
 def fingerprint(text: Column | str) -> Column:

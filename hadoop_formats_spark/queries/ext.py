@@ -1010,12 +1010,15 @@ _ALL_STOP_SQL = ", ".join(
 
 # the quality_score expression in SQL, shared by every oracle that
 # consumes the score (text_quality_score, sample_weighted_quality)
-QUALITY_SQL = f"""round(0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
+# floor(x*1e4 + 0.5)/1e4, not round(x, 4): the engine-stable quantize
+# (see functions/text.py quality_score — round-15 sf1 sweep finding)
+QUALITY_SQL = f"""(floor((0.4 * least(1.0, len(string_split(lower(text), ' ')) / 100.0)
                + 0.3 * (len(list_filter(string_split(lower(text), ' '),
                               t -> list_contains([{_ALL_STOP_SQL}], t)))
                         * 1.0 / greatest(len(string_split(lower(text), ' ')), 1))
                + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                        * 1.0 / greatest(length(text), 1)), 4)"""
+                        * 1.0 / greatest(length(text), 1))) * 10000 + 0.5)
+               / 10000.0)"""
 
 
 @register(
@@ -1490,9 +1493,7 @@ def text_fingerprint_dups(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_winnow_fingerprint_pairs",
-    oracle="""
+_WINNOW_PAIRS_SQL = """
     WITH norm AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
@@ -1543,7 +1544,12 @@ def text_fingerprint_dups(spark, sf_dir):
     )
     SELECT doc_a, doc_b, n_shared
     FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 10
-    """,
+    """
+
+
+@register(
+    "dedup_winnow_fingerprint_pairs",
+    oracle=_WINNOW_PAIRS_SQL,
     doc="Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken "
     "SIGMOD'03 — MOSS): per-doc window-min selection over 3-gram "
     "hashes (w=4) guarantees any shared token run of length >= "
@@ -1562,6 +1568,10 @@ def text_fingerprint_dups(spark, sf_dir):
 def dedup_winnow_fingerprint_pairs(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     fp = D.winnow_fingerprints(d, k=3, w=4)
+    return _winnow_pair_tail(fp)
+
+
+def _winnow_pair_tail(fp):
     hot = fp.groupBy("h").count().filter(F.col("count") > 50).select("h")
     cold = fp.join(F.broadcast(hot), "h", "left_anti")
     a = cold.select(F.col("h"), F.col("doc_id").alias("doc_a"))
@@ -1574,6 +1584,36 @@ def dedup_winnow_fingerprint_pairs(spark, sf_dir):
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(10)
     )
+
+
+@register(
+    "dedup_winnow_chunked_pairs",
+    # SAME oracle as dedup_winnow_fingerprint_pairs ON PURPOSE: the
+    # chunked operator is provably EQUAL to the unchunked one (every
+    # w-gram window lies intact in some chunk at overlap w+k-1, chunk
+    # gram sequences are contiguous subsequences, and the positional
+    # tie-break is order-preserved under the constant chunk offset —
+    # pytest pins set equality), so the unchunked SQL grades the
+    # chunked engine path: any boundary-handling bug in the chunk
+    # composition breaks the hash.  chunk_tokens_n=64 forces MULTIPLE
+    # chunks per testdata document, so the multi-chunk union path is
+    # what actually executes.
+    oracle=_WINNOW_PAIRS_SQL,
+    doc="Winnowing via the chunked escape hatch (VERDICT r14 #7): "
+    "winnow_fingerprints_chunked splits each document into 64-token "
+    "chunks overlapping by w+k-1=6 tokens, winnows each chunk with "
+    "chunk-relative positions (the 2^20 encoded-key ceiling can "
+    "never overflow), and unions the selections — provably equal to "
+    "the unchunked operator, graded against the UNCHUNKED oracle so "
+    "the equality itself is driver-checked.  Scale shape: chunking "
+    "is map-only; the winnow window partitions by (doc, chunk), so "
+    "one pathological 10M-token document parallelizes across tasks "
+    "instead of serializing one.",
+)
+def dedup_winnow_chunked_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = D.winnow_fingerprints_chunked(d, k=3, w=4, chunk_tokens_n=64)
+    return _winnow_pair_tail(fp)
 
 
 # --------------------------------------------------------------------------

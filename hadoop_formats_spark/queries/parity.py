@@ -37,42 +37,78 @@ from .registry import register, table
 
 @register(
     "q1_pricing_summary",
+    # EXACT money folds (round-15, caught by the first strict sf1
+    # sweep): raw double sums of price expressions agreed ulp-for-ulp
+    # with DuckDB up to sf0.1 but diverged at 6.1 M rows, where the
+    # two engines' fold orders differ.  TPC-H money columns are
+    # 2-decimal (price) and 2-decimal fractions (discount/tax), so
+    # every sum is an EXACT integer in cents / 1e-4 / 1e-6 units:
+    # fold bigints, convert once at the end — both engines then divide
+    # the same integer by the same constant and emit the identical
+    # double.  No per-line rounding loss (unlike a round-to-cents of
+    # the product): price_c*(100-disc_h) IS the exact product in 1e-4
+    # units.  Averages divide two exact integers, so they are
+    # bit-identical too.
     oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, l_discount,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT)      AS disc_h,
+             CAST(round(l_tax * 100) AS BIGINT)           AS tax_h
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
-           count(*)                                              AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           sum(l_quantity)                                AS sum_qty,
+           CAST(sum(price_c) AS DOUBLE) / 100.0           AS sum_base_price,
+           CAST(sum(price_c * (100 - disc_h)) AS DOUBLE) / 10000.0
+                                                          AS sum_disc_price,
+           CAST(sum(price_c * (100 - disc_h) * (100 + tax_h)) AS DOUBLE)
+             / 1000000.0                                  AS sum_charge,
+           avg(l_quantity)                                AS avg_qty,
+           CAST(sum(price_c) AS DOUBLE) / (count(*) * 100.0)
+                                                          AS avg_price,
+           CAST(sum(disc_h) AS DOUBLE) / (count(*) * 100.0)
+                                                          AS avg_disc,
+           count(*)                                       AS count_order
+    FROM q
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 pricing summary (flagship; multi-agg group-by).",
+    doc="TPC-H Q1 pricing summary (flagship; multi-agg group-by). "
+    "Money folds are exact bigint units (cents / 1e-4 / 1e-6) "
+    "converted to double once after the aggregate — fold-order "
+    "independent at any scale, verified strict at the sf1 decade.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    tax_h = F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (
+                F.sum(price_c * (F.lit(100) - disc_h)).cast("double")
+                / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    price_c * (F.lit(100) - disc_h) * (F.lit(100) + tax_h)
+                ).cast("double")
+                / 1000000.0
             ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (
+                F.sum(price_c).cast("double")
+                / (F.count(F.lit(1)) * F.lit(100.0))
+            ).alias("avg_price"),
+            (
+                F.sum(disc_h).cast("double")
+                / (F.count(F.lit(1)) * F.lit(100.0))
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -401,9 +437,13 @@ def join_inner_revenue_by_nation(spark, sf_dir):
 
 @register(
     "join_5way_region_rollup_revenue",
+    # exact 1e-4-unit bigint revenue fold (q1 discipline, round-15
+    # strict sf1 sweep): the raw double fold diverged at 6.1 M rows
     oracle="""
     SELECT r_name, n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -421,6 +461,9 @@ def join_5way_region_rollup_revenue(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
+    rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -428,9 +471,7 @@ def join_5way_region_rollup_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            (F.sum(rev_u).cast("double") / 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -1399,24 +1440,38 @@ def unpivot_price_measures(spark, sf_dir):
 
 @register(
     "sort_topk_revenue_parts",
+    # exact 1e-4-unit bigint revenue fold AND exact-integer ORDERING
+    # (q1 discipline, round-15 strict sf1 sweep): ordering on the
+    # folded double can flip near-ties between engines at scale — the
+    # top-k row SET itself would change, not just a printed digit
     oracle="""
-    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
-    FROM lineitem GROUP BY l_partkey
-    ORDER BY revenue DESC, l_partkey LIMIT 10
+    SELECT l_partkey,
+           CAST(revenue_u AS DOUBLE) / 10000.0 AS revenue
+    FROM (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS revenue_u
+      FROM lineitem GROUP BY l_partkey
+    )
+    ORDER BY revenue_u DESC, l_partkey LIMIT 10
     """,
     doc="ORDER BY … LIMIT k → TakeOrderedAndProject (no full sort).",
 )
 def sort_topk_revenue_parts(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
+    rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .agg(F.sum(rev_u).alias("revenue_u"))
+        .orderBy(F.desc("revenue_u"), F.asc("l_partkey"))
         .limit(10)
+        .select(
+            "l_partkey",
+            (F.col("revenue_u").cast("double") / 10000.0).alias("revenue"),
+        )
     )
 
 

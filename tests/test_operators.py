@@ -1049,6 +1049,80 @@ def test_winnow_pos_overflow_guard(spark):
         D.winnow_fingerprints(big, k=2, w=4).count()
 
 
+def test_winnow_chunked_equals_unchunked(spark):
+    # the chunked escape hatch is EXACT, not approximate: with overlap
+    # w+k-1 every w-gram window lies intact in some chunk, so the
+    # per-chunk selections union to the unchunked selection set
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    docs = spark.createDataFrame(
+        [
+            (
+                int(i),
+                " ".join(
+                    f"t{v}" for v in rng.randint(0, 30, size=200)
+                ),
+            )
+            for i in range(6)
+        ],
+        "doc_id bigint, text string",
+    )
+    base = {
+        (r.doc_id, r.h)
+        for r in D.winnow_fingerprints(docs, k=3, w=4).collect()
+    }
+    for chunk_n in (16, 37, 64, 199, 1 << 20):
+        got = {
+            (r.doc_id, r.h)
+            for r in D.winnow_fingerprints_chunked(
+                docs, k=3, w=4, chunk_tokens_n=chunk_n
+            ).collect()
+        }
+        assert got == base, chunk_n
+    with pytest.raises(ValueError, match="ceiling"):
+        D.winnow_fingerprints_chunked(docs, chunk_tokens_n=(1 << 20) + 1)
+    with pytest.raises(ValueError, match="overlap"):
+        D.winnow_fingerprints_chunked(docs, k=3, w=4, chunk_tokens_n=6)
+
+
+def test_winnow_chunked_handles_over_2_20_gram_doc(spark):
+    # the doc the unchunked operator LOUDLY rejects (>2^20 grams)
+    # winnows chunk-by-chunk and matches a driver-side reference
+    # implementation of SIGMOD'03 winnowing on the full document
+    import hashlib
+
+    k, w = 2, 4
+    n_tok = (1 << 20) + 5_000
+    toks = [f"w{i % 997}x{i % 31}" for i in range(n_tok)]
+    text = " ".join(toks)
+    big = spark.createDataFrame(
+        [(9, text)], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^20"):
+        D.winnow_fingerprints(big, k=k, w=w).count()
+    got = {
+        r.h
+        for r in D.winnow_fingerprints_chunked(
+            big, k=k, w=w, chunk_tokens_n=1 << 19
+        ).collect()
+    }
+    # reference: hash every k-gram, min-by (h, pos) per w-window
+    hs = [
+        int(
+            hashlib.md5(
+                " ".join(toks[i : i + k]).encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        for i in range(n_tok - k + 1)
+    ]
+    want = set()
+    for s in range(len(hs) - w + 1):
+        want.add(min(hs[s : s + w]))
+    assert got == want
+
+
 def test_decode_features_real_non_pnm_fails_loud_without_pil(spark, docs):
     packed = M.pack_binary(docs, "doc_id", "text")
     try:

@@ -217,7 +217,23 @@ def main() -> None:
     ts = src_e["ts"].combine_chunks().to_numpy()
     lo_us = ts.min().astype("datetime64[us]").astype(np.int64)
     hi_us = ts.max().astype("datetime64[us]").astype(np.int64)
-    ev_ts = np.sort(rng.integers(lo_us, hi_us, n_ev))
+    # DEAD HOURS (VERDICT r14 #2): uniform 10x density fills every
+    # hour of the 30-day window, which degenerates the sparse-series
+    # gap paths — timeseries_interpolate_linear returned ZERO gap rows
+    # at sf1, so the gap arithmetic was only ever GRADED at small SF.
+    # Carve a deterministic diurnal pattern (every 11th hour empty,
+    # ~9% of the grid) so hourly-gap queries have real gaps to grade
+    # one decade up; all other events consumers see an ordinary
+    # non-uniform arrival density.
+    hour_us = 3_600_000_000
+    total_hours = int((hi_us - lo_us) // hour_us) + 1
+    allowed = np.array(
+        [h for h in range(total_hours) if h % 11 != 7], dtype=np.int64
+    )
+    ev_hr = allowed[rng.integers(0, len(allowed), n_ev)]
+    ev_ts = np.sort(
+        lo_us + ev_hr * hour_us + rng.integers(0, hour_us, n_ev)
+    )
     n_users = int(
         pa.compute.count_distinct(src_e["user_id"]).as_py() * k
     )
