@@ -445,6 +445,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # verbatim output at the r15 freeze; regenerate it each round.
 PRIORITY_ORDER = [
     "multimodal_png_real_decode",  # never-graded (new in r15)
+    "dedup_winnow_chunked_pairs",  # never-graded (new in r15)
+    "stream_ohlc_candles",  # never-graded (new in r15)
     "session_entry_exit_flows",  # changed since r08: span hadoop_formats_spark/queries/ext.py:4525-4616
     "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stream_attribution_last_touch",  # changed since r09: module hadoop_formats_spark/streaming/__init__.py

@@ -1150,3 +1150,76 @@ def stream_dq_quarantine_split(spark, sf_dir):
         )
         .orderBy("side")
     )
+
+
+@register(
+    "stream_ohlc_candles",
+    # the LIVE twin of the batch timeseries_downsample_ohlc row
+    # (hourly, not daily, so the two rows grade different bucketing):
+    # min_by/max_by are ordinary declarative aggregates, so the same
+    # candle query runs under a streaming watermark with PARTIAL
+    # per-microbatch folds merged in the state store — the state is
+    # |series|x|open hours| candles, never raw rows.  The ordering key
+    # is the shared sign-safe (epoch_us + offset, event_id) string
+    # from queries/ext.py (pre-1970-proof, pytest-pinned).
+    oracle="""
+    WITH e AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lpad(CAST(epoch_us(ts) + 62135596800000000 AS VARCHAR),
+                  20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, h AS hour_start,
+           CAST(arg_min(cents, okey) AS BIGINT) AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(arg_max(cents, okey) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS vol_c
+    FROM e GROUP BY event_type, h ORDER BY event_type, hour_start
+    """,
+    doc="STREAMING OHLC candles: hourly open/high/low/close/volume per "
+    "event_type computed inside a watermarked tumbling-window "
+    "aggregation — min_by/max_by fold partially per microbatch and "
+    "merge in the state store exactly like sum/count, so the live "
+    "candle pipeline every monitoring/finance stack runs needs no "
+    "custom stateful operator and holds |series|x|hours| state, not "
+    "rows.  Open/close tie-break by the sign-safe (epoch_us, "
+    "event_id) key shared with the batch row; all candle fields "
+    "exact integer cents.",
+)
+def stream_ohlc_candles(spark, sf_dir):
+    from .ext import _ohlc_order_key
+
+    s = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = s.select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        _ohlc_order_key(F.col("ts"), F.col("event_id")),
+    )
+    agg = (
+        e.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("cents", "okey").cast("long").alias("open_c"),
+            F.max("cents").cast("long").alias("high_c"),
+            F.min("cents").cast("long").alias("low_c"),
+            F.max_by("cents", "okey").cast("long").alias("close_c"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("vol_c"),
+        )
+    )
+    out = _run_to_memory(agg, spark, state_partitions=2)
+    return out.select(
+        "event_type",
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        "n",
+        "vol_c",
+    ).orderBy("event_type", "hour_start")
