@@ -1321,12 +1321,15 @@ def window_running_and_frame(spark, sf_dir):
 
 @register(
     "window_range_frame_spend",
+    # exact bigint-cents frame sum (round-15 sf1 sweep): Spark's
+    # sliding-frame double accumulator adds/removes while DuckDB
+    # recomputes — drift diverges at the sf1 decade; integers cannot
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
-           ) AS spend_30d
+           ) AS DOUBLE) / 100.0 AS spend_30d
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
@@ -1341,10 +1344,11 @@ def window_range_frame_spend(spark, sf_dir):
         .orderBy(F.unix_timestamp("o_orderdate"))
         .rangeBetween(-2592000, 0)
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice").over(w).alias("spend_30d"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("spend_30d"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -1820,29 +1824,42 @@ def udf_python_bucket(spark, sf_dir):
 
 @register(
     "udf_pandas_scalar_charge",
+    # the UDF emits the EXACT charge in 1e-6 units as int64 (pandas
+    # .round() per element is exact on 2-decimal inputs), so the fold
+    # is integer and the round-15 sf1 fold-order hazard cannot bite;
+    # the Arrow-vectorized UDF surface — the point of the row — stays
     oracle="""
-    SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS DOUBLE) / 1000000.0 AS charge
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc="Vectorized (Arrow) pandas scalar UDF.",
+    doc="Vectorized (Arrow) pandas scalar UDF: computes the exact "
+    "per-line charge in integer 1e-6 units inside the UDF, folded "
+    "as bigint.",
 )
 def udf_pandas_scalar_charge(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def charge(
+    @pandas_udf("long")
+    def charge_u(
         price: pd.Series, discount: pd.Series, tax: pd.Series
     ) -> pd.Series:
-        return price * (1 - discount) * (1 + tax)
+        price_c = (price * 100).round().astype("int64")
+        disc_h = (discount * 100).round().astype("int64")
+        tax_h = (tax * 100).round().astype("int64")
+        return price_c * (100 - disc_h) * (100 + tax_h)
 
     li = table(spark, sf_dir, "lineitem")
     return (
         li.select(
             "l_returnflag",
-            charge("l_extendedprice", "l_discount", "l_tax").alias("c"),
+            charge_u("l_extendedprice", "l_discount", "l_tax").alias("cu"),
         )
         .groupBy("l_returnflag")
-        .agg(F.sum("c").alias("charge"))
+        .agg((F.sum("cu").cast("double") / 1000000.0).alias("charge"))
         .orderBy("l_returnflag")
     )
 

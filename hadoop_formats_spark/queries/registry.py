@@ -447,6 +447,21 @@ PRIORITY_ORDER = [
     "multimodal_png_real_decode",  # never-graded (new in r15)
     "dedup_winnow_chunked_pairs",  # never-graded (new in r15)
     "stream_ohlc_candles",  # never-graded (new in r15)
+    # r15 changed-VALUE rows (sf1-sweep hazard fixes — exact bigint
+    # money folds / floor-form quality quantize): previous greens were
+    # against the old values, so they lead the re-grade rotation
+    "q1_pricing_summary",  # r15: exact bigint-unit money folds
+    "join_5way_region_rollup_revenue",  # r15: exact revenue fold
+    "sort_topk_revenue_parts",  # r15: exact fold + integer ordering
+    "udf_pandas_scalar_charge",  # r15: UDF emits exact 1e-6 units
+    "window_range_frame_spend",  # r15: exact cents frame sum
+    "seqfile_roundtrip_double_sum",  # r15: exact cents total
+    "parquet_partitioned_pruned_read",  # r15: exact cents total
+    "text_quality_score",  # r15: floor-form quality quantize
+    "pareto_frontier_quality_length",  # r15: floor-form quality
+    "sample_weighted_quality",  # r15: floor-form quality
+    "timeseries_downsample_ohlc",  # r15: sign-safe okey (same values)
+    "dedup_winnow_fingerprint_pairs",  # r15: shared pair-tail refactor
     "session_entry_exit_flows",  # changed since r08: span hadoop_formats_spark/queries/ext.py:4525-4616
     "stream_ttl_band_registry",  # changed since r11: module hadoop_formats_spark/streaming/__init__.py
     "stream_attribution_last_touch",  # changed since r09: module hadoop_formats_spark/streaming/__init__.py

@@ -102,8 +102,13 @@ def seqfile_roundtrip_returnflag_counts(spark, sf_dir):
 
 @register(
     "seqfile_roundtrip_double_sum",
+    # exact bigint-cents total (round-15 sf1 sweep: raw double folds
+    # diverge between engines at the decade step)
     oracle="""
-    SELECT count(*) AS n, sum(o_totalprice) AS total, min(o_orderkey) AS lo,
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total,
+           min(o_orderkey) AS lo,
            max(o_orderkey) AS hi
     FROM orders
     """,
@@ -122,7 +127,10 @@ def seqfile_roundtrip_double_sum(spark, sf_dir):
     df = spark.read.format("hadoop_seq").load(path)
     return df.agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("total"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("total"),
         F.min("key").alias("lo"),
         F.max("key").alias("hi"),
     )
@@ -304,7 +312,9 @@ def parquet_write_roundtrip(spark, sf_dir):
 @register(
     "parquet_partitioned_pruned_read",
     oracle="""
-    SELECT l_linestatus, count(*) AS n, sum(l_extendedprice) AS total
+    SELECT l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total
     FROM lineitem WHERE l_returnflag = 'R'
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
@@ -337,7 +347,15 @@ def parquet_partitioned_pruned_read(spark, sf_dir):
         spark.read.parquet(final)
         .filter(F.col("l_returnflag") == "R")
         .groupBy("l_linestatus")
-        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("total"),
+        )
         .orderBy("l_linestatus")
     )
 
