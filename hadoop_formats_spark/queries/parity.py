@@ -387,8 +387,13 @@ def agg_collect_sorted(spark, sf_dir):
 
 @register(
     "agg_having",
+    # exact cents avg (round-15 discipline): avg over a double money
+    # column folds partially in Spark but sequentially in DuckDB —
+    # integer cents over exact counts divide identically everywhere
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, avg(o_totalprice) AS avg_price
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100.0) AS avg_price
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 12
@@ -400,7 +405,15 @@ def agg_having(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), F.avg("o_totalprice").alias("avg_price"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.lit(100.0))
+            ).alias("avg_price"),
+        )
         .filter(F.col("n_orders") >= 12)
         .orderBy(F.desc("n_orders"), "o_custkey")
     )
