@@ -358,6 +358,183 @@ def encode_png(gray_or_rgb, *, filters=None) -> bytes:
     )
 
 
+def decode_tiff(payload: bytes):
+    """Pure-numpy decoder for baseline UNCOMPRESSED TIFF (8-bit
+    grayscale BlackIsZero or RGB, strip-organized, either byte order)
+    — the fifth zero-dependency real container beside PNM / BMP / PNG
+    / WAV, and the first with a real metadata-directory walk: parse
+    the II/MM header, walk the first IFD's 12-byte entries (SHORT and
+    LONG value types, inline-vs-offset values per the spec's 4-byte
+    rule), honor RowsPerStrip by concatenating StripOffsets/
+    StripByteCounts strips, and reduce via the same ITU-R BT.601
+    integer luma.  Returns a float64 grayscale matrix, or ``None``
+    for out-of-scope TIFFs (compressed, paletted, tiled, planar,
+    16-bit, multi-sample beyond RGB) which fall to the PIL gate."""
+    import numpy as np
+    import struct
+
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        return None
+
+    def read_values(etype: int, count: int, raw: bytes) -> list[int]:
+        unit = {3: 2, 4: 4}.get(etype)
+        if unit is None:
+            return []
+        size = unit * count
+        if size <= 4:
+            buf = raw[:size]
+        else:
+            (off,) = struct.unpack_from(bo + "I", raw, 0)
+            if off + size > len(payload):
+                return []
+            buf = payload[off : off + size]
+        fmt = bo + str(count) + ("H" if etype == 3 else "I")
+        return list(struct.unpack(fmt, buf))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, etype, count = struct.unpack_from(bo + "HHI", payload, base)
+        tags[tag] = read_values(etype, count, payload[base + 8 : base + 12])
+
+    w = (tags.get(256) or [0])[0]
+    h = (tags.get(257) or [0])[0]
+    bits = tags.get(258) or [1]
+    compression = (tags.get(259) or [1])[0]
+    photometric = (tags.get(262) or [1])[0]
+    offsets = tags.get(273) or []
+    spp = (tags.get(277) or [1])[0]
+    counts = tags.get(279) or []
+    if not w or not h or not offsets or len(offsets) != len(counts):
+        return None
+    if compression != 1 or any(b != 8 for b in bits):
+        return None
+    if (photometric, spp) not in ((1, 1), (2, 3)):
+        return None  # palette/planar/alpha/tiled -> PIL gate
+    strips = []
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            return None
+        strips.append(payload[off : off + cnt])
+    raw = b"".join(strips)
+    if len(raw) != w * h * spp:
+        return None
+    px = (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(h, w, spp)
+        .astype(np.int64)
+    )
+    if spp == 1:
+        return px[:, :, 0].astype(np.float64)
+    luma = (
+        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ) // 1000
+    return luma.astype(np.float64)
+
+
+def encode_tiff(gray_or_rgb, *, big_endian: bool = False,
+                rows_per_strip: int | None = None) -> bytes:
+    """Minimal baseline-TIFF ENCODER (8-bit gray/RGB, uncompressed,
+    strip-organized, II or MM byte order) — the test/fixture partner
+    of ``decode_tiff``.  ``rows_per_strip`` splits the raster into
+    multiple strips so the IFD strip walk is exercised for real."""
+    import numpy as np
+    import struct
+
+    arr = np.asarray(gray_or_rgb, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp, photometric = 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, _ = arr.shape
+        spp, photometric = 3, 2
+    else:
+        raise ValueError("encode_tiff expects (h,w) or (h,w,3) uint8")
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    flat = arr.reshape(h, w * spp)
+    strips = [
+        flat[y : y + rps].tobytes() for y in range(0, h, rps)
+    ]
+    n_strips = len(strips)
+    # layout: 8-byte header | IFD | [offset arrays if n_strips > 1] |
+    # [bits array if spp == 3] | strip data
+    entries = []  # (tag, type, count, packed-value-or-offset-slot)
+
+    def short_val(v: int) -> bytes:
+        return struct.pack(bo + "HH", v, 0)
+
+    def long_val(v: int) -> bytes:
+        return struct.pack(bo + "I", v)
+
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    pos = 8 + ifd_size
+    extra = b""
+    if n_strips > 1:
+        strip_off_pos = pos
+        pos += 4 * n_strips
+        strip_cnt_pos = pos
+        pos += 4 * n_strips
+    if spp == 3:
+        bits_pos = pos
+        extra_bits = struct.pack(bo + "3H", 8, 8, 8)
+        pos += len(extra_bits)
+    data_start = pos
+    offs = []
+    o = data_start
+    for s in strips:
+        offs.append(o)
+        o += len(s)
+    if n_strips > 1:
+        off_field = long_val(strip_off_pos)
+        cnt_field = long_val(strip_cnt_pos)
+    else:
+        off_field = long_val(offs[0])
+        cnt_field = long_val(len(strips[0]))
+    bits_field = (
+        long_val(bits_pos) if spp == 3 else short_val(8)
+    )
+    entries = [
+        (256, 4, 1, long_val(w)),
+        (257, 4, 1, long_val(h)),
+        (258, 3, spp, bits_field),
+        (259, 3, 1, short_val(1)),
+        (262, 3, 1, short_val(photometric)),
+        (273, 4, n_strips, off_field),
+        (277, 3, 1, short_val(spp)),
+        (278, 4, 1, long_val(rps)),
+        (279, 4, n_strips, cnt_field),
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", n_entries)
+    for tag, etype, count, val in entries:
+        out += struct.pack(bo + "HHI", tag, etype, count) + val
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    if n_strips > 1:
+        out += struct.pack(bo + f"{n_strips}I", *offs)
+        out += struct.pack(bo + f"{n_strips}I", *(len(s) for s in strips))
+    if spp == 3:
+        out += extra_bits
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_wav(payload: bytes):
     """Pure-numpy decoder for RIFF/WAVE PCM audio (format tag 1,
     8-bit unsigned or 16-bit signed LE, any channel count) — the audio
@@ -484,6 +661,8 @@ def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
                 gray = decode_bmp(payload)
                 if gray is None:
                     gray = decode_png(payload)
+                if gray is None:
+                    gray = decode_tiff(payload)
                 if gray is not None:
                     return (
                         round(float(gray.mean()) / 255.0, 6),

@@ -2044,6 +2044,95 @@ def multimodal_wav_real_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_real_decode",
+    # Fifth real container — TIFF, the first with a real metadata-
+    # directory (IFD) walk: each document renders as a deterministic
+    # 4x4 8-bit RGB baseline TIFF — pixel j (row-major) has
+    # R=(id*19+j)%256, G=(id*23+j)%256, B=(id*29+j)%256 — with the
+    # BYTE ORDER alternating by doc_id parity (II vs MM) and the
+    # raster split into 1, 2, or 4 strips by doc_id%3, so the corpus
+    # exercises both endiannesses and the multi-strip
+    # StripOffsets/StripByteCounts walk.  Same exactness argument as
+    # the BMP/PNG rows: mean=(sum/16)/255 is exact before the round
+    # and micro=sum*12500/51 can never land on a half-micro.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (299 * ((d.doc_id * 19 + CAST(i AS BIGINT)) % 256)
+              + 587 * ((d.doc_id * 23 + CAST(i AS BIGINT)) % 256)
+              + 114 * ((d.doc_id * 29 + CAST(i AS BIGINT)) % 256))
+             // 1000 AS luma
+      FROM documents d, UNNEST(generate_series(0, 15)) AS t(i)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(round(round((CAST(sum(luma) AS DOUBLE) / 16.0) / 255.0, 6)
+                        * 1000000.0) AS BIGINT) AS micro
+      FROM px GROUP BY doc_id
+    )
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 16 AS BIGINT) AS pixels,
+           CAST(sum(micro) AS BIGINT) AS micro_sum
+    FROM feat GROUP BY bucket ORDER BY bucket
+    """,
+    doc="REAL TIFF decode end-to-end without an image library — the "
+    "container whose decode is a metadata-DIRECTORY walk, not a "
+    "fixed header: decode_features(decode='real') must parse the "
+    "II/MM byte-order mark, walk the IFD's typed 12-byte entries "
+    "(SHORT/LONG, inline-vs-offset values per the 4-byte rule), and "
+    "reassemble the raster from RowsPerStrip-split strips before the "
+    "BT.601 luma (operators/multimodal.py decode_tiff, pure numpy).  "
+    "Docs alternate II/MM by parity and 1/2/4 strips by doc_id%3, so "
+    "an endianness or strip-offset bug shifts means on half the "
+    "corpus and fails the hash.  Same fused generate+decode "
+    "mapInPandas shape as the PNM/BMP/PNG rows.",
+)
+def multimodal_tiff_real_decode(spark, sf_dir):
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        j = np.arange(16, dtype=np.int64)  # row-major from the top
+
+        def render(i: int) -> bytes:
+            rgb = np.stack(
+                [(i * 19 + j) % 256, (i * 23 + j) % 256, (i * 29 + j) % 256],
+                axis=1,
+            ).astype(np.uint8).reshape(4, 4, 3)
+            rps = {0: 4, 1: 2, 2: 1}[i % 3]
+            return bytes(M.MAGIC_TAG) + M.encode_tiff(
+                rgb, big_endian=bool(i % 2), rows_per_strip=rps
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": [render(int(i)) for i in ids]}
+            )
+
+    packed = d.mapInPandas(build, "doc_id bigint, media binary")
+    feats = M.decode_features(packed, decode="real")
+    quant = feats.select(
+        (F.col("doc_id") % 4).cast("long").alias("bucket"),
+        F.round(F.col("feat_mean") * 1e6).cast("long").alias("micro"),
+        "feat_dim",
+    )
+    return (
+        quant.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("feat_dim").cast("long").alias("pixels"),
+            F.sum("micro").cast("long").alias("micro_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "multimodal_png_real_decode",
     # Fourth real container — PNG, the most common image format on
     # disk (VERDICT r14 #4): each document renders as a deterministic

@@ -447,6 +447,7 @@ PRIORITY_ORDER = [
     "multimodal_png_real_decode",  # never-graded (new in r15)
     "dedup_winnow_chunked_pairs",  # never-graded (new in r15)
     "stream_ohlc_candles",  # never-graded (new in r15)
+    "multimodal_tiff_real_decode",  # never-graded (new in r15)
     # r15 changed-VALUE rows (sf1-sweep hazard fixes — exact bigint
     # money folds / floor-form quality quantize): previous greens were
     # against the old values, so they lead the re-grade rotation

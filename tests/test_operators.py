@@ -1002,6 +1002,91 @@ def test_decode_png_pure_numpy():
     assert M.decode_png(corrupt) is None
 
 
+def test_decode_tiff_pure_numpy():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(5, 4)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    p = rgb.astype(np.int64)
+    want_rgb = (
+        (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    ).astype(np.float64)
+    # both byte orders x single/multi-strip, gray and RGB
+    for be in (False, True):
+        for rps in (None, 2, 1):
+            assert np.array_equal(
+                M.decode_tiff(
+                    M.encode_tiff(gray, big_endian=be, rows_per_strip=rps)
+                ),
+                gray.astype(np.float64),
+            ), (be, rps)
+            assert np.array_equal(
+                M.decode_tiff(
+                    M.encode_tiff(rgb, big_endian=be, rows_per_strip=rps)
+                ),
+                want_rgb,
+            ), (be, rps)
+    # independent of the encoder: hand-built II file with the pixel
+    # DATA before the IFD (spec-legal, encoder never emits this) —
+    # guards a symmetric encode/decode bug round-trips would mask
+    out = bytearray(b"II*\x00" + struct.pack("<I", 12))
+    out += bytes([1, 2, 3, 250])  # raster at offset 8
+
+    def e(tag, t, c, val):
+        return struct.pack("<HHI", tag, t, c) + val
+
+    out += struct.pack("<H", 9)
+    out += e(256, 4, 1, struct.pack("<I", 2))
+    out += e(257, 4, 1, struct.pack("<I", 2))
+    out += e(258, 3, 1, struct.pack("<HH", 8, 0))
+    out += e(259, 3, 1, struct.pack("<HH", 1, 0))
+    out += e(262, 3, 1, struct.pack("<HH", 1, 0))
+    out += e(273, 4, 1, struct.pack("<I", 8))
+    out += e(277, 3, 1, struct.pack("<HH", 1, 0))
+    out += e(278, 4, 1, struct.pack("<I", 2))
+    out += e(279, 4, 1, struct.pack("<I", 4))
+    out += struct.pack("<I", 0)
+    assert M.decode_tiff(bytes(out)).tolist() == [[1.0, 2.0], [3.0, 250.0]]
+    # rejections / PIL-gate fallthroughs
+    assert M.decode_tiff(b"JFIF....") is None
+    assert M.decode_tiff(b"II*\x00\x00\x00") is None
+    full = M.encode_tiff(gray)
+    assert M.decode_tiff(full[:-3]) is None  # truncated strip
+    # compressed (259 != 1) falls through
+    comp = bytearray(full)
+    # entry 4 (tag 259) value lives at 8 + 2 + 12*3 + 8 in our layout
+    comp[8 + 2 + 12 * 3 + 8] = 5
+    assert M.decode_tiff(bytes(comp)) is None
+
+
+def test_decode_features_real_tiff_without_pil(spark):
+    import numpy as np
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    p = rgb.astype(np.int64)
+    luma = (
+        299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    ) // 1000
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(
+                    M.MAGIC_TAG
+                    + M.encode_tiff(rgb, big_endian=True, rows_per_strip=2)
+                ),
+            )
+        ],
+        "doc_id bigint, media binary",
+    )
+    r = M.decode_features(df, decode="real").collect()[0]
+    assert r.feat_dim == 16
+    assert r.feat_mean == round(float(luma.mean()) / 255.0, 6)
+
+
 def test_decode_features_real_png_without_pil(spark):
     import numpy as np
 
