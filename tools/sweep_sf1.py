@@ -1,0 +1,99 @@
+"""Strict DuckDB-oracle sweep at the sf1 decade step (round-15 protocol).
+
+Runs ``tools/check_correctness.py --strict`` over the scale-sensitive
+query set against the builder-side sf1 data (``tools/gen_sf1.py`` →
+``.scale/sf1``), in FRESH subprocess batches: one 8 GB local[32] JVM
+accumulating ~20 sf1 queries OOMs, so each batch gets its own process
+with ``SPARK_GRAFT_DRIVER_MEM`` (default 32g).  This is the evidence
+class VERDICT r14 asked for — correctness, not just timing, one decade
+above the graded SFs — and its first run caught 7 real cross-engine
+hazards (SCALE.md round-15).
+
+The set = the SCALE.md >3×-step queries + the IVF/LSH/GEMM family +
+both time-series rows + every row whose oracle folds money + the
+round-15 real-decode additions.  ``pareto_frontier_quality_length`` is
+deliberately absent: its ORACLE is the quadratic NOT-EXISTS skyline
+definition (2.5e9 doc pairs in DuckDB at 50 k docs), while the engine
+path is the O(n log n) sort-based skyline — the one case where the
+oracle, not the operator, is what cannot scale.
+
+Usage: python tools/sweep_sf1.py [--out SWEEP.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, ".scale", "sf1")
+
+# fresh-JVM batches of <= 7 (memory headroom + blast-radius isolation:
+# one OOM or regression kills its batch, not the sweep)
+BATCHES = [
+    # format/tpch/joins/windows
+    ["q1_pricing_summary", "join_5way_region_rollup_revenue",
+     "join_6way_supplier_nation_revenue", "join_asof_purchase_last_click",
+     "grouping_sets_time_rollup", "window_topk_orders_per_customer",
+     "sort_topk_revenue_parts"],
+    # dedup family (ngram_jaccard's DuckDB oracle dominates: ~20 min
+    # on the tiny-vocab sf1 corpus — the engine side is seconds)
+    ["dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+     "dedup_prefix_filter_join"],
+    ["dedup_embedding_cosine", "dedup_embedding_lsh_gemm",
+     "dedup_semantic_semdedup", "stats_selfjoin_blowup_estimate"],
+    # ANN family
+    ["ann_brute_force_topk", "ann_ivf_topk", "ann_ivf_nprobe2_topk"],
+    # time-series + text + money-fold sentinels
+    ["timeseries_downsample_ohlc", "timeseries_interpolate_linear",
+     "text_quality_score", "sample_weighted_quality", "agg_having"],
+    ["udf_pandas_scalar_charge", "window_range_frame_spend",
+     "seqfile_roundtrip_double_sum", "parquet_partitioned_pruned_read",
+     "q11_important_stock", "q14_promo_revenue", "q15_top_supplier"],
+    # streaming + real decode
+    ["stream_tumbling_hourly_counts", "stream_ohlc_candles",
+     "stream_sliding_window_counts", "multimodal_png_real_decode",
+     "multimodal_tiff_real_decode", "multimodal_bmp_real_decode",
+     "multimodal_wav_real_decode"],
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="also append output here")
+    ap.add_argument("--mem", default=os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "32g"))
+    args = ap.parse_args()
+
+    if not os.path.isdir(SF1):
+        print(f"sf1 data missing at {SF1}; run tools/gen_sf1.py first",
+              file=sys.stderr)
+        return 2
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=args.mem)
+    ok = fail = 0
+    lines: list[str] = []
+    for batch in BATCHES:
+        cmd = [sys.executable, os.path.join(REPO, "tools",
+                                            "check_correctness.py"),
+               "--strict", SF1, *batch]
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        for line in p.stdout.splitlines():
+            if line.startswith(("ok ", "FAIL", "rows ")):
+                print(line)
+                lines.append(line)
+                ok += line.startswith("ok")
+                fail += line.startswith("FAIL")
+        sys.stdout.flush()
+    summary = f"\n{ok} ok, {fail} FAIL at sf1"
+    print(summary)
+    if args.out:
+        with open(args.out, "a") as fh:
+            fh.write("\n".join(lines) + summary + "\n")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
