@@ -3442,45 +3442,47 @@ def snapshot_diff_orders(spark, sf_dir):
 
 @register(
     "mv_incremental_maintenance",
+    # exact 1e-4-unit bigint folds throughout (round-15 full-registry
+    # sf1 sweep: round(sum(double),2) diverged at 6.1M rows where the
+    # engines' fold orders differ); exact integers also upgrade
+    # matches_recompute from a one-cent tolerance to EXACT equality —
+    # the stronger IVM contract the tolerance was standing in for
     oracle="""
     WITH dims AS (
       SELECT o.o_orderkey, c.c_nationkey, n.n_name
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                     JOIN nation n ON c.c_nationkey = n.n_nationkey
     ),
-    mv0 AS (
-      SELECT n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS revenue,
-             CAST(count(*) AS BIGINT) AS n_items
+    fact AS (
+      SELECT l.l_shipdate, d.n_name,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_u
       FROM lineitem l JOIN dims d ON l.l_orderkey = d.o_orderkey
-      WHERE l.l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    ),
+    mv0 AS (
+      SELECT n_name, sum(rev_u) AS ru, CAST(count(*) AS BIGINT) AS n_items
+      FROM fact WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
       GROUP BY n_name
     ),
     delta AS (
-      SELECT n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS revenue,
-             CAST(count(*) AS BIGINT) AS n_items
-      FROM lineitem l JOIN dims d ON l.l_orderkey = d.o_orderkey
-      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      SELECT n_name, sum(rev_u) AS ru, CAST(count(*) AS BIGINT) AS n_items
+      FROM fact WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       GROUP BY n_name
     ),
     merged AS (
       SELECT coalesce(m.n_name, dl.n_name) AS n_name,
-             round(coalesce(m.revenue, 0) + coalesce(dl.revenue, 0), 2)
-               AS revenue,
+             coalesce(m.ru, 0) + coalesce(dl.ru, 0) AS ru,
              coalesce(m.n_items, 0) + coalesce(dl.n_items, 0) AS n_items
       FROM mv0 m FULL OUTER JOIN delta dl ON m.n_name = dl.n_name
     ),
     full_mv AS (
-      SELECT n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS revenue,
-             CAST(count(*) AS BIGINT) AS n_items
-      FROM lineitem l JOIN dims d ON l.l_orderkey = d.o_orderkey
-      GROUP BY n_name
+      SELECT n_name, sum(rev_u) AS ru, CAST(count(*) AS BIGINT) AS n_items
+      FROM fact GROUP BY n_name
     )
-    SELECT mg.n_name, mg.revenue, mg.n_items,
-           mg.n_items = f.n_items
-             AND abs(mg.revenue - f.revenue) < 0.02 AS matches_recompute
+    SELECT mg.n_name,
+           CAST(mg.ru AS DOUBLE) / 10000.0 AS revenue,
+           mg.n_items,
+           mg.n_items = f.n_items AND mg.ru = f.ru AS matches_recompute
     FROM merged mg JOIN full_mv f ON mg.n_name = f.n_name
     ORDER BY mg.n_name
     """,
@@ -3491,9 +3493,9 @@ def snapshot_diff_orders(spark, sf_dir):
     "fact history is never rescanned, which is the entire point at "
     "100 TB (per-batch cost is O(delta), not O(table)).  "
     "matches_recompute certifies the maintained MV against a full "
-    "recompute in the same row (counts exact; revenue within one "
-    "cent — summation order differs, so bit-equality of doubles is "
-    "the wrong contract and a tolerance is the honest one).",
+    "recompute in the same row — with the exact 1e-4-unit integer "
+    "folds both sides are EXACT, so the certificate is integer "
+    "equality, not a tolerance.",
 )
 def mv_incremental_maintenance(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
@@ -3505,8 +3507,9 @@ def mv_incremental_maintenance(spark, sf_dir):
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .select("o_orderkey", "n_name")
     )
-    rev = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    rev_u = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
     )
 
     # dims is one row per ORDER (fact-scaled): broadcasting it would
@@ -3517,41 +3520,39 @@ def mv_incremental_maintenance(spark, sf_dir):
         return (
             fact.join(dims, fact.l_orderkey == dims.o_orderkey)
             .groupBy("n_name")
-            .agg(rev.alias("revenue"), F.count("*").alias("n_items"))
+            .agg(rev_u.alias("ru"), F.count("*").alias("n_items"))
         )
 
     cutoff = "1995-01-01 00:00:00"
     mv0 = agg(li.filter(F.col("l_shipdate") < cutoff))
     delta = agg(li.filter(F.col("l_shipdate") >= cutoff))
     merged = (
-        mv0.selectExpr("n_name", "revenue AS r0", "n_items AS i0")
+        mv0.selectExpr("n_name", "ru AS r0", "n_items AS i0")
         .join(
-            delta.selectExpr("n_name", "revenue AS r1", "n_items AS i1"),
+            delta.selectExpr("n_name", "ru AS r1", "n_items AS i1"),
             "n_name",
             "full_outer",
         )
         .select(
             "n_name",
-            F.round(
-                F.coalesce("r0", F.lit(0.0)) + F.coalesce("r1", F.lit(0.0)), 2
-            ).alias("revenue"),
+            (
+                F.coalesce("r0", F.lit(0)) + F.coalesce("r1", F.lit(0))
+            ).alias("ru"),
             (
                 F.coalesce("i0", F.lit(0)) + F.coalesce("i1", F.lit(0))
             ).alias("n_items"),
         )
     )
-    full = agg(li).selectExpr(
-        "n_name", "revenue AS f_rev", "n_items AS f_items"
-    )
+    full = agg(li).selectExpr("n_name", "ru AS f_ru", "n_items AS f_items")
     return (
         merged.join(full, "n_name")
         .select(
             "n_name",
-            "revenue",
+            (F.col("ru").cast("double") / 10000.0).alias("revenue"),
             "n_items",
             (
                 (F.col("n_items") == F.col("f_items"))
-                & (F.abs(F.col("revenue") - F.col("f_rev")) < 0.02)
+                & (F.col("ru") == F.col("f_ru"))
             ).alias("matches_recompute"),
         )
         .orderBy("n_name")

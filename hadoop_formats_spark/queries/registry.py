@@ -459,6 +459,7 @@ PRIORITY_ORDER = [
     "seqfile_roundtrip_double_sum",  # r15: exact cents total
     "parquet_partitioned_pruned_read",  # r15: exact cents total
     "agg_having",  # r15: exact cents avg (proactive)
+    "mv_incremental_maintenance",  # r15: exact IVM folds + exact certificate
     "text_quality_score",  # r15: floor-form quality quantize
     "pareto_frontier_quality_length",  # r15: floor-form quality
     "sample_weighted_quality",  # r15: floor-form quality
