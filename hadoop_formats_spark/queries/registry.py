@@ -496,7 +496,6 @@ PRIORITY_ORDER = [
     "struct_map_collect",  # oldest-green r08 [struct]
     "subquery_scalar_near_max",  # oldest-green r08 [subquery]
     "timeseries_ewma_anomaly",  # oldest-green r08 [timeseries]
-    "udf_pandas_scalar_charge",  # oldest-green r08 [udf]
     "unpivot_price_measures",  # oldest-green r08 [unpivot]
     "window_lag_lead_order_gaps",  # oldest-green r08 [window]
     "agg_exact_percentiles",  # oldest-green r09 [agg]
@@ -521,7 +520,11 @@ PRIORITY_ORDER = [
 def _ordered() -> list[str]:
     rank = {name: i for i, name in enumerate(PRIORITY_ORDER)}
     rest = [n for n in QUERIES if n not in rank]
-    return [n for n in PRIORITY_ORDER if n in QUERIES] + rest
+    # dict.fromkeys: defensive dedupe so an accidental PRIORITY_ORDER
+    # double-entry can never yield a duplicate name (ADVICE r15)
+    return [
+        n for n in dict.fromkeys(PRIORITY_ORDER) if n in QUERIES
+    ] + rest
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

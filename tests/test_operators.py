@@ -997,7 +997,11 @@ def test_decode_png_pure_numpy():
         )
         assert M.decode_png(bad) is None, (depth, ct, il)
     ok = M.encode_png(gray)
-    assert M.decode_png(ok[:-8]) is None or True  # truncated IEND ok
+    # contract: a stream truncated inside the IEND trailer still decodes
+    # (the chunk walk stops when <8 header bytes remain; every IDAT byte
+    # already arrived) and yields the same pixels as the intact stream
+    trunc = M.decode_png(ok[:-8])
+    assert trunc is not None and (trunc == M.decode_png(ok)).all()
     corrupt = ok.replace(b"IDAT", b"IDAT", 1)[:40] + b"\x00" * 10
     assert M.decode_png(corrupt) is None
 

@@ -80,12 +80,29 @@ def main() -> int:
                                             "check_correctness.py"),
                "--strict", SF1, *batch]
         p = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        got = 0
         for line in p.stdout.splitlines():
             if line.startswith(("ok ", "FAIL", "rows ")):
                 print(line)
                 lines.append(line)
                 ok += line.startswith("ok")
                 fail += line.startswith("FAIL")
+                got += 1
+        # a crashed batch (OOM, import error) emits no per-query lines
+        # and must NOT read as clean (ADVICE r15): count every query
+        # the batch failed to report as a FAIL and surface stderr
+        if p.returncode != 0 or got < len(batch):
+            missing = len(batch) - got
+            if missing > 0:
+                fail += missing
+                line = (
+                    f"FAIL batch rc={p.returncode} reported {got}/"
+                    f"{len(batch)}: {' '.join(batch)}"
+                )
+                print(line)
+                lines.append(line)
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr[-2000:] + "\n")
         sys.stdout.flush()
     summary = f"\n{ok} ok, {fail} FAIL at sf1"
     print(summary)
