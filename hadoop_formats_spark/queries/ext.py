@@ -2135,8 +2135,9 @@ def multimodal_wav_real_decode(spark, sf_dir):
     "(SHORT/LONG, inline-vs-offset values per the 4-byte rule), and "
     "reassemble the raster from RowsPerStrip-split strips before the "
     "BT.601 luma (operators/multimodal.py decode_tiff, pure numpy).  "
-    "Docs alternate II/MM by parity and 1/2/4 strips by doc_id%3, so "
-    "an endianness or strip-offset bug shifts means on half the "
+    "Docs alternate II/MM by parity, 1/2/4 strips by doc_id%3, and "
+    "PackBits compression by (doc_id//2)%2 (r16), so an endianness, "
+    "strip-offset, or PackBits-run bug shifts means on part of the "
     "corpus and fails the hash.  Same fused generate+decode "
     "mapInPandas shape as the PNM/BMP/PNG rows.",
 )
@@ -2156,8 +2157,16 @@ def multimodal_tiff_real_decode(spark, sf_dir):
                 axis=1,
             ).astype(np.uint8).reshape(4, 4, 3)
             rps = {0: 4, 1: 2, 2: 1}[i % 3]
+            # (i//2)%2 alternates PackBits INDEPENDENTLY of the
+            # endianness parity, so all four (byte order, compression)
+            # combos appear; the decompressed raster is byte-identical,
+            # so the oracle is unchanged while the PackBits strip path
+            # (r16) is graded end-to-end
             return bytes(M.MAGIC_TAG) + M.encode_tiff(
-                rgb, big_endian=bool(i % 2), rows_per_strip=rps
+                rgb,
+                big_endian=bool(i % 2),
+                rows_per_strip=rps,
+                packbits=bool((i // 2) % 2),
             )
 
         for pdf in batches:
@@ -2231,9 +2240,11 @@ def multimodal_tiff_real_decode(spark, sf_dir):
     "the BT.601 luma (operators/multimodal.py decode_png, numpy + "
     "stdlib zlib) to recover the exact pixel mean the oracle derives "
     "arithmetically — an inflate, filter-recurrence, or channel-order "
-    "bug shifts every mean and fails the hash.  Same fused "
-    "generate+decode mapInPandas shape as the PNM/BMP rows: no "
-    "shuffle until the |buckets| groupBy.",
+    "bug shifts every mean and fails the hash.  Every third doc "
+    "renders as a palette (color type 3) PNG with the same 16 colors "
+    "behind a PLTE lookup (r16), so the palette path is graded too.  "
+    "Same fused generate+decode mapInPandas shape as the PNM/BMP "
+    "rows: no shuffle until the |buckets| groupBy.",
 )
 def multimodal_png_real_decode(spark, sf_dir):
     import pandas as pd
@@ -2251,6 +2262,18 @@ def multimodal_png_real_decode(spark, sf_dir):
                 axis=1,
             ).astype(np.uint8).reshape(4, 4, 3)
             filters = [(i + y) % 5 for y in range(4)]
+            if i % 3 == 0:
+                # every third doc renders as a color-type-3 PALETTE
+                # PNG whose PLTE holds the doc's 16 pixel colors in
+                # row-major order (index raster = arange) — decoded
+                # luma is byte-identical to the RGB encoding, so the
+                # oracle is unchanged while the r16 PLTE-lookup path
+                # is graded end-to-end (filters still cycle, at bpp=1)
+                pal = rgb.reshape(16, 3)
+                idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+                return bytes(M.MAGIC_TAG) + M.encode_png(
+                    idx, palette=pal, filters=filters
+                )
             return bytes(M.MAGIC_TAG) + M.encode_png(rgb, filters=filters)
 
         for pdf in batches:

@@ -983,10 +983,11 @@ def test_decode_png_pure_numpy():
     )
     assert M.decode_png(hand).tolist() == [[10.0, 20.0], [30.0, 200.0]]
     # rejections / PIL-gate fallthroughs: bad magic, truncated,
-    # 16-bit, paletted, interlaced, corrupt deflate, wrong raster len
+    # sub-byte depths, interlaced, palette-without-PLTE (16-bit and
+    # 8-bit palette are IN scope since r16), corrupt deflate
     assert M.decode_png(b"JFIF....") is None
     assert M.decode_png(sig + b"\x00" * 30) is None
-    for depth, ct, il in [(16, 0, 0), (8, 3, 0), (8, 0, 1)]:
+    for depth, ct, il in [(4, 0, 0), (8, 3, 0), (8, 0, 1), (4, 3, 0)]:
         bad = (
             sig
             + chunk(
@@ -996,6 +997,50 @@ def test_decode_png_pure_numpy():
             + chunk(b"IEND", b"")
         )
         assert M.decode_png(bad) is None, (depth, ct, il)
+    # 16-bit gray + RGB round-trips across every filter type: samples
+    # are big-endian u16, luma matches the 8-bit formula on 16-bit
+    # values rescaled onto 0..255 as v*255/65535 (decode_pnm's wide
+    # convention)
+    g16 = rng.randint(0, 65536, (10, 14)).astype(np.uint16)
+    got = M.decode_png(M.encode_png(g16, filters=[0, 1, 2, 3, 4]))
+    assert np.allclose(got, g16.astype(np.float64) * 255.0 / 65535.0)
+    rgb16 = rng.randint(0, 65536, (8, 6, 3)).astype(np.uint16)
+    p16 = rgb16.astype(np.int64)
+    want16 = (
+        (299 * p16[:, :, 0] + 587 * p16[:, :, 1] + 114 * p16[:, :, 2])
+        // 1000
+    ).astype(np.float64) * (255.0 / 65535.0)
+    got16 = M.decode_png(M.encode_png(rgb16, filters=[4, 3, 2, 1, 0]))
+    assert np.allclose(got16, want16)
+    # 8-bit palette round-trip: PLTE lookup then the same luma
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (12, 12)).astype(np.uint8)
+    prgb = pal[idx].astype(np.int64)
+    wantp = (
+        (299 * prgb[:, :, 0] + 587 * prgb[:, :, 1] + 114 * prgb[:, :, 2])
+        // 1000
+    ).astype(np.float64)
+    gotp = M.decode_png(M.encode_png(idx, palette=pal, filters=[1, 4, 2]))
+    assert np.array_equal(gotp, wantp)
+    # an out-of-range palette index is corrupt, not PIL-gated
+    over = M.encode_png(
+        np.full((4, 4), 20, dtype=np.uint8), palette=pal[:10]
+    )
+    assert M.decode_png(over) is None
+    # encoder-independent 16-bit spec vector (network byte order): a
+    # symmetric little-endian bug in encode+decode would round-trip
+    # silently, so pin a hand-built stream — 1x2 gray16, filter 0,
+    # raw bytes 01 02 03 04 = samples 0x0102, 0x0304
+    hand16 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 4])))
+        + chunk(b"IEND", b"")
+    )
+    got_hand = M.decode_png(hand16)
+    assert np.allclose(
+        got_hand, [[0x0102 * 255.0 / 65535.0, 0x0304 * 255.0 / 65535.0]]
+    )
     ok = M.encode_png(gray)
     # contract: a stream truncated inside the IEND trailer still decodes
     # (the chunk walk stops when <8 header bytes remain; every IDAT byte
@@ -1054,12 +1099,45 @@ def test_decode_tiff_pure_numpy():
     out += e(279, 4, 1, struct.pack("<I", 4))
     out += struct.pack("<I", 0)
     assert M.decode_tiff(bytes(out)).tolist() == [[1.0, 2.0], [3.0, 250.0]]
+    # PackBits (compression 32773, r16): round-trips both byte orders
+    # and strip splits, on runs-heavy and random rasters
+    runs = np.repeat(
+        rng.randint(0, 4, size=(5, 3)).astype(np.uint8), 6, axis=1
+    )[:, :16]
+    for arr, want in (
+        (gray, gray.astype(np.float64)),
+        (rgb, want_rgb),
+        (runs, runs.astype(np.float64)),
+        (np.zeros((3, 300), dtype=np.uint8), np.zeros((3, 300))),  # >128 run
+    ):
+        for be in (False, True):
+            for rps in (None, 2):
+                assert np.array_equal(
+                    M.decode_tiff(
+                        M.encode_tiff(
+                            arr,
+                            big_endian=be,
+                            rows_per_strip=rps,
+                            packbits=True,
+                        )
+                    ),
+                    want,
+                ), (arr.shape, be, rps)
+    # PackBits spec vectors, independent of our encoder
+    assert M._packbits_decode(bytes([0xFE, 0xAA])) == b"\xaa" * 3
+    assert (
+        M._packbits_decode(bytes([0x02, 0x80, 0x00, 0x2A]))
+        == b"\x80\x00\x2a"
+    )
+    assert M._packbits_decode(b"") == b""
+    blob = bytes(rng.randint(0, 3, 1000).astype(np.uint8))
+    assert M._packbits_decode(M._packbits_encode(blob)) == blob
     # rejections / PIL-gate fallthroughs
     assert M.decode_tiff(b"JFIF....") is None
     assert M.decode_tiff(b"II*\x00\x00\x00") is None
     full = M.encode_tiff(gray)
     assert M.decode_tiff(full[:-3]) is None  # truncated strip
-    # compressed (259 != 1) falls through
+    # LZW (259 = 5) still falls through to the PIL gate
     comp = bytearray(full)
     # entry 4 (tag 259) value lives at 8 + 2 + 12*3 + 8 in our layout
     comp[8 + 2 + 12 * 3 + 8] = 5
