@@ -103,8 +103,9 @@ def tws_group_minmax(
     worker needs ``google.protobuf`` (absent here, installs forbidden)
     — it fails at query start with STREAMING_PYTHON_RUNNER_
     INITIALIZATION_FAILURE.  Re-probed at the start of round 13
-    (2026-08-16), round 14 (2026-08-16), and round 15 (2026-08-16):
-    ``import google.protobuf`` still fails, gate stays.
+    (2026-08-16), round 14 (2026-08-16), round 15 (2026-08-16), and
+    round 16 (2026-08-17): ``import google.protobuf`` still fails,
+    gate stays.
     The operator is kept (correct per the documented API, verified to
     reach the driver-worker boundary) for environments with protobuf;
     ``stateful_group_stats`` below is the applyInPandasWithState
