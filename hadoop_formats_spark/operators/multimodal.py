@@ -178,6 +178,64 @@ def decode_bmp(payload: bytes):
     return luma.astype(np.float64)
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_defilter(rows, bpp: int):
+    """De-filter (n, 1+stride) uint8 scanlines into (n, stride) — the
+    five PNG filter types with a left distance of ``bpp`` bytes.  Each
+    call is one independent filtering context (the whole image, or one
+    Adam7 pass).  Returns ``None`` on an unknown filter byte."""
+    import numpy as np
+
+    n, sp1 = rows.shape
+    stride = sp1 - 1
+    ftypes = rows[:, 0]
+    if n and int(ftypes.max(initial=0)) > 4:
+        return None
+    img = np.zeros((n, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(n):
+        f = int(ftypes[y])
+        cur = rows[y, 1:].copy()
+        if f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] (mod 256)
+            cur = np.cumsum(
+                cur.reshape(stride // bpp, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up: recon[x] = filt[x] + prev[x] (mod 256)
+            cur += prev
+        elif f == 3:  # Average: needs the just-reconstructed left byte
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + (a + int(prev[x])) // 2) % 256
+        elif f == 4:  # Paeth predictor (spec's sequential recurrence)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (int(cur[x]) + pred) % 256
+        img[y] = cur
+        prev = cur
+    return img
+
+
 def decode_png(payload: bytes):
     """Pure-numpy decoder for PNG (color types 0/2/4/6 = grayscale /
     RGB / gray+alpha / RGBA at 8- or 16-bit depth, plus 8-bit palette
@@ -195,10 +253,11 @@ def decode_png(payload: bytes):
     recurrence).  Returns a float64 GRAYSCALE matrix via the same
     ITU-R BT.601 integer luma as the other decoders (alpha ignored);
     16-bit samples rescale onto 0..255 as ``v * 255 / 65535``,
-    matching ``decode_pnm``'s wide path.  Returns ``None`` when the
-    payload is not a parseable in-scope PNG — sub-byte depths (1/2/4)
-    and interlaced files are legitimate PNGs outside the built-in
-    scope and fall to the PIL gate."""
+    matching ``decode_pnm``'s wide path.  Adam7-interlaced streams
+    (r16) decode as seven independently-filtered sub-images scattered
+    onto the pass grid.  Returns ``None`` when the payload is not a
+    parseable in-scope PNG — sub-byte depths (1/2/4) are legitimate
+    PNGs outside the built-in scope and fall to the PIL gate."""
     import numpy as np
     import struct
     import zlib
@@ -232,8 +291,8 @@ def decode_png(payload: bytes):
         pos += 12 + length  # length + type + data + CRC
     if not idat or not w or not h:
         return None
-    if interlace != 0:
-        return None  # interlaced → PIL gate
+    if interlace not in (0, 1):
+        return None
     if color_type == 3:
         # palette: 8-bit indices only (1/2/4-bit indices → PIL gate);
         # PLTE is mandatory and holds up to 256 RGB triples
@@ -256,43 +315,39 @@ def decode_png(payload: bytes):
     except zlib.error:
         return None
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        return None
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    if int(ftypes.max(initial=0)) > 4:
-        return None
-    img = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(ftypes[y])
-        cur = rows[y, 1:].copy()
-        if f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] (mod 256)
-            cur = np.cumsum(
-                cur.reshape(w, bpp), axis=0, dtype=np.uint8
-            ).reshape(stride)
-        elif f == 2:  # Up: recon[x] = filt[x] + prev[x] (mod 256)
-            cur += prev
-        elif f == 3:  # Average: needs the just-reconstructed left byte
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + (a + int(prev[x])) // 2) % 256
-        elif f == 4:  # Paeth predictor (spec's sequential recurrence)
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                cur[x] = (int(cur[x]) + pred) % 256
-        img[y] = cur
-        prev = cur
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        img = _png_defilter(rows, bpp)
+        if img is None:
+            return None
+    else:
+        # Adam7: seven sub-images, each an independent filtering
+        # context, scattered onto the (x0 + j*dx, y0 + i*dy) grid
+        img = np.zeros((h, stride), dtype=np.uint8)
+        target = img.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            if off + need > len(raw):
+                return None
+            prows = np.frombuffer(
+                raw[off : off + need], dtype=np.uint8
+            ).reshape(ph, pstride + 1)
+            off += need
+            pimg = _png_defilter(prows, bpp)
+            if pimg is None:
+                return None
+            cols = x0 + np.arange(pw) * dx
+            target[y0::dy, cols, :] = pimg.reshape(ph, pw, bpp)
+        if off != len(raw):
+            return None
     if color_type == 3:
         pal = (
             np.frombuffer(plte, dtype=np.uint8)
@@ -327,7 +382,54 @@ def decode_png(payload: bytes):
     return gray
 
 
-def encode_png(gray_or_rgb, *, filters=None, palette=None) -> bytes:
+def _png_filter_rows(byte_rows, bpp: int, filters) -> bytearray:
+    """Filter scanline bytes (n, stride) per PNG spec — one
+    independent filtering context (whole image or one Adam7 pass);
+    filter type for row y is ``filters[y % len(filters)]``."""
+    import numpy as np
+
+    n, stride = byte_rows.shape
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(n):
+        f = filters[y % len(filters)]
+        cur = byte_rows[y].astype(np.int64)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]])
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]])
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                 prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - ul))
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, ul),
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        lines.append(f)
+        lines.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    return lines
+
+
+def encode_png(gray_or_rgb, *, filters=None, palette=None,
+               interlace=False) -> bytes:
     """Minimal PNG ENCODER — the test/fixture partner of
     ``decode_png``, also zlib-only.  A uint8 array of shape (h, w)
     encodes as 8-bit grayscale (type 0), (h, w, 3) as 8-bit RGB
@@ -337,9 +439,10 @@ def encode_png(gray_or_rgb, *, filters=None, palette=None) -> bytes:
     color type 3 with a PLTE chunk.  ``filters`` optionally picks the
     per-row filter type (sequence of ints 0..4, cycled) so round-trip
     tests can exercise every de-filter branch; default all-0 (None
-    filter).  Filtering operates on the scanline BYTES with a left
-    distance of bytes-per-pixel, exactly as the spec defines for all
-    depths."""
+    filter).  ``interlace`` emits Adam7 (seven passes, each its own
+    filtering context).  Filtering operates on the scanline BYTES
+    with a left distance of bytes-per-pixel, exactly as the spec
+    defines for all depths."""
     import numpy as np
     import struct
     import zlib
@@ -375,44 +478,22 @@ def encode_png(gray_or_rgb, *, filters=None, palette=None) -> bytes:
         else:
             byte_rows = flat
     bpp = nch * sbytes
-    stride = w * bpp
     filters = list(filters or [0])
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f = filters[y % len(filters)]
-        cur = byte_rows[y].astype(np.int64)
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
-                                   cur[:-bpp]])
-            filt = cur - left
-        elif f == 2:
-            filt = cur - prev
-        elif f == 3:
-            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
-                                   cur[:-bpp]])
-            filt = cur - (left + prev) // 2
-        elif f == 4:
-            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
-                                   cur[:-bpp]])
-            ul = np.concatenate([np.zeros(bpp, dtype=np.int64),
-                                 prev[:-bpp]])
-            p = left + prev - ul
-            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
-                          np.abs(p - ul))
-            pred = np.where(
-                (pa <= pb) & (pa <= pc),
-                left,
-                np.where(pb <= pc, prev, ul),
+    if interlace:
+        full = byte_rows.reshape(h, w, bpp)
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = full[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            lines += _png_filter_rows(
+                np.ascontiguousarray(sub).reshape(ph, pw * bpp),
+                bpp,
+                filters,
             )
-            filt = cur - pred
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        lines.append(f)
-        lines.extend((filt % 256).astype(np.uint8).tobytes())
-        prev = cur
+    else:
+        lines = _png_filter_rows(byte_rows, bpp, filters)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -423,7 +504,8 @@ def encode_png(gray_or_rgb, *, filters=None, palette=None) -> bytes:
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8 * sbytes, color_type, 0, 0, 0
+        ">IIBBBBB", w, h, 8 * sbytes, color_type, 0, 0,
+        1 if interlace else 0,
     )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -826,12 +908,13 @@ def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
                     raise NotImplementedError(
                         "decode='real' on a payload that is not PNM "
                         "(P5/P6, any depth), uncompressed 24/32-bit "
-                        "BMP, non-interlaced PNG (8/16-bit gray/RGB/"
-                        "alpha or 8-bit palette), or baseline TIFF "
-                        "(8-bit gray/RGB, uncompressed or PackBits) "
-                        "requires an image library (PIL) not present "
-                        "in this environment; those containers decode "
-                        "everywhere via the built-in numpy parsers"
+                        "BMP, PNG (8/16-bit gray/RGB/alpha or 8-bit "
+                        "palette, plain or Adam7-interlaced), or "
+                        "baseline TIFF (8-bit gray/RGB, uncompressed "
+                        "or PackBits) requires an image library (PIL) "
+                        "not present in this environment; those "
+                        "containers decode everywhere via the "
+                        "built-in numpy parsers"
                     )
             if not payload:
                 return 0.0, 0

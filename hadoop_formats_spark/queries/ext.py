@@ -2242,9 +2242,10 @@ def multimodal_tiff_real_decode(spark, sf_dir):
     "arithmetically — an inflate, filter-recurrence, or channel-order "
     "bug shifts every mean and fails the hash.  Every third doc "
     "renders as a palette (color type 3) PNG with the same 16 colors "
-    "behind a PLTE lookup (r16), so the palette path is graded too.  "
-    "Same fused generate+decode mapInPandas shape as the PNM/BMP "
-    "rows: no shuffle until the |buckets| groupBy.",
+    "behind a PLTE lookup, and every odd doc is Adam7-interlaced "
+    "(r16), so the palette and seven-pass scatter paths are graded "
+    "too.  Same fused generate+decode mapInPandas shape as the "
+    "PNM/BMP rows: no shuffle until the |buckets| groupBy.",
 )
 def multimodal_png_real_decode(spark, sf_dir):
     import pandas as pd
@@ -2262,6 +2263,10 @@ def multimodal_png_real_decode(spark, sf_dir):
                 axis=1,
             ).astype(np.uint8).reshape(4, 4, 3)
             filters = [(i + y) % 5 for y in range(4)]
+            lace = bool(i % 2)  # odd docs are Adam7-interlaced (r16):
+            # same pixels, so the oracle is unchanged while the
+            # seven-pass scatter path is graded end-to-end — and the
+            # parities compose, so palette x interlace combos appear
             if i % 3 == 0:
                 # every third doc renders as a color-type-3 PALETTE
                 # PNG whose PLTE holds the doc's 16 pixel colors in
@@ -2272,9 +2277,11 @@ def multimodal_png_real_decode(spark, sf_dir):
                 pal = rgb.reshape(16, 3)
                 idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
                 return bytes(M.MAGIC_TAG) + M.encode_png(
-                    idx, palette=pal, filters=filters
+                    idx, palette=pal, filters=filters, interlace=lace
                 )
-            return bytes(M.MAGIC_TAG) + M.encode_png(rgb, filters=filters)
+            return bytes(M.MAGIC_TAG) + M.encode_png(
+                rgb, filters=filters, interlace=lace
+            )
 
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")

@@ -983,11 +983,12 @@ def test_decode_png_pure_numpy():
     )
     assert M.decode_png(hand).tolist() == [[10.0, 20.0], [30.0, 200.0]]
     # rejections / PIL-gate fallthroughs: bad magic, truncated,
-    # sub-byte depths, interlaced, palette-without-PLTE (16-bit and
-    # 8-bit palette are IN scope since r16), corrupt deflate
+    # sub-byte depths, bogus interlace method, palette-without-PLTE
+    # (16-bit, 8-bit palette, and Adam7 are IN scope since r16),
+    # corrupt deflate
     assert M.decode_png(b"JFIF....") is None
     assert M.decode_png(sig + b"\x00" * 30) is None
-    for depth, ct, il in [(4, 0, 0), (8, 3, 0), (8, 0, 1), (4, 3, 0)]:
+    for depth, ct, il in [(4, 0, 0), (8, 3, 0), (8, 0, 2), (4, 3, 0)]:
         bad = (
             sig
             + chunk(
@@ -1027,6 +1028,45 @@ def test_decode_png_pure_numpy():
         np.full((4, 4), 20, dtype=np.uint8), palette=pal[:10]
     )
     assert M.decode_png(over) is None
+    # Adam7 interlaced round-trips (r16): every mode, odd sizes so
+    # partial/empty passes are exercised, filters cycling per pass
+    for arr, kw in [
+        (rng.randint(0, 256, (13, 17)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (1, 1)).astype(np.uint8), {}),  # pass 1 only
+        (rng.randint(0, 256, (9, 11, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 65536, (10, 7)).astype(np.uint16), {}),
+        (
+            rng.randint(0, 16, (12, 10)).astype(np.uint8),
+            {"palette": pal},
+        ),
+    ]:
+        plain = M.decode_png(M.encode_png(arr, **kw))
+        laced = M.decode_png(
+            M.encode_png(arr, filters=[4, 3, 2, 1, 0], interlace=True, **kw)
+        )
+        assert laced is not None and np.allclose(laced, plain), (
+            arr.shape,
+            kw.keys(),
+        )
+    # encoder-independent Adam7 spec vector: 4x4 gray8, A[i][j] =
+    # 10*i + j, filter 0 everywhere.  Pass pixel order per the spec
+    # grid — p1 (0,0); p4 (0,2); p5 (2,0),(2,2); p6 rows 0,2 cols
+    # 1,3; p7 rows 1,3 all cols (passes 2,3 are empty at w=h=4)
+    A = [[10 * i + j for j in range(4)] for i in range(4)]
+    stream = bytes(
+        [0, A[0][0]]
+        + [0, A[0][2]]
+        + [0, A[2][0], A[2][2]]
+        + [0, A[0][1], A[0][3], 0, A[2][1], A[2][3]]
+        + [0] + A[1] + [0] + A[3]
+    )
+    hand7 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(hand7).tolist() == [[float(v) for v in r] for r in A]
     # encoder-independent 16-bit spec vector (network byte order): a
     # symmetric little-endian bug in encode+decode would round-trip
     # silently, so pin a hand-built stream — 1x2 gray16, filter 0,
