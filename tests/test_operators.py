@@ -1172,15 +1172,57 @@ def test_decode_tiff_pure_numpy():
     assert M._packbits_decode(b"") == b""
     blob = bytes(rng.randint(0, 3, 1000).astype(np.uint8))
     assert M._packbits_decode(M._packbits_encode(blob)) == blob
+    # LZW (compression 5, r16): hand spec vector independent of our
+    # encoder — 9-bit MSB-first codes Clear,'A','B',258(='AB'),EOI
+    bits = "".join(format(c, "09b") for c in (256, 65, 66, 258, 257))
+    bits += "0" * (-len(bits) % 8)
+    hand_lzw = bytes(
+        int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+    )
+    assert M._lzw_decode(hand_lzw) == b"ABAB"
+    # round-trips crossing every early-change width boundary
+    # (510/1022/2046) and the 4094 table reset
+    big = bytes(rng.randint(0, 256, 120000).astype(np.uint8))
+    assert M._lzw_decode(M._lzw_encode(big)) == big
+    runsy = bytes(rng.randint(0, 4, 50000).astype(np.uint8))
+    assert M._lzw_decode(M._lzw_encode(runsy)) == runsy
+    assert M._lzw_decode(M._lzw_encode(b"")) == b""
+    # a stream that does not start with Clear is malformed
+    assert M._lzw_decode(b"\x00\x41") is None
+    # LZW TIFFs, with and without the horizontal-differencing
+    # predictor (tag 317), byte orders and strip splits
+    for arr, want in ((gray, gray.astype(np.float64)), (rgb, want_rgb)):
+        for be in (False, True):
+            for pred in (1, 2):
+                assert np.array_equal(
+                    M.decode_tiff(
+                        M.encode_tiff(
+                            arr,
+                            big_endian=be,
+                            rows_per_strip=2,
+                            lzw=True,
+                            predictor=pred,
+                        )
+                    ),
+                    want,
+                ), (arr.shape, be, pred)
+    # predictor composes with PackBits and no-compression too
+    assert np.array_equal(
+        M.decode_tiff(M.encode_tiff(rgb, predictor=2, packbits=True)),
+        want_rgb,
+    )
+    assert np.array_equal(
+        M.decode_tiff(M.encode_tiff(rgb, predictor=2)), want_rgb
+    )
     # rejections / PIL-gate fallthroughs
     assert M.decode_tiff(b"JFIF....") is None
     assert M.decode_tiff(b"II*\x00\x00\x00") is None
     full = M.encode_tiff(gray)
     assert M.decode_tiff(full[:-3]) is None  # truncated strip
-    # LZW (259 = 5) still falls through to the PIL gate
+    # deflate (259 = 8) still falls through to the PIL gate
     comp = bytearray(full)
     # entry 4 (tag 259) value lives at 8 + 2 + 12*3 + 8 in our layout
-    comp[8 + 2 + 12 * 3 + 8] = 5
+    comp[8 + 2 + 12 * 3 + 8] = 8
     assert M.decode_tiff(bytes(comp)) is None
 
 
