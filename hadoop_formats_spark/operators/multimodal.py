@@ -667,14 +667,14 @@ def decode_tiff(payload: bytes):
     first IFD's 12-byte entries (SHORT and LONG value types,
     inline-vs-offset values per the spec's 4-byte rule), honor
     RowsPerStrip by concatenating StripOffsets/StripByteCounts strips
-    (each strip PackBits-decompressed when Compression=32773 or
-    LZW-decompressed when Compression=5, with the horizontal-
-    differencing Predictor undone when tag 317 = 2 — widened r16 per
-    VERDICT r15 #7), and reduce via the same ITU-R BT.601 integer
-    luma.  Returns a float64 grayscale matrix, or ``None`` for
-    out-of-scope TIFFs (deflate/JPEG-compressed, paletted, tiled,
-    planar, 16-bit, multi-sample beyond RGB) which fall to the PIL
-    gate."""
+    (each strip PackBits-decompressed when Compression=32773,
+    LZW-decompressed when Compression=5, or zlib-inflated when
+    Compression=8/32946, with the horizontal-differencing Predictor
+    undone when tag 317 = 2 — widened r16 per VERDICT r15 #7), and
+    reduce via the same ITU-R BT.601 integer luma.  Returns a float64
+    grayscale matrix, or ``None`` for out-of-scope TIFFs (JPEG/CCITT-
+    compressed, paletted, tiled, planar, 16-bit, multi-sample beyond
+    RGB) which fall to the PIL gate."""
     import numpy as np
     import struct
 
@@ -725,8 +725,10 @@ def decode_tiff(payload: bytes):
     predictor = (tags.get(317) or [1])[0]
     if not w or not h or not offsets or len(offsets) != len(counts):
         return None
-    if compression not in (1, 5, 32773) or any(b != 8 for b in bits):
-        return None  # deflate/JPEG -> PIL gate
+    if compression not in (1, 5, 8, 32946, 32773) or any(
+        b != 8 for b in bits
+    ):
+        return None  # JPEG/CCITT -> PIL gate
     if predictor not in (1, 2):
         return None  # floating-point predictor -> PIL gate
     if (photometric, spp) not in ((1, 1), (2, 3)):
@@ -741,6 +743,13 @@ def decode_tiff(payload: bytes):
         elif compression == 5:
             strip = _lzw_decode(strip)
             if strip is None:
+                return None
+        elif compression in (8, 32946):  # Adobe / legacy deflate
+            import zlib
+
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error:
                 return None
         strips.append(strip)
     raw = b"".join(strips)
@@ -763,7 +772,7 @@ def decode_tiff(payload: bytes):
 def encode_tiff(gray_or_rgb, *, big_endian: bool = False,
                 rows_per_strip: int | None = None,
                 packbits: bool = False, lzw: bool = False,
-                predictor: int = 1) -> bytes:
+                deflate: bool = False, predictor: int = 1) -> bytes:
     """Minimal baseline-TIFF ENCODER (8-bit gray/RGB, strip-organized,
     II or MM byte order; uncompressed, PackBits, or LZW) — the
     test/fixture partner of ``decode_tiff``.  ``rows_per_strip``
@@ -771,12 +780,13 @@ def encode_tiff(gray_or_rgb, *, big_endian: bool = False,
     exercised for real; ``packbits`` compresses each strip with
     PackBits (each scanline packed separately per the spec, then
     concatenated); ``lzw`` compresses each strip with TIFF-variant
-    LZW; ``predictor=2`` applies horizontal differencing before
-    compression (tag 317, LZW's usual companion)."""
+    LZW; ``deflate`` with zlib (Compression=8); ``predictor=2``
+    applies horizontal differencing before compression (tag 317,
+    LZW's usual companion)."""
     import numpy as np
     import struct
 
-    if packbits and lzw:
+    if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression")
     arr = np.asarray(gray_or_rgb, dtype=np.uint8)
     if arr.ndim == 2:
@@ -810,6 +820,13 @@ def encode_tiff(gray_or_rgb, *, big_endian: bool = False,
     elif lzw:
         strips = [
             _lzw_encode(flat[y : y + rps].tobytes())
+            for y in range(0, h, rps)
+        ]
+    elif deflate:
+        import zlib
+
+        strips = [
+            zlib.compress(flat[y : y + rps].tobytes())
             for y in range(0, h, rps)
         ]
     else:
@@ -859,7 +876,8 @@ def encode_tiff(gray_or_rgb, *, big_endian: bool = False,
         (256, 4, 1, long_val(w)),
         (257, 4, 1, long_val(h)),
         (258, 3, spp, bits_field),
-        (259, 3, 1, short_val(32773 if packbits else 5 if lzw else 1)),
+        (259, 3, 1, short_val(
+            32773 if packbits else 5 if lzw else 8 if deflate else 1)),
         (262, 3, 1, short_val(photometric)),
         (273, 4, n_strips, off_field),
         (277, 3, 1, short_val(spp)),
@@ -1037,9 +1055,9 @@ def decode_features(df: DataFrame, *, decode: str = "stub") -> DataFrame:
                         "BMP, PNG (8/16-bit gray/RGB/alpha or 8-bit "
                         "palette, plain or Adam7-interlaced), or "
                         "baseline TIFF (8-bit gray/RGB; uncompressed, "
-                        "PackBits, or LZW, predictor 1/2) requires an "
-                        "image library (PIL) not present in this "
-                        "environment; those containers decode "
+                        "PackBits, LZW, or deflate, predictor 1/2) "
+                        "requires an image library (PIL) not present "
+                        "in this environment; those containers decode "
                         "everywhere via the built-in numpy parsers"
                     )
             if not payload:

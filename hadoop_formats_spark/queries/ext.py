@@ -2136,12 +2136,12 @@ def multimodal_wav_real_decode(spark, sf_dir):
     "reassemble the raster from RowsPerStrip-split strips before the "
     "BT.601 luma (operators/multimodal.py decode_tiff, pure numpy).  "
     "Docs alternate II/MM by parity, 1/2/4 strips by doc_id%3, "
-    "none/PackBits/LZW compression by (doc_id//2)%3, and the "
-    "horizontal-differencing predictor by (doc_id//6)%2 (r16), so an "
-    "endianness, strip-offset, PackBits-run, LZW-width, or predictor "
-    "bug shifts means on part of the corpus and fails the hash.  "
-    "Same fused generate+decode mapInPandas shape as the PNM/BMP/PNG "
-    "rows.",
+    "none/PackBits/LZW/deflate compression by (doc_id//2)%4, and the "
+    "horizontal-differencing predictor by (doc_id//8)%2 (r16), so an "
+    "endianness, strip-offset, PackBits-run, LZW-width, inflate, or "
+    "predictor bug shifts means on part of the corpus and fails the "
+    "hash.  Same fused generate+decode mapInPandas shape as the "
+    "PNM/BMP/PNG rows.",
 )
 def multimodal_tiff_real_decode(spark, sf_dir):
     import pandas as pd
@@ -2159,21 +2159,22 @@ def multimodal_tiff_real_decode(spark, sf_dir):
                 axis=1,
             ).astype(np.uint8).reshape(4, 4, 3)
             rps = {0: 4, 1: 2, 2: 1}[i % 3]
-            # (i//2)%3 cycles none/PackBits/LZW INDEPENDENTLY of the
-            # endianness parity, and (i//6)%2 toggles the horizontal-
-            # differencing predictor, so every (byte order,
+            # (i//2)%4 cycles none/PackBits/LZW/deflate INDEPENDENTLY
+            # of the endianness parity, and (i//8)%2 toggles the
+            # horizontal-differencing predictor, so every (byte order,
             # compression, predictor) combo appears; the decompressed
             # raster is byte-identical in all of them, so the oracle
-            # is unchanged while the PackBits and LZW strip paths
+            # is unchanged while the PackBits/LZW/deflate strip paths
             # (r16) are graded end-to-end
-            comp = (i // 2) % 3
+            comp = (i // 2) % 4
             return bytes(M.MAGIC_TAG) + M.encode_tiff(
                 rgb,
                 big_endian=bool(i % 2),
                 rows_per_strip=rps,
                 packbits=comp == 1,
                 lzw=comp == 2,
-                predictor=1 + (i // 6) % 2,
+                deflate=comp == 3,
+                predictor=1 + (i // 8) % 2,
             )
 
         for pdf in batches:

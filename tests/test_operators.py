@@ -1206,7 +1206,7 @@ def test_decode_tiff_pure_numpy():
                     ),
                     want,
                 ), (arr.shape, be, pred)
-    # predictor composes with PackBits and no-compression too
+    # predictor composes with PackBits, deflate, and no-compression
     assert np.array_equal(
         M.decode_tiff(M.encode_tiff(rgb, predictor=2, packbits=True)),
         want_rgb,
@@ -1214,14 +1214,32 @@ def test_decode_tiff_pure_numpy():
     assert np.array_equal(
         M.decode_tiff(M.encode_tiff(rgb, predictor=2)), want_rgb
     )
+    # Adobe deflate (compression 8, r16): stdlib zlib per strip
+    for be in (False, True):
+        for pred in (1, 2):
+            assert np.array_equal(
+                M.decode_tiff(
+                    M.encode_tiff(
+                        rgb,
+                        big_endian=be,
+                        rows_per_strip=2,
+                        deflate=True,
+                        predictor=pred,
+                    )
+                ),
+                want_rgb,
+            ), (be, pred)
     # rejections / PIL-gate fallthroughs
     assert M.decode_tiff(b"JFIF....") is None
     assert M.decode_tiff(b"II*\x00\x00\x00") is None
     full = M.encode_tiff(gray)
     assert M.decode_tiff(full[:-3]) is None  # truncated strip
-    # deflate (259 = 8) still falls through to the PIL gate
+    # CCITT G3 (259 = 3) still falls through to the PIL gate
     comp = bytearray(full)
     # entry 4 (tag 259) value lives at 8 + 2 + 12*3 + 8 in our layout
+    comp[8 + 2 + 12 * 3 + 8] = 3
+    assert M.decode_tiff(bytes(comp)) is None
+    # deflate with a garbage stream is corrupt, not PIL-gated
     comp[8 + 2 + 12 * 3 + 8] = 8
     assert M.decode_tiff(bytes(comp)) is None
 
