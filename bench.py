@@ -51,13 +51,18 @@ def _scaled_seq_file(n: int = 10_000_000) -> str:
     # v2: rebuilt after the snappy-chunk interop fix (chunks now ≤
     # Hadoop MAX_INPUT_SIZE so the JVM can read the file too — needed
     # for the JVM-vs-Python ingest comparison below)
-    path = cache_path("seq_cache", "scaled", "text_int_10m_v2.seq")
+    # v3: rebuilt after the r16 block-records cap fix — the v2 file
+    # carried 1 M-record blocks (write_batch used to flush ALL pending
+    # rows once the threshold was crossed), which starves byte-range
+    # splits of sync markers; v3 has spec-sized 65536-record blocks
+    path = cache_path("seq_cache", "scaled", "text_int_10m_v3.seq")
     if os.path.isfile(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    stale = os.path.join(os.path.dirname(path), "text_int_10m.seq")
-    if os.path.isfile(stale):
-        os.unlink(stale)
+    for old in ("text_int_10m.seq", "text_int_10m_v2.seq"):
+        stale = os.path.join(os.path.dirname(path), old)
+        if os.path.isfile(stale):
+            os.unlink(stale)
     import numpy as np
 
     from hadoop_formats_spark.seqfile import core

@@ -977,8 +977,15 @@ class SeqFileWriter:
         self._pending_keys.append(keys)
         self._pending_values.append(values)
         self._pending_count += len(keys)
-        if self._pending_count >= self.block_records:
-            self._flush_block()
+        # cap every record block at block_records (r16, caught by the
+        # 1 B-record decade step): flushing ALL pending rows as one
+        # block let a caller handing multi-million-row Arrow batches
+        # produce ~60 MB blocks — sync markers then appear only at
+        # block boundaries, so byte-range splits coarsen to the block
+        # size and the read path loses split parallelism (measured
+        # 12x decode slowdown on 4 M-record blocks vs 65536)
+        while self._pending_count >= self.block_records:
+            self._flush_block(self.block_records)
 
     def _write_records(self, keys: pa.Array, values: pa.Array) -> None:
         """RECORD / uncompressed layout (Hadoop Writer.append): per
@@ -1012,24 +1019,36 @@ class SeqFileWriter:
             f.write(key)
             f.write(val)
 
-    def _flush_block(self) -> None:
+    def _flush_block(self, limit: int | None = None) -> None:
+        """Write one record block of up to ``limit`` pending records
+        (all of them when ``limit`` is None, i.e. at close)."""
         if not self._pending_count:
             return
         keys = pa.concat_arrays([a.cast(WRITABLES[self.key_class][0]) for a in self._pending_keys]) if self._pending_keys else pa.nulls(0)
         values = pa.concat_arrays([a.cast(WRITABLES[self.value_class][0]) for a in self._pending_values])
+        n = len(keys) if limit is None else min(limit, len(keys))
+        if n < len(keys):
+            # zero-copy: the first n rows become this block, the tail
+            # stays pending for the next one
+            self._pending_keys = [keys.slice(n)]
+            self._pending_values = [values.slice(n)]
+            self._pending_count = len(keys) - n
+            keys = keys.slice(0, n)
+            values = values.slice(0, n)
+        else:
+            self._pending_keys = []
+            self._pending_values = []
+            self._pending_count = 0
         f = self._f
         f.write(SYNC_ESCAPE)
         f.write(self.sync)
-        f.write(encode_vint(self._pending_count))
+        f.write(encode_vint(n))
         for java_class, arr in ((self.key_class, keys), (self.value_class, values)):
             lengths, data = _encode_column(java_class, arr)
             for buf in (lengths, data):
                 comp = self._compress(buf)
                 f.write(encode_vint(len(comp)))
                 f.write(comp)
-        self._pending_keys = []
-        self._pending_values = []
-        self._pending_count = 0
 
     def close(self) -> None:
         self._flush_block()
