@@ -5081,59 +5081,110 @@ def embedding_centroid_drift(spark, sf_dir):
     "build.  Shingle-level (not whole-document md5) so partial "
     "mirrors, boilerplate sharing, and cross-posted excerpts all "
     "register, and the matrix is informative even on corpora with "
-    "zero byte-identical documents.  Scale shape: shingles are "
-    "map-side hashes, ONE distinct groupBy on (fp, source), the pair "
-    "join runs on the fingerprint key (fan-out bounded by |sources| "
-    "rows per fp — never a cross join), and the per-source totals "
-    "join is |sources|-sized broadcast.",
+    "zero byte-identical documents.  Scale shape (r16): shingles are "
+    "map-side hashes, ONE groupBy(fp) collect_set folds the per-fp "
+    "source set (|sources|-bounded, never a cross join), pairs and "
+    "per-source totals both expand from that set in place — the "
+    "corpus is shingled once, not once per self-join side — and the "
+    "totals joins are |sources|-sized broadcasts.",
 )
 def dedup_cross_source_matrix(spark, sf_dir):
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import _spread, word_shingles
 
-    d = (
-        table(spark, sf_dir, "documents")
+    # r16 optimization (guide §2.3/§2.4): the old shape referenced the
+    # shingle->md5->distinct subtree FOUR times (self-join a/b + the
+    # totals joined twice), and Catalyst re-expands DataFrame
+    # self-references, so the corpus was shingled four times (before
+    # plan: 4 parquet scans + 4 Generates).  Now ONE groupBy(fp)
+    # collect_set(source) replaces both the (fp, source) distinct and
+    # the fp self-join — the per-fp source set is expanded in place
+    # into its a<b pairs plus one (source, NULL) marker per member, so
+    # shared counts AND per-source totals fall out of a single
+    # aggregation whose identical subtree Spark collapses via
+    # ReusedExchange (after plan: 1 scan, 1 Generate pipeline).
+    srcs = (
+        _spread(
+            table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+            F.col("doc_id"),
+        )
         .select(
             F.explode(word_shingles(F.col("text"), 3)).alias("sh"),
             "source",
         )
         .select(F.md5(F.col("sh")).alias("fp"), "source")
-        .distinct()
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
     )
-    tot = d.groupBy("source").agg(F.count("*").alias("n_fp"))
-    shared = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count("*").alias("shared_fp"))
+    from pyspark.sql import Window
+
+    null_s = F.lit(None).cast("string")
+    rows = srcs.select(
+        F.explode(
+            F.concat(
+                # per-member (s, NULL) / (NULL, s) markers: the totals
+                # rows, emitted on BOTH key positions so each side's
+                # total is attachable by a window on that key — no
+                # second reference to the heavy pipeline, ever
+                F.transform(
+                    "ss",
+                    lambda s: F.struct(
+                        s.alias("source_a"), null_s.alias("source_b")
+                    ),
+                ),
+                F.transform(
+                    "ss",
+                    lambda s: F.struct(
+                        null_s.alias("source_a"), s.alias("source_b")
+                    ),
+                ),
+                # all a<b pairs within the (sorted) set: the shared rows
+                F.flatten(
+                    F.transform(
+                        "ss",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                            lambda y: F.struct(
+                                x.alias("source_a"), y.alias("source_b")
+                            ),
+                        ),
+                    )
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = rows.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n")
     )
-    ta = tot.select(
-        F.col("source").alias("source_a"), F.col("n_fp").alias("n_fp_a")
-    )
-    tb = tot.select(
-        F.col("source").alias("source_b"), F.col("n_fp").alias("n_fp_b")
-    )
+    # counts is <= |sources|^2 + 2|sources| rows; the per-source totals
+    # ride along as the NULL-keyed rows, so two windows over this tiny
+    # table attach n_fp_a / n_fp_b without joining back (a join would
+    # re-reference — and re-execute — the whole shingle pipeline)
+    w_a = Window.partitionBy("source_a")
+    w_b = Window.partitionBy("source_b")
     return (
-        shared.join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
+        counts.withColumn(
+            "n_fp_a",
+            F.max(F.when(F.col("source_b").isNull(), F.col("n"))).over(w_a),
+        )
+        .withColumn(
+            "n_fp_b",
+            F.max(F.when(F.col("source_a").isNull(), F.col("n"))).over(w_b),
+        )
+        .filter(
+            F.col("source_a").isNotNull() & F.col("source_b").isNotNull()
+        )
         .select(
             "source_a",
             "source_b",
-            "shared_fp",
+            F.col("n").alias("shared_fp"),
             "n_fp_a",
             "n_fp_b",
             F.round(
-                F.col("shared_fp") / F.least("n_fp_a", "n_fp_b"), 4
+                F.col("n") / F.least("n_fp_a", "n_fp_b"), 4
             ).alias("containment"),
             F.round(
-                F.col("shared_fp")
-                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp")),
+                F.col("n")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n")),
                 4,
             ).alias("jaccard"),
         )
