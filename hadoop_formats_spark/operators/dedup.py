@@ -111,11 +111,30 @@ def minhash_signatures(
             minhash_hash_concat(word_shingles(text_col, shingle_n), num_hashes)
         ).alias("hmat"),
     )
-    return hashed.groupBy("doc_id").agg(
+    # r16: fold each position as a NUMERIC min and re-format to the
+    # identical 8-hex string after the aggregate.  A string min has no
+    # mutable buffer, so Spark plans SortAggregate — sorting the whole
+    # exploded (doc, shingle) table by doc_id before aggregating; the
+    # long min is a codegen'd HashAggregate (plan diff: SortAggregate
+    # pair -> HashAggregate pair).  Equivalence: fixed-width lowercase
+    # hex compares byte-wise exactly like its numeric value, and
+    # lpad(lower(hex(v)), 8) is the inverse of conv(hex, 16, 10) on
+    # 32-bit slices, so h0..h{n-1} are bit-identical to the string fold
+    # (pinned by tests and every banded oracle).
+    mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.substring("hmat", j * 8 + 1, 8)).alias(f"h{j}")
+            F.min(
+                F.conv(F.substring("hmat", j * 8 + 1, 8), 16, 10).cast("long")
+            ).alias(f"v{j}")
             for j in range(num_hashes)
         ]
+    )
+    return mins.select(
+        "doc_id",
+        *[
+            F.lpad(F.lower(F.hex(F.col(f"v{j}"))), 8, "0").alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
     )
 
 
@@ -145,7 +164,13 @@ def band_bucket_pairs(
     Pass ``dropped_out`` (a list) to receive a LAZY DataFrame
     (band_id, band_key, bucket_size) of the dropped buckets so
     pipelines can count/log what the cap discarded — an eager count
-    here would force the whole upstream pipeline twice."""
+    here would force the whole upstream pipeline twice.
+
+    The final pair-level distinct stays UNCONDITIONAL (r16 probe): a
+    skip-it variant for verify-style consumers (whose pair-keyed
+    groupBy dedups anyway) re-shingled every band-collision duplicate
+    in the verify join and measured +0.4s at sf0.1 — the exchange is
+    cheaper than the duplicated work it prevents."""
     buckets = (
         banded.groupBy(band_id_col, band_key_col)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -261,7 +286,12 @@ def shingle_jaccard_pairs(
         )
         # _spread: shingling is the CPU-heavy side of the verify join —
         # without it an under-partitioned source (one small parquet
-        # file) serializes the whole shingle computation on one core
+        # file) serializes the whole shingle computation on one core.
+        # Shingles are deliberately computed BELOW the join, once per
+        # doc with the _spread parallelism — an above-the-join
+        # projection re-shingles every matched side-row on the
+        # (AQE-coalesced, tiny) candidate side instead, measured +0.4s
+        # at sf0.1 (r16 probe; both variants tried).
         shingled = sides.join(
             _spread(docs, F.col(id_col)).select(
                 F.col(id_col).alias("doc_id"),
