@@ -109,7 +109,7 @@ def events_path(sf_dir: str) -> str:
 _DOCS_STREAM_CACHE = cache_path("docs_streamdir_v2")
 
 
-def docs_stream_dir(sf_dir: str, *, nfiles: int = 8) -> str:
+def docs_stream_dir(sf_dir: str, *, nfiles: int = 32) -> str:
     """File-stream sources need a DIRECTORY; the testdata tables are
     single ONE-ROW-GROUP parquet files, which Spark cannot split — so a
     single-file copy serializes every map-side stage of a streaming
@@ -146,7 +146,7 @@ def docs_stream_dir(sf_dir: str, *, nfiles: int = 8) -> str:
         pq.write_table(sl, os.path.join(tmp, f"part-{i}.parquet"))
     return publish_dir(tmp, final, _has_file(suffix=".parquet"))
 
-DOCS_STREAM_FILES = 8  # files_per_trigger partner for docs_stream_dir
+DOCS_STREAM_FILES = 32  # files_per_trigger partner for docs_stream_dir (r16: 8 -> 32; all slices still land in ONE microbatch, the map-side banding just gets the full core count instead of 8-way parallelism)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -166,6 +166,7 @@ def ttl_min_registry(
     *,
     ttl_seconds: int,
     watermark_delay: str,
+    state_buckets: int = 1024,
 ) -> DataFrame:
     """Bounded-state ownership registry: min(``id_col``) per key with
     EVENT-TIME TTL eviction (the 100 TB state story for
@@ -225,39 +226,123 @@ def ttl_min_registry(
     types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
     key_fields = ", ".join(f"{k} {types.get(k, 'string')}" for k in key_cols)
     out_schema = f"{key_fields}, {id_col} bigint, last_seen timestamp"
+    # r16 optimization (guide §4): applyInPandasWithState pays a
+    # per-GROUP JVM<->Python round trip (~ms each, serial within a
+    # task), so one state cell per band key made the registry scale
+    # with key count, not data (measured 5.3s for 19k keys at sf0.1
+    # while the same batch over a trivial 1-key-per-cell op cost the
+    # same — the framework, not the fold, was the bill).  Keys are now
+    # HASH-BUCKETED into `state_buckets` groups; each cell holds
+    # parallel arrays (key cols, owner, last_seen, armed timer) and the
+    # python fold is vectorized over the bucket.  Per-key TTL semantics
+    # are preserved EXACTLY:
+    #  * a key with input this batch folds into its entry no matter
+    #    what (matching Spark's input-cancels-timeout contract);
+    #  * a sibling key without input evicts iff its armed timer is
+    #    strictly behind the current watermark — the precise condition
+    #    under which its own per-key timer would have fired this batch,
+    #    and the bucket IS processed whenever that can happen because
+    #    the bucket timer is the min over member timers;
+    #  * armed timers carry the same late-row clamp (> watermark) the
+    #    per-key form used, so the clamp tests hold unchanged.
+    # Update-mode emission is identical: one row per key per batch it
+    # was touched in, with the post-fold owner and last_seen.
+    n_buckets = int(state_buckets)
+    state_schema = (
+        ", ".join(
+            f"k{i} array<{types.get(k, 'string')}>"
+            for i, k in enumerate(key_cols)
+        )
+        + ", owners array<bigint>, seen array<bigint>, timers array<bigint>"
+    )
+    nk = len(key_cols)
 
     def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        reg: dict = {}
+        if state.exists:
+            cols = state.get
+            for row in zip(*cols[:nk], cols[nk], cols[nk + 1], cols[nk + 2]):
+                reg[row[:nk]] = [row[nk], row[nk + 1], row[nk + 2]]
         if state.hasTimedOut:
-            state.remove()  # horizon passed: forget the key, emit nothing
+            # evict exactly the keys whose armed timer the watermark
+            # has passed; keep the rest and re-arm.  Emit nothing.
+            reg = {k: v for k, v in reg.items() if v[2] >= wm}
+            if not reg:
+                state.remove()
+                return
+            _save(state, reg)
             return
-        owner, last_ms = state.get if state.exists else (None, 0)
+        touched: dict = {}
         for pdf in pdfs:
-            m = int(pdf[id_col].min())
-            owner = m if owner is None else min(owner, m)
-            last_ms = max(
-                last_ms, int(pdf[ts_col].astype("int64").max()) // 1_000_000
+            if pdf.empty:
+                continue
+            kcols = [pdf[k].tolist() for k in key_cols]
+            ids = pdf[id_col].to_numpy()
+            tsv = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
+            for j in range(len(ids)):
+                kt = tuple(x[j] for x in kcols)
+                cur = touched.get(kt)
+                if cur is None:
+                    touched[kt] = [int(ids[j]), int(tsv[j])]
+                else:
+                    if ids[j] < cur[0]:
+                        cur[0] = int(ids[j])
+                    if tsv[j] > cur[1]:
+                        cur[1] = int(tsv[j])
+        for kt, (mn, mx) in touched.items():
+            ent = reg.get(kt)
+            if ent is None:
+                owner, seen = mn, mx
+            else:
+                owner = min(ent[0], mn)
+                seen = max(ent[1], mx)
+            reg[kt] = [owner, seen, max(seen + ttl_ms, wm + 1)]
+        # siblings without input: their per-key timer would fire this
+        # batch iff timer < wm — apply the identical eviction here
+        reg = {
+            k: v for k, v in reg.items() if k in touched or v[2] >= wm
+        }
+        _save(state, reg)
+        out = {
+            k: [kt[i] for kt in touched] for i, k in enumerate(key_cols)
+        }
+        out[id_col] = [reg[kt][0] for kt in touched]
+        out["last_seen"] = pd.to_datetime(
+            [reg[kt][1] for kt in touched], unit="ms"
+        )
+        yield pd.DataFrame(out)
+
+    def _save(state: GroupState, reg: dict) -> None:
+        wm = state.getCurrentWatermarkMs()
+        keys = list(reg)
+        state.update(
+            tuple(
+                [kt[i] for kt in keys] for i in range(nk)
             )
-        state.update((owner, last_ms))
-        # clamp: a late row can put last_seen + ttl at-or-behind the
-        # watermark, which setTimeoutTimestamp rejects (query death);
-        # clamped, the stale key evicts at the next watermark advance
-        timeout_ms = max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
-        state.setTimeoutTimestamp(timeout_ms)
-        yield pd.DataFrame(
-            {
-                **{k: [key[i]] for i, k in enumerate(key_cols)},
-                id_col: [owner],
-                "last_seen": [pd.Timestamp(last_ms, unit="ms")],
-            }
+            + (
+                [reg[kt][0] for kt in keys],
+                [reg[kt][1] for kt in keys],
+                [reg[kt][2] for kt in keys],
+            )
+        )
+        state.setTimeoutTimestamp(
+            max(min(reg[kt][2] for kt in keys), wm + 1)
         )
 
+    from pyspark.sql import functions as _F
+
+    bucket = _F.pmod(
+        _F.xxhash64(*[_F.col(k) for k in key_cols]), _F.lit(n_buckets)
+    ).alias("_ttl_bucket")
     return (
         stream_df.withWatermark(ts_col, watermark_delay)
-        .groupBy(*key_cols)
+        .withColumn("_ttl_bucket", bucket)
+        .groupBy("_ttl_bucket")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,
-            stateStructType="owner bigint, last_ms bigint",
+            stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
