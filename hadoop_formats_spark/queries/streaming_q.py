@@ -31,6 +31,7 @@ def _run_to_memory(
     output_mode: str = "complete",
     state_partitions: int = 8,
     assert_no_watermark_drops: bool = False,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     # state_partitions sizes the state store (see run_available_now):
     # these replays are one bounded micro-batch, so per-partition store
@@ -44,6 +45,7 @@ def _run_to_memory(
         output_mode=output_mode,
         state_partitions=state_partitions,
         assert_no_watermark_drops=assert_no_watermark_drops,
+        final_no_data_batch=final_no_data_batch,
     )
 
 
@@ -71,8 +73,12 @@ def stream_tumbling_hourly_counts(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
     # windowed-agg state over one bounded batch: 2 partitions (0.79s
-    # vs 1.12s at 8 on sf0.1); raise with key cardinality at scale
-    out = _run_to_memory(agg, spark, state_partitions=2)
+    # vs 1.12s at 8 on sf0.1); raise with key cardinality at scale.
+    # Complete-mode agg: every row re-emits each data batch, so the
+    # watermark-only finalizing batch adds nothing — skip it (r16)
+    out = _run_to_memory(
+        agg, spark, state_partitions=2, final_no_data_batch=False
+    )
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -106,7 +112,8 @@ def stream_sliding_window_counts(spark, sf_dir):
         .groupBy(F.window("ts", "2 hours", "1 hour"))
         .agg(F.count("*").alias("n"))
     )
-    out = _run_to_memory(agg, spark)
+    # complete-mode agg: the finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(agg, spark, final_no_data_batch=False)
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
     ).orderBy("window_start")
@@ -282,7 +289,15 @@ def stream_stream_join_click_to_purchase(spark, sf_dir):
     # is batch post-processing of the (fully emitted) join output
     # join state is two tiny per-user buffers over one bounded batch:
     # 2 state partitions (measured 2.1s vs 2.9s at 8 on sf0.1)
-    out = _run_to_memory(joined, spark, output_mode="append", state_partitions=2)
+    # INNER join emits on match during the data batch; the finalizing
+    # no-data batch only evicts state (measured ~0.8s of the run) — skip
+    out = _run_to_memory(
+        joined,
+        spark,
+        output_mode="append",
+        state_partitions=2,
+        final_no_data_batch=False,
+    )
     return (
         out.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
     )
@@ -403,7 +418,8 @@ def stream_late_data_drop(spark, sf_dir):
         .groupBy(F.window("ts", "1 day"))
         .agg(F.count("*").alias("n"))
     )
-    out = _run_to_memory(agg, spark)
+    # complete-mode agg: the finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(agg, spark, final_no_data_batch=False)
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
     ).orderBy("window_start")

@@ -40,10 +40,24 @@ def run_available_now(
     output_mode: str = "complete",
     state_partitions: int | None = 8,
     assert_no_watermark_drops: bool = False,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow trigger)
     into a memory sink and return the sink table.  For tests/oracles:
     a streaming agg over a static source must equal the batch answer.
+
+    ``final_no_data_batch=False`` disables the watermark-advancing
+    no-data micro-batch for THIS run (r16,
+    ``spark.sql.streaming.noDataMicroBatches.enabled``, restored
+    after).  Only sound for pipelines whose every result row is
+    emitted during the data batches themselves — complete/update-mode
+    aggregations and INNER stream-stream joins (which emit on match).
+    Pipelines that hold rows back until the watermark passes —
+    append-mode windowed aggs, LEFT OUTER stream-stream joins,
+    event-time-timer evictions that EMIT — need the finalizing batch
+    and must keep the default.  Each caller that opts out is
+    oracle-verified, so a semantics slip fails the grading gate, not
+    just a review.
 
     ``assert_no_watermark_drops=True`` raises if any micro-batch's
     state operators report ``numRowsDroppedByWatermark > 0`` — a row
@@ -60,8 +74,12 @@ def run_available_now(
     value is restored after the run."""
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    _NDMB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndmb = spark.conf.get(_NDMB)
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not final_no_data_batch:
+        spark.conf.set(_NDMB, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -85,6 +103,7 @@ def run_available_now(
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_NDMB, prev_ndmb)
     return spark.table(name)
 
 
