@@ -477,7 +477,16 @@ def join_inner_revenue_by_nation(spark, sf_dir):
     doc="5-way join: fact-fact shuffle join + broadcast dim chain.",
 )
 def join_5way_region_rollup_revenue(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    from ..operators.dedup import _spread
+
+    # _spread (r16): with every dimension broadcast, the whole
+    # probe+fold pipeline runs with the FACT scan's parallelism, and
+    # the single-split bench input serializes it on one core; a keyed
+    # repartition (no-op at cluster scale via the guard; keyed, so no
+    # sort-before-repartition cost) spreads the probes.  Safe for the
+    # revenue fold: it sums EXACT bigint units, so the result is
+    # row-order independent by construction (the r15 exactness work).
+    li = _spread(table(spark, sf_dir, "lineitem"), F.col("l_orderkey"))
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
