@@ -1089,9 +1089,10 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str):
 )
 def filter_length_percentile(spark: SparkSession, sf_dir: str):
     d = table(spark, sf_dir, "documents")
+    _ps = F.percentile("n_chars", F.array(F.lit(0.05), F.lit(0.95)))
     q = d.groupBy("lang").agg(
-        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
-        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+        _ps[0].alias("lo"),  # one exact-percentile buffer, not two (r16)
+        _ps[1].alias("hi"),
     )
     return (
         d.join(F.broadcast(q), "lang")
@@ -1785,9 +1786,10 @@ def curation_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str):
         "ppl",
         F.round(F.col("ppl") * 100).cast("long").alias("ppl_c"),
     )
+    _ps = F.percentile("ppl", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)))
     cuts = lp.groupBy("lang").agg(
-        F.round(F.percentile("ppl", 1.0 / 3), 4).alias("p33"),
-        F.round(F.percentile("ppl", 2.0 / 3), 4).alias("p67"),
+        F.round(_ps[0], 4).alias("p33"),  # one buffer, not two (r16)
+        F.round(_ps[1], 4).alias("p67"),
     )
     b = lp.join(F.broadcast(cuts), "lang").select(
         "lang",
@@ -2163,9 +2165,10 @@ def corpus_build_pipeline_v2(spark: SparkSession, sf_dir: str):
     )
     ppl = T.bigram_surprisal(d).select("doc_id", "ppl")
     lp = survivors.join(ppl, "doc_id")
+    _ps = F.percentile("ppl", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)))
     cuts = lp.groupBy("lang").agg(
-        F.round(F.percentile("ppl", 1.0 / 3), 4).alias("p33"),
-        F.round(F.percentile("ppl", 2.0 / 3), 4).alias("p67"),
+        F.round(_ps[0], 4).alias("p33"),  # one buffer, not two (r16)
+        F.round(_ps[1], 4).alias("p67"),
     )
     kept = (
         lp.join(F.broadcast(cuts), "lang")

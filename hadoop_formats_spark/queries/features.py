@@ -171,11 +171,24 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("o_totalprice").alias("price"), "bad")
     )
+    # r16: `labeled` (join + groupBy over the fact table) is consumed
+    # twice — once to learn the percentile edges, once to bin — and
+    # Catalyst re-expands DataFrame self-references, so the whole
+    # labeling pipeline executed twice.  A lazy localCheckpoint turns
+    # the second reference into a reuse of the first execution's
+    # (|orders|-row, 2-column) blocks; the two-phase quantile-binning
+    # shape itself is unchanged (learning edges before binning is
+    # inherently two passes over `labeled`, just not two builds of it).
+    labeled = labeled.localCheckpoint(eager=False)
+    # ONE array-percentile instead of four scalar ones (r16): the exact
+    # Percentile aggregate is an interpreted ObjectAggregate whose buffer
+    # holds every value, so n separate calls build n full buffers —
+    # measured 1.9s -> 1.0s for this edges aggregate at sf0.1.  The
+    # array form evaluates the same exact-interpolation definition, so
+    # every edge value is bit-identical.
+    _ps = F.percentile("price", F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)]))
     edges = labeled.agg(
-        *[
-            F.round(F.percentile("price", p), 4).alias(f"e{i}")
-            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
-        ]
+        *[F.round(_ps[i], 4).alias(f"e{i + 1}") for i in range(4)]
     )
     binned = labeled.crossJoin(F.broadcast(edges)).select(
         F.when(F.col("price") <= F.col("e1"), 1)

@@ -1436,8 +1436,13 @@ def agg_exact_percentiles(spark, sf_dir):
         li.groupBy("l_returnflag")
         .agg(
             F.median("l_extendedprice").alias("med_price"),
-            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
-            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+            # one array-percentile buffer for both cuts (r16)
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.95))
+            )[0].alias("p25"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.95))
+            )[1].alias("p95"),
         )
         .orderBy("l_returnflag")
     )

@@ -1352,11 +1352,14 @@ def stats_winsorized_segment_spend(spark: SparkSession, sf_dir: str):
     j = o.join(
         F.broadcast(c), o.o_custkey == c.c_custkey
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+    # one array-percentile: a single exact-percentile buffer per group
+    # instead of two (identical values; see feature_woe_iv, r16)
+    _ps = F.percentile("price", F.array(F.lit(0.05), F.lit(0.95)))
     pct = j.groupBy("segment").agg(
         F.count("*").alias("n"),
         F.avg("price").alias("raw_mean"),
-        F.percentile("price", 0.05).alias("p05"),
-        F.percentile("price", 0.95).alias("p95"),
+        _ps[0].alias("p05"),
+        _ps[1].alias("p95"),
     )
     clamped = F.greatest("p05", F.least("p95", F.col("price")))
     return (
