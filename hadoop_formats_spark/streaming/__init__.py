@@ -422,45 +422,117 @@ def stateful_last_touch(
     asserted by its pytest; for disordered ingest put a watermarked
     sort-buffer upstream).
     """
+    import numpy as np
     import pandas as pd
 
+    from pyspark.sql import functions as _F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # r16 optimization (guide §4, same rationale as ttl_min_registry):
+    # one state cell per user paid the applyInPandasWithState per-group
+    # JVM<->Python round trip per user per batch, and the per-row
+    # ``iterrows`` walk cost ~40µs/row.  Users are hash-bucketed into
+    # 256 state groups holding parallel arrays of (user, ts, order,
+    # type) triples, and the event-time walk is vectorized per user
+    # segment (the last-nonconversion index is a shifted cumulative
+    # max).  Per-user semantics are unchanged: rows are walked in
+    # (ts, order) order within the batch, conversions credit the
+    # carried touch or 'direct', and the newest non-conversion touch
+    # carries across batches exactly as before (multi-batch pytest).
+    n_buckets = 256
+
     def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
-        # state: (ts_micros, order, touch_type); sentinel order<0 = none
-        t_us, t_ord, t_type = (
-            state.get if state.exists else (0, -1, "")
-        )
+        reg: dict = {}
+        if state.exists:
+            us, t_uss, t_ords, t_types = state.get
+            for row in zip(us, t_uss, t_ords, t_types):
+                reg[row[0]] = list(row[1:])
         chunks = [p for p in pdfs if len(p)]
-        if not chunks:
-            state.update((t_us, t_ord, t_type))
-            return
-        rows = pd.concat(chunks, ignore_index=True)
-        rows = rows.sort_values([ts_col, order_col]).reset_index(drop=True)
-        channels, values = [], []
-        for _, r in rows.iterrows():
-            if r[type_col] == conversion:
-                channels.append(t_type if t_ord >= 0 else "direct")
-                values.append(float(r[value_col]))
-            else:
-                t_us = int(r[ts_col].value // 1000)
-                t_ord = int(r[order_col])
-                t_type = str(r[type_col])
-        state.update((t_us, t_ord, t_type))
+        out_u: list = []
+        out_c: list = []
+        out_v: list = []
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            rows = rows.sort_values(
+                [user_col, ts_col, order_col]
+            ).reset_index(drop=True)
+            users = rows[user_col].to_numpy()
+            types = rows[type_col].to_numpy()
+            tsv = rows[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            ords = rows[order_col].to_numpy()
+            vals = rows[value_col].to_numpy()
+            conv = types == conversion
+            # per-row index of the last non-conversion row STRICTLY
+            # before it within the same user segment
+            idx = np.arange(len(rows))
+            seg_start = np.ones(len(rows), dtype=bool)
+            seg_start[1:] = users[1:] != users[:-1]
+            nc_pos = np.where(~conv, idx, -1)
+            # the running last-nonconversion max must reset per user
+            # segment, so walk segments (tiny: users per bucket) and
+            # vectorize within each
+            starts = np.flatnonzero(seg_start)
+            bounds = np.append(starts, len(rows))
+            for si in range(len(starts)):
+                lo, hi = bounds[si], bounds[si + 1]
+                seg_nc = nc_pos[lo:hi]
+                run = np.maximum.accumulate(seg_nc)
+                prev = np.empty(hi - lo, dtype=np.int64)
+                prev[0] = -1
+                prev[1:] = run[:-1]
+                # plain python int: state values cross to the JVM via
+                # pyrolite pickle, which rejects numpy scalars
+                u = int(users[lo])
+                ent = reg.get(u)
+                carried = (
+                    ent[2] if ent is not None and ent[1] >= 0 else "direct"
+                )
+                seg_conv = conv[lo:hi]
+                if seg_conv.any():
+                    ci = np.flatnonzero(seg_conv)
+                    for j in ci:
+                        # prev[] holds ABSOLUTE row indices (or -1);
+                        # j is segment-relative
+                        p = prev[j]
+                        out_u.append(u)
+                        out_c.append(types[p] if p >= 0 else carried)
+                        out_v.append(float(vals[lo + j]))
+                if run[-1] >= 0:
+                    j = run[-1]
+                    # ts stored in microseconds (as before); the cell
+                    # is internal — only t_ord>=0 and t_type are read
+                    reg[u] = [int(tsv[j]), int(ords[j]), str(types[j])]
+                elif ent is None:
+                    reg[u] = [0, -1, ""]
+        keys = list(reg)
+        state.update(
+            (
+                keys,
+                [reg[u][0] for u in keys],
+                [reg[u][1] for u in keys],
+                [reg[u][2] for u in keys],
+            )
+        )
         yield pd.DataFrame(
-            {
-                user_col: [key[0]] * len(channels),
-                "channel": channels,
-                "value": values,
-            }
+            {user_col: out_u, "channel": out_c, "value": out_v}
         )
 
-    return stream_df.groupBy(user_col).applyInPandasWithState(
-        update,
-        outputStructType=f"{user_col} bigint, channel string, value double",
-        stateStructType="t_us bigint, t_ord bigint, t_type string",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    bucket = _F.pmod(
+        _F.xxhash64(_F.col(user_col)), _F.lit(n_buckets)
+    ).alias("_lt_bucket")
+    return (
+        stream_df.withColumn("_lt_bucket", bucket)
+        .groupBy("_lt_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{user_col} bigint, channel string, value double",
+            stateStructType=(
+                "us array<bigint>, t_us array<bigint>, "
+                "t_ord array<bigint>, t_type array<string>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
