@@ -208,7 +208,10 @@ def seqfile_stream_source_counts(spark, sf_dir):
         .load(path)
     )
     agg = s.groupBy("value").agg(F.count("*").alias("n"))
-    return run_available_now(agg, spark).orderBy("value")
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    return run_available_now(
+        agg, spark, final_no_data_batch=False
+    ).orderBy("value")
 
 
 @register(

@@ -150,7 +150,8 @@ def stream_session_windows(spark, sf_dir):
         .groupBy(F.session_window("ts", "2 hours"), "user_id")
         .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
     )
-    out = _run_to_memory(agg, spark)
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(agg, spark, final_no_data_batch=False)
     return out.select(
         "user_id",
         "n_events",
@@ -173,7 +174,8 @@ def stream_dedup_by_user_type(spark, sf_dir):
         ["user_id", "event_type"]
     )
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n"))
-    out = _run_to_memory(agg, spark)
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(agg, spark, final_no_data_batch=False)
     return out.orderBy("event_type")
 
 
@@ -217,7 +219,11 @@ def stream_dedup_within_watermark(spark, sf_dir):
     # trigger).  If the source ever split into multiple batches, rows
     # behind the 2 h watermark would be silently dropped as late —
     # fail loudly instead of silently diverging (ADVICE r10).
-    out = _run_to_memory(agg, spark, assert_no_watermark_drops=True)
+    # complete-mode agg; drop metrics come from the data batches, so
+    # the finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(
+        agg, spark, assert_no_watermark_drops=True, final_no_data_batch=False
+    )
     return out.orderBy("event_type")
 
 
@@ -244,7 +250,10 @@ def stream_stateful_user_stats(spark, sf_dir):
         "value_cents", F.round(F.col("value") * 100).cast("long")
     )
     out = stateful_group_stats(cents, "user_id", "value_cents")
-    res = _run_to_memory(out, spark, output_mode="update")
+    # update-mode NoTimeout stateful op emits during data batches (r16)
+    res = _run_to_memory(
+        out, spark, output_mode="update", final_no_data_batch=False
+    )
     return res.select(
         "user_id",
         "n_events",
@@ -576,6 +585,8 @@ def stream_minhash_band_dedup(spark, sf_dir):
         .agg(F.min("doc_id").alias("owner")),
         spark,
         state_partitions=2,
+        # complete-mode agg: finalizing no-data batch adds nothing (r16)
+        final_no_data_batch=False,
     )
     # the batch arm reads the same split copy: the testdata single
     # one-row-group file scans as 1 task; the 8-file copy gives the
@@ -645,7 +656,10 @@ def stream_static_join_enrichment(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    out = _run_to_memory(agg, spark, state_partitions=2)
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(
+        agg, spark, state_partitions=2, final_no_data_batch=False
+    )
     return out.orderBy("first_type")
 
 
@@ -756,7 +770,10 @@ def stream_hll_distinct_users(spark, sf_dir):
         group_col="grp",
         item_col="item",
     )
-    out = _run_to_memory(regs, spark, state_partitions=2)
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(
+        regs, spark, state_partitions=2, final_no_data_batch=False
+    )
     est = SK.hll_estimate(out, group_col="grp", est_col="hll_est")
     exact = (
         table(spark, sf_dir, "events")
@@ -842,6 +859,10 @@ def stream_ttl_band_registry(spark, sf_dir):
         # 23s at 8, 11.8s at 32, identical 18,881 output rows
         state_partitions=32,
         assert_no_watermark_drops=True,
+        # update-mode emissions all happen in the data batch; the
+        # finalizing batch only fires eviction timers, which emit
+        # nothing (r16) — and availableNow state dies with the query
+        final_no_data_batch=False,
     )
     return (
         out.groupBy("band_id", "band_key")
@@ -898,7 +919,10 @@ def stream_attribution_last_touch(spark, sf_dir):
 
     s = _events_stream(spark, sf_dir).filter(F.col("event_type") != "error")
     out = stateful_last_touch(s)
-    res = _run_to_memory(out, spark, output_mode="append")
+    # NoTimeout stateful op emits during the data batches (r16)
+    res = _run_to_memory(
+        out, spark, output_mode="append", final_no_data_batch=False
+    )
     return (
         res.groupBy("channel")
         .agg(
@@ -955,7 +979,10 @@ def stream_sliding_topk_trending(spark, sf_dir):
         .groupBy(F.window("ts", "4 hours", "2 hours"), "event_type")
         .agg(F.count("*").alias("n"))
     )
-    out = _run_to_memory(agg, spark, state_partitions=2)
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(
+        agg, spark, state_partitions=2, final_no_data_batch=False
+    )
     w = Window.partitionBy("window_start").orderBy(
         F.desc("n"), "event_type"
     )
@@ -1011,6 +1038,8 @@ def stream_tws_running_stats(spark, sf_dir):
             spark,
             output_mode="update",
             state_partitions=2,
+            # update-mode NoTimeout stateful op: emits in data batches (r16)
+            final_no_data_batch=False,
         )
     finally:
         if not use_tws:
@@ -1228,7 +1257,10 @@ def stream_ohlc_candles(spark, sf_dir):
             F.sum("cents").cast("long").alias("vol_c"),
         )
     )
-    out = _run_to_memory(agg, spark, state_partitions=2)
+    # complete-mode agg: finalizing no-data batch adds nothing (r16)
+    out = _run_to_memory(
+        agg, spark, state_partitions=2, final_no_data_batch=False
+    )
     return out.select(
         "event_type",
         F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
