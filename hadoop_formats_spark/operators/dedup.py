@@ -614,15 +614,19 @@ def connected_components(
     # * batch TWO propagation hops into each materialized round (same
     #   total shuffle work per hop, half the job/checkpoint/convergence
     #   overhead; converged hops are no-ops, so overshoot is harmless);
-    # * convergence via the label SUM, not a diff join: labels only
-    #   ever decrease (new = least(old, min-neighbor)), so the sum is
-    #   strictly monotone and stalls iff the labels did.  Folding the
-    #   sum into the action that materializes the lazy checkpoint makes
-    #   each round exactly ONE Spark job (the old shape — eager
-    #   checkpoint, then a self-join diff count — was two jobs and an
-    #   extra shuffle per round).  decimal(38,0) so the sum can't
-    #   overflow at any node-count × id-range.
-    def _hop(lab: DataFrame) -> DataFrame:
+    # * convergence detected IN-ROUND (r17): the second hop carries the
+    #   first hop's label alongside its own, and the round's one action
+    #   counts rows where they differ.  _hop is deterministic and
+    #   monotone, so "hop 2 changed nothing" means the labels are a
+    #   fixed point of _hop — converged — with no confirming round
+    #   needed.  (The r16 shape compared the label SUM against the
+    #   previous round's, which can only OBSERVE a stall one round
+    #   late: near-dup components are mostly stars that converge in one
+    #   hop, so that design always paid a second join round purely to
+    #   re-observe the stall.)  Each round stays exactly ONE Spark job:
+    #   the change-count agg is the action that materializes the lazy
+    #   checkpoint.
+    def _hop(lab: DataFrame, keep: tuple = ()) -> DataFrame:
         nbr = (
             sym.join(
                 lab.select(
@@ -635,31 +639,30 @@ def connected_components(
         )
         return lab.join(nbr, "src", "left").select(
             "src",
+            *keep,
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                 "label"
             ),
         )
 
-    prev_sum = None
-    # +1: a stall can only be OBSERVED one round after it happens, so
-    # the budget reserves a confirming round beyond the max_iter hops —
-    # otherwise a component whose diameter lands exactly on the budget
-    # converges in the final round yet still raises (its sum changed
-    # during that round).  Converged hops are no-ops, so the extra
-    # round is cheap.
+    # the budget in ROUNDS covers max_iter propagation hops; no
+    # confirming round is reserved because convergence is detected
+    # inside the round that reaches it (hop-2 no-op == fixed point)
     n_rounds = (max_iter + 1) // 2 + 1
     for _ in range(n_rounds):
-        new_labels = _ckpt(_hop(_hop(labels)))
-        row_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = new_labels
-        if row_sum is None:
+        h1 = _hop(labels).withColumn("prev", F.col("label"))
+        new_labels = _ckpt(_hop(h1, keep=("prev",)))
+        row = new_labels.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("label") != F.col("prev")).cast("long")).alias(
+                "chg"
+            ),
+        ).collect()[0]
+        labels = new_labels.select("src", "label")
+        if row["n"] == 0:
             break  # empty edge set: no labels, trivially converged
-        cur_sum = int(row_sum)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if row["chg"] == 0:
+            break  # hop 2 was a no-op ⇒ fixed point of _hop
     else:
         # Exhausted the budget without a confirmed stall: the labels
         # are partial (a component wider than the hop budget still
@@ -668,8 +671,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within "
             f"{n_rounds} double-hop rounds ({n_rounds * 2} propagation "
-            f"hops, from max_iter={max_iter}; label sum still "
-            "decreasing); raise max_iter for graphs with long chains"
+            f"hops, from max_iter={max_iter}; labels still changing "
+            "in the final round); raise max_iter for graphs with "
+            "long chains"
         )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("group_id")

@@ -209,36 +209,70 @@ def bfs_distances(
     dist = source.select(
         F.col(source.columns[0]).alias("node"), F.lit(0).alias("dist")
     ).distinct()
-    # iterative lineage discipline: each hop's frontier is persisted
-    # (and the previous one released) so hop k never re-executes hops
-    # 1..k-1's joins — without this the recomputation is quadratic in
-    # hop count; a long-running traversal would localCheckpoint per
-    # hop exactly like the pagerank note above
+    # iterative lineage discipline: each round's frontier is persisted
+    # (and the previous one released) so round k never re-executes
+    # rounds 1..k-1's joins — without this the recomputation is
+    # quadratic in hop count; a long-running traversal would
+    # localCheckpoint per round exactly like the pagerank note above
     frontier = dist.select("node").persist()
     # the edge list is joined on EVERY hop — callers often pass a
     # derived frame (e.g. a basket self-join), and without this pin
     # each hop re-executes that whole derivation (measured 20 → 6 s on
-    # the co-purchase graph at sf0.01); released with the other pins
+    # the co-purchase graph at sf0.01); released with the other pins.
+    # (r17 probe, rejected: pinning the CALLER'S frame and force-
+    # materializing it with an up-front count() so the source branch
+    # also reads the cache measured SLOWER here — 4.6 s vs 3.6 s —
+    # because the local box overlaps the branches' duplicated
+    # derivation on idle cores, while the eager build serializes it.)
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).persist()
     pinned = [frontier, e]
-    for hop in range(1, max_hops + 1):
-        reached = (
-            frontier.join(e, frontier.node == e._s)
+
+    def _expand(fr: DataFrame, seen: DataFrame) -> DataFrame:
+        """One BFS hop: frontier's unvisited out-neighbors."""
+        return (
+            fr.join(e, fr.node == e._s)
             .select(F.col("_d").alias("node"))
             .distinct()
+            .join(seen.select("node"), "node", "left_anti")
         )
-        fresh = reached.join(
-            dist.select("node"), "node", "left_anti"
-        ).persist()
-        pinned.append(fresh)
-        if not fresh.take(1):
-            break
-        dist = dist.union(
-            fresh.select("node", F.lit(hop).alias("dist"))
-        )
-        frontier = fresh
+
+    # TWO propagation hops per materialized round (r17, the same
+    # batching connected_components uses): rounds are cheap in DATA
+    # (frontiers are one row per node) but expensive in JOBS — each
+    # materialization is a full scheduler round trip plus an action.
+    # Both hops' frontiers land in ONE persisted frame tagged by hop
+    # number; the per-hop counts come back from a single groupBy
+    # collect (replacing one take(1) job per hop), which doubles as
+    # the early-exit check.  First-visit semantics are untouched: hop
+    # B excludes dist AND hop A's frontier, so every node still gets
+    # the hop number of its first visit.
+    hop = 1
+    while hop <= max_hops:
+        fresh_a = _expand(frontier, dist).persist()
+        pinned.append(fresh_a)
+        batch = fresh_a.select("node", F.lit(hop).alias("dist"))
+        if hop + 1 <= max_hops:
+            fresh_b = _expand(fresh_a, dist).join(
+                fresh_a, "node", "left_anti"
+            )
+            batch = batch.union(
+                fresh_b.select("node", F.lit(hop + 1).alias("dist"))
+            )
+        batch = batch.persist()
+        pinned.append(batch)
+        counts = {
+            r["dist"]: r["n"]
+            for r in batch.groupBy("dist").agg(F.count("*").alias("n")).collect()
+        }  # ONE job materializes both hops
+        if not counts.get(hop):
+            break  # hop A empty ⇒ hop B empty by construction
+        dist = dist.union(batch)
+        if hop + 1 > max_hops or not counts.get(hop + 1):
+            break  # traversal exhausted (no hop-B frontier) or budget
+        frontier = batch.filter(F.col("dist") == hop + 1).select("node")
+        hop += 2
     # copy the result OFF the pinned lineage before releasing the pins:
     # localCheckpoint materializes dist into executor-local blocks that
     # the ContextCleaner reclaims when the caller drops the DataFrame —
