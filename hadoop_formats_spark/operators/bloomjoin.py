@@ -11,16 +11,19 @@ pruned join is semantically identical to the plain join (the DuckDB
 oracle for the registered query IS the plain join), while false
 positives only cost some un-pruned rows.
 
-Everything is Catalyst expressions (deterministic salted-md5 hashes,
-same convention as the sketch family — no seeded RNG, SQL-replayable):
+Everything is Catalyst expressions (deterministic ``xxhash64(key, i)
+mod m`` positions — codegen'd long hashes, no seeded RNG; NULL keys
+are gated with ``when(isNotNull)`` because xxhash64 maps NULL to the
+seed hash):
 
-* build: k bucket positions per key → positions packed into
+* build: k bucket positions per non-NULL key → positions packed into
   ``m/64`` 64-bit words via ``bit_or`` partial aggregation → ONE row
   holding a dense ``array<long>`` bitmap (built with
   ``map_from_entries`` + a ``sequence`` ramp, no UDF);
 * probe: broadcast the 1-row bitmap, test each key's k positions with
   ``element_at(words, pos/64 + 1) >> (pos%64) & 1`` — O(1) per probe
-  regardless of m, pure whole-stage-codegen arithmetic.
+  regardless of m, pure whole-stage-codegen arithmetic; NULL-key
+  probe rows bypass the test and are kept.
 
 100 TB shape: the bitmap build is a partial-agg groupBy over ≤ m/64
 distinct words (a few KB leave each task); the probe is a map-side
@@ -64,11 +67,20 @@ def bloom_build(
     """ONE-row DataFrame ``(bloom_words: array<long>)`` — the packed
     m-bit Bloom bitmap of ``build[key_col]``.  Partial-agg shape: the
     per-word ``bit_or`` combines map-side, so at most m/64 rows reach
-    the final reduce regardless of build-side size."""
+    the final reduce regardless of build-side size.
+
+    NULL build-side keys are dropped before hashing (ADVICE r16): the
+    position gate maps them to NULL positions, which would reach
+    ``map_from_entries`` as a NULL map key and crash the build at
+    runtime.  NULL never equi-joins, so omitting them from the bitmap
+    cannot remove a matching probe row — the no-false-negatives
+    guarantee is untouched (and NULL probe rows are kept by
+    :func:`bloom_probe_filter` regardless)."""
     key = F.col(key_col).cast("string")
     pos = F.explode(F.array(*_positions(key, k, m))).alias("pos")
     words = (
-        build.select(pos)
+        build.filter(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
             # pyspark's shiftleft() wants a literal shift amount; the
@@ -108,10 +120,11 @@ def bloom_probe_filter(
     output of :func:`bloom_build`; it is broadcast, so the prune adds
     no shuffle.
 
-    NULL-key rows are KEPT (``md5(NULL)`` is NULL, so the bit test is
-    indeterminate, and the contract is "only remove rows that CANNOT
-    match" — a caller feeding the pruned side into an outer join or
-    null-safe join must still see them; ADVICE r6 #3).  NULL never
+    NULL-key rows are KEPT (the position gate yields NULL for a NULL
+    key — xxhash64 would otherwise hash it to the seed — so the bit
+    test is indeterminate, and the contract is "only remove rows that
+    CANNOT match": a caller feeding the pruned side into an outer join
+    or null-safe join must still see them; ADVICE r6 #3).  NULL never
     equi-joins, so for plain inner-join pruning the kept rows are
     harmless; pre-filter ``key IS NOT NULL`` yourself when you want
     them gone too."""

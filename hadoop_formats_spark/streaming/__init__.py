@@ -333,6 +333,14 @@ def ttl_min_registry(
         yield pd.DataFrame(out)
 
     def _save(state: GroupState, reg: dict) -> None:
+        if not reg:
+            # an emptied registry must REMOVE state, not arm a timer
+            # from min() of an empty sequence (ADVICE r16: Spark never
+            # currently enters the data path with only empty pdfs, but
+            # the failure mode would be a query crash)
+            if state.exists:
+                state.remove()
+            return
         wm = state.getCurrentWatermarkMs()
         keys = list(reg)
         state.update(
