@@ -380,30 +380,84 @@ def stateful_group_stats(
     stream_df: DataFrame,
     key_col: str,
     value_col: str,
+    *,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key running
     (count, sum) state, emitted on every update.  The state schema is
-    explicit so it survives restarts via the checkpoint."""
+    explicit so it survives restarts via the checkpoint.
+
+    r17 (guide §4, same shape as ttl_min_registry/stateful_last_touch):
+    one state cell per key paid the applyInPandasWithState per-group
+    JVM↔Python round trip per key per batch (~8–9 ms/key, serial within
+    a task — measured in r16 with a trivial-body control).  Keys are
+    hash-bucketed into ``n_buckets`` state groups holding parallel
+    (key, n, total) arrays, and each bucket's fold is one vectorized
+    pandas groupby.  Per-key semantics are unchanged: a key's running
+    (count, sum) accumulates across batches, and exactly the keys with
+    input in a batch emit their updated totals (a bucket's untouched
+    members are carried in state but not re-emitted)."""
     import pandas as pd
 
+    from pyspark.sql import functions as _F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
-        n, tv = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            tv += float(pdf[value_col].sum())
-        state.update((n, tv))
+        reg: dict = {}
+        if state.exists:
+            ks, ns, tvs = state.get
+            for u, n, tv in zip(ks, ns, tvs):
+                reg[u] = [n, tv]
+        chunks = [p for p in pdfs if len(p)]
+        out_k: list = []
+        out_n: list = []
+        out_tv: list = []
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True)
+            g = rows.groupby(key_col, sort=True)[value_col].agg(
+                ["count", "sum"]
+            )
+            for u, cnt, sm in zip(
+                g.index.to_numpy(), g["count"].to_numpy(), g["sum"].to_numpy()
+            ):
+                # plain python types: state values cross via pyrolite,
+                # which rejects numpy scalars
+                u = int(u)
+                ent = reg.get(u)
+                if ent is None:
+                    ent = reg[u] = [0, 0.0]
+                ent[0] += int(cnt)
+                ent[1] += float(sm)
+                out_k.append(u)
+                out_n.append(ent[0])
+                out_tv.append(ent[1])
+        keys = list(reg)
+        state.update(
+            (
+                keys,
+                [reg[u][0] for u in keys],
+                [reg[u][1] for u in keys],
+            )
+        )
         yield pd.DataFrame(
-            {key_col: [key[0]], "n_events": [n], "total_value": [tv]}
+            {key_col: out_k, "n_events": out_n, "total_value": out_tv}
         )
 
-    return stream_df.groupBy(key_col).applyInPandasWithState(
-        update,
-        outputStructType=f"{key_col} bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, tv double",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    bucket = _F.pmod(
+        _F.xxhash64(_F.col(key_col)), _F.lit(n_buckets)
+    ).alias("_gs_bucket")
+    return (
+        stream_df.withColumn("_gs_bucket", bucket)
+        .groupBy("_gs_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key_col} bigint, n_events bigint, total_value double",
+            stateStructType=(
+                "ks array<bigint>, ns array<bigint>, tvs array<double>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -426,6 +426,58 @@ def test_stateful_last_touch_state_carries_across_batches(spark, tmp_path):
     }
 
 
+def test_stateful_group_stats_carries_and_emits_touched_only(spark, tmp_path):
+    """r17 bucketed rewrite pin: a key's running (count, sum) must
+    accumulate across micro-batches, and each batch must emit exactly
+    the keys that had input in it (a bucket's untouched members stay
+    in state but are not re-emitted)."""
+    import glob
+    import os
+    import shutil
+
+    from hadoop_formats_spark.streaming import (
+        run_available_now,
+        stateful_group_stats,
+    )
+
+    src = tmp_path / "gs_src"
+    src.mkdir()
+    schema = "user_id bigint, value_cents bigint"
+
+    def write_file(rows, name, mtime):
+        tmp = str(tmp_path / ("t_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 1: user 1 twice, user 2 once; batch 2: user 1 again,
+    # user 3 new — user 2 must NOT re-emit in batch 2 even though it
+    # shares a bucket-keyed state group with active users
+    write_file([(1, 10), (1, 20), (2, 5)], "b1.parquet", 1_700_000_000)
+    write_file([(1, 30), (3, 7)], "b2.parquet", 1_700_000_100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        stateful_group_stats(stream, "user_id", "value_cents"),
+        spark,
+        output_mode="update",
+        state_partitions=2,
+    )
+    got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+    assert got == {
+        (1, 2, 30.0),  # batch 1
+        (2, 1, 5.0),  # batch 1
+        (1, 3, 60.0),  # batch 2: carried state + new row
+        (3, 1, 7.0),  # batch 2
+    }
+
+
 def test_foreach_batch_upsert_idempotent_under_replay(spark, tmp_path):
     # foreachBatch is at-least-once: a FULL replay of every batch
     # (checkpoint wiped, idempotence markers kept) must leave the state
