@@ -118,6 +118,101 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.orderBy("doc_a", "doc_b")
 
 
+_CANARY_NS = (2, 3, 4, 5)
+
+
+def _shingles_cte_n(n: int) -> str:
+    """Word-n-gram shingle rows (per-doc distinct), tagged with n."""
+    return f"""
+  SELECT {n} AS n, doc_id, shingle FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+         UNNEST(generate_series(1, greatest(len(toks) - {n - 1}, 0)))
+           AS t(i)
+  )"""
+
+
+@register(
+    "scan_shingle_checksum_canary",
+    oracle=f"""
+    WITH sh AS ({" UNION ALL ".join(_shingles_cte_n(n) for n in _CANARY_NS)})
+    SELECT n,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(('0x' || substr(md5(shingle), 1, 8))::BIGINT % 1000003)
+                AS BIGINT) AS hash_checksum,
+           CAST(min(('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+                AS BIGINT) AS min_h,
+           CAST(max(('0x' || substr(md5(shingle), 1, 8))::BIGINT)
+                AS BIGINT) AS max_h
+    FROM sh GROUP BY n ORDER BY n
+    """,
+    doc="Parallel-scan SCALING CANARY (r17, VERDICT r16 #7): a shingle-"
+    "size profile (word n-grams for n=2..5, the sweep a dedup-config "
+    "tuning pass runs) over the 32-file SequenceFile documents "
+    "fixture (registry.docs_seq_dir — a row-sliced copy of "
+    "documents.parquet, cache-keyed by layout) instead of the single "
+    "ONE-ROW-GROUP testdata file Spark cannot split.  Every other "
+    "bench row's scan stage is single-task by input layout (a batch "
+    "parquet scan of the 32-file copy packs the tiny files into ~2 "
+    "splits via openCostInBytes, so parquet can't canary either), "
+    "while the hadoop_seq datasource plans one input partition per "
+    "file — so this row's map-side shingle/md5 work runs at the full "
+    "split count and its low/high-core ratio tracks the core ratio.  "
+    "All aggregates partial-agg map-side (the shuffle is 4 rows); "
+    "the checksum folds each shingle's md5-slice value mod 1000003 "
+    "so the bigint sum cannot overflow at any SF.",
+)
+def scan_shingle_checksum_canary(spark, sf_dir):
+    import os as _os
+
+    from .registry import docs_seq_dir
+
+    path = docs_seq_dir(sf_dir)
+    # one split per fixture file at any SF: the datasource's auto split
+    # sizing floors at 8 MiB (right for throughput scans, but it packs
+    # this deliberately-sliced fixture back into one task); the canary
+    # exists to measure scan-stage parallelism, so size splits to the
+    # fixture's own slice count instead of a constant
+    total = sum(
+        _os.path.getsize(_os.path.join(path, f))
+        for f in _os.listdir(path)
+        if f.endswith(".seq")
+    )
+    d = (
+        spark.read.format("hadoop_seq")
+        .option("split_size", max(32 * 1024, total // 32))
+        .load(path)
+        .select(F.col("key").alias("doc_id"), F.col("value").alias("text"))
+    )
+    def _tag(n: int):
+        # NB: a two-arg transform lambda would receive the element
+        # INDEX as its second argument — capture n via closure
+        return F.transform(
+            D.word_shingles("text", n),
+            lambda s: F.struct(F.lit(n).alias("n"), s.alias("shingle")),
+        )
+
+    tagged = F.concat(*[_tag(n) for n in _CANARY_NS])
+    sh = d.select(F.explode(tagged).alias("g")).select("g.n", "g.shingle")
+    # numeric slice value, not the hex string: long min/max keep the
+    # whole fold a codegen HashAggregate (a string min would plan
+    # SortAggregate and sort the exploded table by n — measured 1.37 →
+    # 0.82 s at 32 cores dropping it)
+    hv = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    return (
+        sh.groupBy("n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(hv % 1000003).cast("bigint").alias("hash_checksum"),
+            F.min(hv).alias("min_h"),
+            F.max(hv).alias("max_h"),
+        )
+        .orderBy("n")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""

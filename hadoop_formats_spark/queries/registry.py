@@ -149,6 +149,54 @@ def docs_stream_dir(sf_dir: str, *, nfiles: int = 32) -> str:
 DOCS_STREAM_FILES = 32  # files_per_trigger partner for docs_stream_dir (r16: 8 -> 32; all slices still land in ONE microbatch, the map-side banding just gets the full core count instead of 8-way parallelism)
 
 
+_DOCS_SEQ_CACHE = cache_path("docs_seqdir")
+
+
+def docs_seq_dir(sf_dir: str, *, nfiles: int = 32) -> str:
+    """The documents table as ``nfiles`` SequenceFiles (key = doc_id
+    LongWritable, value = text Text) — the r17 parallel-scan canary
+    fixture (VERDICT r16 #7).  A BATCH parquet scan of the 32-file
+    docs_stream_dir copy packs the tiny files into ~2 splits
+    (openCostInBytes charging), so it cannot exercise scan
+    parallelism; the hadoop_seq datasource plans one input partition
+    per file/byte-range, so this layout scans 32-way.  Like
+    docs_stream_dir the cache key carries the slice count, and the
+    fixture is a row-sliced COPY of the testdata (data, never derived
+    results)."""
+    key = sf_dir.strip("/").replace("/", "_") + f"_n{nfiles}"
+    final = os.path.join(_DOCS_SEQ_CACHE, key)
+    if os.path.isdir(final) and any(
+        f.endswith(".seq") for f in os.listdir(final)
+    ):
+        return final
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_formats_spark.seqfile import core
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tmp = final + "." + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(nfiles):
+        # round-robin row slicing, not contiguous ranges: document
+        # lengths cluster, and a contiguous slice hands one task all
+        # the long documents (measured: the canary's 8→32-core ratio
+        # collapsed to ~1.5 from straggler tasks)
+        sl = t.take(list(range(i, t.num_rows, nfiles)))
+        if sl.num_rows == 0:
+            break
+        core.write_table(
+            os.path.join(tmp, f"part-{i:05d}.seq"),
+            pa.table(
+                {
+                    "key": sl.column("doc_id").cast(pa.int64()),
+                    "value": sl.column("text").cast(pa.string()),
+                }
+            ),
+        )
+    return publish_dir(tmp, final, _has_file(suffix=".seq"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return spark.read.parquet(events_path(sf_dir))
