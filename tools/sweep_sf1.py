@@ -80,6 +80,25 @@ BATCHES = [
     # text folds + the two newly sf1-capable oracle rewrites
     ["text_bigram_lm_score", "text_repetition_metrics",
      "pareto_frontier_quality_length", "kmeans_cluster_profile"],
+    # --- round-17 tranche (VERDICT r16 #8): rows whose code changed in
+    # r16/r17 and whose oracles are sf1-tractable — the bucketed
+    # stateful op, the conformal collect merge, the xxhash bloom probe,
+    # the new scan canary, the r16 array-percentile sites, and the
+    # r16 finalizing-batch opt-in streaming rows.  (group_assignment /
+    # keeper / bfs changed too, but their oracles are the UNCAPPED
+    # quadratic shingle CTE / recursive closure — intractable in DuckDB
+    # at sf1; their sf1 evidence is the engine-side completion runs
+    # recorded in OPTIMIZATION_r17.md.)
+    ["stream_stateful_user_stats", "ml_conformal_interval_coverage",
+     "join_bloom_prefiltered", "scan_shingle_checksum_canary",
+     "feature_woe_iv", "filter_length_percentile",
+     "agg_exact_percentiles"],
+    ["stream_ttl_band_registry", "stream_attribution_last_touch",
+     "stream_dedup_within_watermark",
+     "stream_stream_join_click_to_purchase",
+     "stream_minhash_band_dedup", "seqfile_stream_source_counts"],
+    ["link_fuzzy_customer_names", "dedup_cross_source_matrix",
+     "curation_ccnet_ppl_buckets"],
 ]
 
 
