@@ -69,6 +69,35 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def shingled_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingles) with the per-doc distinct shingle arrays
+    materialized ONCE (spread + lazy localCheckpoint) for pipelines
+    that consume shingles in more than one subtree — Catalyst
+    re-expands DataFrame self-references, so e.g. the LSH row's
+    signature pipeline and its verify join each re-ran the whole
+    tokenize+shingle computation (r17: sharing measured 1.33 → 1.00 s
+    median on dedup_minhash_lsh, rows identical).  The checkpoint is
+    within one query execution — not cross-run caching — and trades
+    executor-local storage (disk-backed) for the repeated interpreted
+    shingling CPU; at corpus scale that is the right trade exactly
+    when the arrays are consumed 2+ times, which is the only reason to
+    call this helper.  Pass the SAME ``shingle_n`` to every consumer."""
+    return (
+        _spread(docs, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, shingle_n).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_hash_concat(shingles: Column, num_hashes: int) -> Column:
     """Per-shingle hash material: the concatenation of ceil(n/4) md5
     digests (salted '0:', '1:', …), computed ONCE per shingle.  Each
@@ -92,6 +121,7 @@ def minhash_signatures(
     *,
     num_hashes: int,
     shingle_n: int,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signatures.
 
@@ -108,11 +138,21 @@ def minhash_signatures(
     each digest md5 still runs exactly once per (doc, shingle), now
     compiled (measured 1.50 → 1.36 s median interleaved at sf0.1 on
     the headline LSH row).  The 8 mins partial-aggregate map-side, so
-    the one shuffle carries ~80 bytes/doc regardless of corpus size."""
-    hashed = _spread(docs, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
+    the one shuffle carries ~80 bytes/doc regardless of corpus size.
+
+    ``shingled`` (a :func:`shingled_docs` frame with a matching
+    ``shingle_n``) feeds the explode from the shared materialization
+    instead of re-shingling — for pipelines whose other subtrees also
+    consume the shingles."""
+    if shingled is not None:
+        hashed = shingled.select(
+            "doc_id", F.explode("shingles").alias("sh")
+        )
+    else:
+        hashed = _spread(docs, F.col(id_col)).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
     # same salted-digest family as minhash_hash_concat: digest d =
     # md5('{d}:' || shingle), positions j are its 8-hex slices
     digests = [
@@ -222,6 +262,7 @@ def minhash_band_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     dropped_out: list | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 MinHash band.
 
@@ -236,7 +277,12 @@ def minhash_band_pairs(
     # why NOT a pure projection); docs too short to shingle drop out
     # naturally (explode of an empty array emits no rows)
     sigs = minhash_signatures(
-        docs, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        docs,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        shingled=shingled,
     )
     # one posexplode pass instead of a bands-way union (single scan of sigs)
     band_keys = F.array(
@@ -264,6 +310,7 @@ def shingle_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via shingle inverted index.
 
@@ -301,19 +348,22 @@ def shingle_jaccard_pairs(
         # doc with the _spread parallelism — an above-the-join
         # projection re-shingles every matched side-row on the
         # (AQE-coalesced, tiny) candidate side instead, measured +0.4s
-        # at sf0.1 (r16 probe; both variants tried).
-        shingled = sides.join(
-            _spread(docs, F.col(id_col)).select(
+        # at sf0.1 (r16 probe; both variants tried).  A caller-shared
+        # shingled_docs frame replaces the re-shingle outright (r17).
+        doc_shingles = (
+            shingled
+            if shingled is not None
+            else _spread(docs, F.col(id_col)).select(
                 F.col(id_col).alias("doc_id"),
                 word_shingles(text_col, shingle_n).alias("shingles"),
-            ),
-            "doc_id",
+            )
         )
+        joined = sides.join(doc_shingles, "doc_id")
         first_match = lambda side: F.first(  # noqa: E731
             F.when(F.col("doc_id") == F.col(side), F.col("shingles")),
             ignorenulls=True,
         )
-        paired = shingled.groupBy("doc_a", "doc_b").agg(
+        paired = joined.groupBy("doc_a", "doc_b").agg(
             first_match("doc_a").alias("sh_a"),
             first_match("doc_b").alias("sh_b"),
         )
@@ -328,22 +378,29 @@ def shingle_jaccard_pairs(
 
     # exhaustive path (ground truth): shingle inverted-index self-join —
     # pairs are generated only for docs sharing a shingle, never a cross
-    # join; shuffles on the high-cardinality shingle key
-    shingled = _spread(docs, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).distinct()
+    # join; shuffles on the high-cardinality shingle key.  (A shared
+    # shingled_docs frame feeds the explode when given; the .distinct()
+    # stays — it is the exchange the self-join branches reuse.)
+    if shingled is not None:
+        index = shingled.select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        ).distinct()
+    else:
+        index = _spread(docs, F.col(id_col)).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        ).distinct()
     if max_doc_freq is not None:
         # capped candidate generation: anti-join the hot posting lists
         # out of the index, pair the survivors, then take the exact
         # full-set verify path above for those candidates.
         hot = (
-            shingled.groupBy("shingle")
+            index.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        capped = shingled.join(hot, "shingle", "left_anti")
+        capped = index.join(hot, "shingle", "left_anti")
         a, b = capped.alias("a"), capped.alias("b")
         cand = (
             a.join(
@@ -364,10 +421,11 @@ def shingle_jaccard_pairs(
             shingle_n=shingle_n,
             threshold=threshold,
             candidates=cand,
+            shingled=shingled,
         )
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    sizes = index.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = index.alias("a")
+    b = index.alias("b")
     inter = (
         a.join(
             b,
@@ -442,6 +500,10 @@ def prefix_filter_jaccard_pairs(
     # verify filters on round(J, 3) >= threshold, so candidate
     # generation must be complete for true J >= threshold - 0.0005
     t = threshold - 0.5e-3
+    # NO shingled_docs sharing (r17 probe): the shared checkpoint
+    # measured 1.43 -> 1.81 s here — the ranked-window stage consumes
+    # tok once and the verify join is small, so the materialization
+    # costs more than the one re-shingle it saves
     tok = _spread(docs, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         # word_shingles is array_distinct — rows are unique (doc, shingle)
@@ -539,6 +601,10 @@ def minhash_band_precision_recall(
             % 1_000_000
         ) < int(sample_fraction * 1_000_000)
         docs = docs.filter(keep)
+    # no shingled_docs sharing (r17 probe): band candidates + truth
+    # measured a WASH shared vs recomputed (best 2.80 vs 2.18, medians
+    # equal) — the truth side's self-join dominates and its exchanges
+    # already reuse; the checkpoint adds storage for nothing
     cand = minhash_band_pairs(
         docs, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
@@ -953,7 +1019,7 @@ def shingle_containment_pairs(
     )
     if max_doc_freq is not None:
         hot = (
-            shingled.groupBy("shingle")
+            index.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")

@@ -650,11 +650,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str):
     # near layer: MinHash bands over the union, candidates crossing
     # sides (side membership is arithmetic on doc_id, so no tag join),
     # exact-Jaccard verify at 0.8
-    cand = D.minhash_band_pairs(d, num_hashes=8, bands=4)
+    sh = D.shingled_docs(d)  # shared by bands + verify (r17)
+    cand = D.minhash_band_pairs(d, num_hashes=8, bands=4, shingled=sh)
     cross = cand.filter(
         (F.col("doc_a") % 10 >= 8) != (F.col("doc_b") % 10 >= 8)
     )
-    verified = D.shingle_jaccard_pairs(d, threshold=0.8, candidates=cross)
+    verified = D.shingle_jaccard_pairs(
+        d, threshold=0.8, candidates=cross, shingled=sh
+    )
     near_ids = verified.select(
         F.when(F.col("doc_a") % 10 >= 8, F.col("doc_a"))
         .otherwise(F.col("doc_b"))
