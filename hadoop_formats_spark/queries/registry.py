@@ -492,6 +492,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # oldest-green round-robin across families).  This list is that tool's
 # verbatim output at the r15 freeze; regenerate it each round.
 PRIORITY_ORDER = [
+    # r17 minimal adjustment (the steady-state rotation is a build-round
+    # activity, but the never-graded-first rule still applies to the one
+    # query ADDED this round): the new parallel-scan scaling canary
+    # takes the head slot so its oracle gets a driver row in its own
+    # round; everything else keeps its r15-computed order.
+    "scan_shingle_checksum_canary",  # never-graded (new in r17)
     "multimodal_png_real_decode",  # never-graded (new in r15)
     "dedup_winnow_chunked_pairs",  # never-graded (new in r15)
     "stream_ohlc_candles",  # never-graded (new in r15)
